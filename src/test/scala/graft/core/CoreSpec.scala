@@ -1,0 +1,187 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests over seeded random samples (the offline cache has
+  * no scalatest<->scalacheck bridge, so deterministic seeded loops). */
+class CoreSpec extends AnyFunSuite {
+  private val N = 2000
+  private def forAllSamples(f: scala.util.Random => Unit): Unit = {
+    val r = new scala.util.Random(42)
+    var i = 0
+    while (i < N) { f(r); i += 1 }
+  }
+
+  test("spread/compact are inverse") {
+    forAllSamples { r =>
+      val v = r.nextInt()
+      assert(Cell.compact(Cell.spread(v)) == v)
+    }
+  }
+
+  test("interleave matches bit-by-bit reference semantics (util.c:64-85)") {
+    forAllSamples { r =>
+      val x = r.nextInt(); val y = r.nextInt()
+      var expected = 0L
+      var i = 31
+      while (i >= 0) {
+        val xb = ((x >>> i) & 1).toLong
+        val yb = ((y >>> i) & 1).toLong
+        expected = (expected << 2) | (yb << 1) | xb
+        i -= 1
+      }
+      assert(Cell.interleave(x, y) == expected)
+    }
+  }
+
+  test("encode/decode roundtrip") {
+    forAllSamples { r =>
+      val x = r.nextInt(); val y = r.nextInt()
+      val c = Cell.encode(x, y)
+      assert(Cell.decodeX(c) == (x.toLong & 0xFFFFFFFFL))
+      assert(Cell.decodeY(c) == (y.toLong & 0xFFFFFFFFL))
+    }
+  }
+
+  test("signed cell order equals unsigned Z-order (memcmp order)") {
+    forAllSamples { r =>
+      val x1 = r.nextInt(); val y1 = r.nextInt()
+      val x2 = r.nextInt(); val y2 = r.nextInt()
+      val c1 = Cell.encode(x1, y1)
+      val c2 = Cell.encode(x2, y2)
+      val b1 = BitPack.pack(Array(x1), Array(y1), 0, 0, 64, 0, 0)
+      val b2 = BitPack.pack(Array(x2), Array(y2), 0, 0, 64, 0, 0)
+      assert(java.lang.Long.compare(c1, c2).sign == BitPack.compare(b1, b2).sign)
+    }
+  }
+
+  test("tileRange covers exactly the tile's cells") {
+    forAllSamples { r =>
+      val z = 1 + r.nextInt(31)
+      val x32 = r.nextInt(); val y32 = r.nextInt()
+      val tx = ((x32.toLong & 0xFFFFFFFFL) >>> (32 - z)).toInt
+      val ty = ((y32.toLong & 0xFFFFFFFFL) >>> (32 - z)).toInt
+      val c = Cell.encode(x32, y32)
+      val lo = Cell.tileRangeLo(z, tx, ty)
+      val hi = Cell.tileRangeHi(z, tx, ty)
+      assert(lo <= c && c <= hi)
+      assert(Cell.tileX(c, z) == tx && Cell.tileY(c, z) == ty)
+      val txn = if (tx + 1 < (1L << z)) tx + 1 else tx - 1
+      val c2 = Cell.encode(txn << (32 - z), y32)
+      assert(c2 < lo || c2 > hi)
+    }
+  }
+
+  test("tileKey roundtrip") {
+    forAllSamples { r =>
+      val z = r.nextInt(29)
+      val n = if (z == 0) 1 else (1 << z)
+      val x = r.nextInt(n); val y = r.nextInt(n)
+      val k = Cell.tileKey(z, x, y)
+      assert(Cell.tileKeyZ(k) == z && Cell.tileKeyX(k) == x && Cell.tileKeyY(k) == y)
+    }
+  }
+
+  test("mercator projection is in range and round-trips") {
+    forAllSamples { r =>
+      val lat = r.nextDouble() * 170.1022 - 85.0511
+      val lon = r.nextDouble() * 359.998 - 179.999
+      val x = Mercator.lonToX32(lon)
+      val y = Mercator.latToY32(lat)
+      assert(x >= 0 && x < 4294967296L)
+      assert(y >= 0 && y <= 4294967296L)
+      val lat2 = Mercator.tileToLat(y, 32)
+      val lon2 = Mercator.tileToLon(x, 32)
+      assert(math.abs(lon2 - lon) < 1e-6)
+      assert(math.abs(lat2 - lat) < 1e-6)
+    }
+  }
+
+  test("clip output lies inside the rectangle; degenerate cases handled") {
+    forAllSamples { r =>
+      val x0 = r.nextDouble() * 20 - 10; val y0 = r.nextDouble() * 20 - 10
+      val x1 = r.nextDouble() * 20 - 10; val y1 = r.nextDouble() * 20 - 10
+      val res = Clip.clip(x0, y0, x1, y1, 0, 0, 1, 1)
+      if (res != null) {
+        assert(res.forall(v => v >= -1e-9 && v <= 1 + 1e-9))
+      }
+    }
+    assert(Clip.clip(0.2, 0.2, 0.8, 0.8, 0, 0, 1, 1).toSeq == Seq(0.2, 0.2, 0.8, 0.8))
+    assert(Clip.clip(-5, -5, -4, -4, 0, 0, 1, 1) == null)
+  }
+
+  test("bytesFor matches reference formula (util.c:160-164)") {
+    assert(BitPack.bytesFor(48, 0, 1, 0) == 6)
+    assert(BitPack.bytesFor(48, 8, 1, 0) == 7)
+    assert(BitPack.bytesFor(48, 0, 2, 10) == (48 + 28 + 7) / 8)
+  }
+
+  test("BitPack pack/unpack roundtrip for polylines") {
+    val mapbits = 48
+    val metabits = 8
+    val mask = -1 << (32 - mapbits / 2)
+    forAllSamples { r =>
+      val n = 1 + r.nextInt(6)
+      val bx = r.nextInt(); val by = r.nextInt()
+      val xt = Array.tabulate(n)(i => (bx + i * 3000) & mask)
+      val yt = Array.tabulate(n)(i => (by + i * 5000) & mask)
+      val meta = r.nextInt(256).toLong
+      val common = if (n > 1) BitPack.commonLevels(xt, yt, mapbits) else 0
+      val buf = BitPack.pack(xt, yt, meta, metabits, mapbits, metabits, common)
+      assert(buf.length == BitPack.bytesFor(mapbits, metabits, n, common))
+      val (ux, uy, um) = BitPack.unpack(buf, mapbits, metabits, common, n)
+      assert(ux.toSeq == xt.toSeq)
+      assert(uy.toSeq == yt.toSeq)
+      assert(um == meta)
+    }
+  }
+
+  test("tileRangeBufs matches Cell.tileRange on the cell prefix") {
+    forAllSamples { r =>
+      val z = 1 + r.nextInt(16)
+      val n = 1 << z
+      val tx = r.nextInt(n); val ty = r.nextInt(n)
+      val (start, end) = BitPack.tileRangeBufs(z, tx, ty, 8)
+      val sv = java.nio.ByteBuffer.wrap(start).getLong ^ Long.MinValue
+      val ev = java.nio.ByteBuffer.wrap(end).getLong ^ Long.MinValue
+      assert(sv == Cell.tileRangeLo(z, tx, ty))
+      assert(ev == Cell.tileRangeHi(z, tx, ty))
+    }
+  }
+
+  test("Wu line conserves brightness for in-canvas lines") {
+    val g = new Canvas(64, 64)
+    Raster.wuLine(5.3, 7.2, 40.9, 30.1, g, 1.0, -1)
+    val total = g.image.sum
+    val dx = 40.9 - 5.3
+    assert(math.abs(total - dx) < 1.5, s"total=$total dx=$dx")
+  }
+
+  test("canvas merge is elementwise add") {
+    val a = new Canvas(8, 8)
+    val b = new Canvas(8, 8)
+    a.putPixel(1, 1, 2.0, 0.25)
+    b.putPixel(1, 1, 3.0, 0.75)
+    b.putPixel(2, 2, 1.0, -1)
+    a.merge(b)
+    assert(math.abs(a.image(9) - 5.0) < 1e-12)
+    assert(math.abs(a.image(18) - 1.0) < 1e-12)
+  }
+
+  test("brush kernel is normalized to its area") {
+    for (brush <- Seq(2.0, 5.0, 17.3); gaussian <- Seq(false, true)) {
+      val (w, weights) = Raster.brushKernel(brush, gaussian)
+      assert(w > 0)
+      assert(math.abs(weights.sum / 81.0 - brush) < 1e-9)
+    }
+  }
+
+  test("png encode/decode roundtrip and psnr") {
+    val w = 16; val h = 16
+    val rgba = Array.tabulate[Byte](w * h * 4)(i => ((i * 37) & 0xFF).toByte)
+    val png = Png.encode(rgba, w, h)
+    val (back, w2, h2) = Png.decode(png)
+    assert(w2 == w && h2 == h)
+    assert(Png.psnr(rgba, back).isPosInfinity) // PNG is lossless
+  }
+}
