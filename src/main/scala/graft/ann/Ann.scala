@@ -1,0 +1,78 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>) — the
+ * training-pipeline ANN operators. Brute-force cosine top-k is the
+ * exact baseline; random-hyperplane LSH bucketing is the scale path
+ * (candidates only meet inside a bucket — the shuffle is on a small
+ * signature, never an all-pairs cross product).
+ */
+object Ann {
+  /** Sequential-fold dot product of two float arrays (cast to double
+    * elementwise, summed left-to-right — the same order DuckDB's list
+    * functions use, so results are bit-identical). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact cosine top-k: broadcast the (small) query set, window top-k
+    * per query. At scale this is the rerank stage after LSH prefilter. */
+  def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): a fixed-point value in [-0.5, 0.5) from xxhash64. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Random-hyperplane (SimHash-style) signature of an embedding:
+    * `planes` sign bits packed into a Long. */
+  def rhpSignature(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: bucket = signature band; candidates share a
+    * band; exact cosine rerank inside buckets; top-k per query.
+    * Recall < 1 by construction (approximate); `bands`/`rowsPerBand`
+    * trade recall vs candidate count. */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = planes / bands
+    val mask = (1L << rows) - 1
+    def bandCols(sig: Column): Column =
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(sig, b * rows).bitwiseAND(mask).as("key"))): _*)
+
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      explode(bandCols(rhpSignature(col("embedding"), planes))).as("bk"))
+    val q = queries.select(col("qid"), col("qvec"),
+      explode(bandCols(rhpSignature(col("qvec"), planes))).as("bk"))
+
+    val cand = v.join(q, v("bk") === q("bk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"))
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftrightunsigned}
+
+/** Column-level API for the engine's spatial functions. */
+package object functions {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  /** (x32, y32) world coords -> order-comparable Morton cell id. */
+  def cell_encode(x: Column, y: Column): Column =
+    column(CellEncodeExpr(expression(x), expression(y)))
+
+  /** cell id -> world x (unsigned 32-bit widened to Long). */
+  def cell_x(c: Column): Column = column(CellXExpr(expression(c)))
+
+  /** cell id -> world y. */
+  def cell_y(c: Column): Column = column(CellYExpr(expression(c)))
+
+  /** tile x at zoom z containing the cell. */
+  def tile_x(c: Column, z: Int): Column =
+    if (z == 0) lit(0L) else shiftrightunsigned(cell_x(c), 32 - z)
+
+  def tile_y(c: Column, z: Int): Column =
+    if (z == 0) lit(0L) else shiftrightunsigned(cell_y(c), 32 - z)
+
+  /** Register SQL names for the native expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cell_encode", es => CellEncodeExpr(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(es.head), "builtin")
+    reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(es.head), "builtin")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.join
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * k-nearest-neighbor join via cell-ring expansion (the reference's
+ * neighbor-ring probe, render.c:947-967, generalized): points are
+ * bucketed by tile at a density-chosen zoom; each query probes its
+ * kRing(r) tiles through a shuffle hash join; an exact top-k window
+ * finishes. Queries whose k-th candidate distance exceeds the ring
+ * guarantee radius fall back to an exact broadcast pass, so results are
+ * exactly the true kNN (ties broken by id) — which the DuckDB
+ * brute-force oracle reproduces.
+ *
+ * Scale shape: the candidate join is a shuffle hash join on tile id —
+ * no cross product; the fallback touches only unresolved queries (rare
+ * when z is density-matched) with a broadcast of those queries.
+ */
+object Knn {
+  /**
+   * points:  (id, x, y)  — integer coords (scaled so d2 is exact).
+   * queries: (qid, qx, qy)
+   * z: bucketing zoom over the 32-bit coordinate space; coordScale: the
+   * number of low bits the coords were pre-shifted by (so tile =
+   * coord >> (32 - coordScale - z) ... we keep it simple: caller passes
+   * tileShift = bits to shift a coord right to get its tile).
+   */
+  def knnJoin(spark: SparkSession, points: DataFrame, queries: DataFrame,
+              k: Int, tileShift: Int, ring: Int = 1): DataFrame = {
+    val pts = points.select(col("id"), col("x").cast("long"), col("y").cast("long"))
+      .withColumn("tx", expr(s"x >> $tileShift"))
+      .withColumn("ty", expr(s"y >> $tileShift"))
+
+    // each query probes its (2r+1)^2 ring of tiles
+    val q = queries.select(col("qid"), col("qx").cast("long"), col("qy").cast("long"))
+    val qTiles = q
+      .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
+      .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))
+      .withColumn("tx", expr(s"(qx >> $tileShift) + dx"))
+      .withColumn("ty", expr(s"(qy >> $tileShift) + dy"))
+      .drop("dx", "dy")
+
+    val d2 = (col("x") - col("qx")) * (col("x") - col("qx")) +
+      (col("y") - col("qy")) * (col("y") - col("qy"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
+    val cand = qTiles.join(pts, Seq("tx", "ty"))
+      .select(col("qid"), col("qx"), col("qy"), col("id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+
+    // ring guarantee: everything within guard of the query is in the ring
+    val guard = (ring.toLong) << tileShift // min distance to outside the ring
+    val guard2 = guard * guard
+    val resolved = cand.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max(col("d2")).as("kth"))
+      .filter(col("n") >= k && col("kth") <= guard2)
+      .select("qid")
+
+    val good = cand.join(resolved, Seq("qid"), "left_semi")
+      .select("qid", "id", "d2", "rn")
+
+    // exact fallback for unresolved queries: broadcast those queries over
+    // the full point table (they are few by construction)
+    val unresolved = q.join(resolved, Seq("qid"), "left_anti")
+    val fb = pts.crossJoin(broadcast(unresolved))
+      .select(col("qid"), col("id"),
+        ((col("x") - col("qx")) * (col("x") - col("qx")) +
+          (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "id", "d2", "rn")
+
+    good.unionByName(fb)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.join
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Polygon}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+
+/** A convex polygon in integer world coordinates. */
+case class WorldPolygon(poly_id: Long, xs: Array[Long], ys: Array[Long])
+
+/**
+ * Point-in-polygon join: broadcast R-tree of prepared polygons on the
+ * build side, streamed probe over the point table (the north_rule's PIP
+ * operator; the reference has no joins beyond sorted range lookup, so
+ * this is a graft addition built Spark-first).
+ *
+ * Scale shape: the polygon set is small relative to points (dims vs
+ * facts), so it broadcasts; the probe side never shuffles. Integer
+ * coordinates make JTS's robust predicates exact, so results match an
+ * exact-arithmetic oracle bit-for-bit.
+ */
+object PipJoin {
+  private def buildIndex(polys: Array[WorldPolygon]): STRtree = {
+    val gf = new GeometryFactory()
+    val tree = new STRtree()
+    polys.foreach { p =>
+      val coords = (p.xs.indices :+ 0).map(i => new Coordinate(p.xs(i).toDouble, p.ys(i).toDouble)).toArray
+      val poly = gf.createPolygon(coords)
+      val prepared = PreparedGeometryFactory.prepare(poly)
+      tree.insert(poly.getEnvelopeInternal, (p.poly_id, prepared))
+    }
+    tree.build()
+    tree
+  }
+
+  /**
+   * points: DataFrame with (id: Long, x32: Long, y32: Long).
+   * Returns (id, poly_id) for every point covered by a polygon
+   * (boundary inclusive — JTS covers()).
+   */
+  def join(spark: SparkSession, points: DataFrame, polys: Array[WorldPolygon]): DataFrame = {
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(polys)
+    points.select(col("id").cast("long"), col("x32").cast("long"), col("y32").cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // build the tree once per partition from the broadcast polygons
+        val tree = buildIndex(bcast.value)
+        val gf = new GeometryFactory()
+        it.flatMap { case (id, x, y) =>
+          val pt = gf.createPoint(new Coordinate(x.toDouble, y.toDouble))
+          val hits = tree.query(pt.getEnvelopeInternal)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val n = hits.size()
+          var i = 0
+          while (i < n) {
+            val (pid, prep) = hits.get(i).asInstanceOf[(Long, PreparedGeometry)]
+            if (prep.covers(pt)) out += ((id, pid))
+            i += 1
+          }
+          out
+        }
+      }
+      .toDF("id", "poly_id")
+  }
+
+  /** Deterministic convex test polygons (triangles) in world coords from
+    * integer keys; same formula is reproduced in the oracle SQL. Scaled
+    * to 26-bit coords so oracle cross-products stay exact in BIGINT. */
+  def trianglesFromKeys(keys: Seq[Long]): Array[WorldPolygon] = {
+    val r = 1L << 26 // ~1/64 of the world per side
+    keys.map { k =>
+      val cx = ((k * 2654435761L + 991L) % (4294967296L - 4 * r)) + 2 * r
+      val cy = ((k * 1103515245L + 173L) % (4294967296L - 4 * r)) + 2 * r
+      WorldPolygon(k,
+        Array(cx, cx - r, cx + r),
+        Array(cy - r, cy + r, cy + r))
+    }.toArray
+  }
+
+  /** Oracle SQL predicate: point (px,py) inside the triangle for key k
+    * (half-plane cross products, boundary inclusive). Coordinates are
+    * scaled >> 6 so products fit exactly in BIGINT (and in doubles on
+    * the JTS side). */
+  def triangleSql(k: String, px: String, py: String): String = {
+    val r = 1L << 26
+    val cx = s"((($k * 2654435761 + 991) % ${4294967296L - 4 * r}) + ${2 * r})"
+    val cy = s"((($k * 1103515245 + 173) % ${4294967296L - 4 * r}) + ${2 * r})"
+    // vertices (CCW in screen coords): A=(cx,cy-r) B=(cx-r,cy+r) C=(cx+r,cy+r)
+    // scaled by >> 6 to keep cross products within BIGINT
+    def s(v: String) = s"(($v) >> 6)"
+    val ax = s(cx); val ay = s(s"$cy - $r")
+    val bx = s(s"$cx - $r"); val by = s(s"$cy + $r")
+    val cx2 = s(s"$cx + $r"); val cy2 = s(s"$cy + $r")
+    val p1 = s(px); val p2 = s(py)
+    def cross(x1: String, y1: String, x2: String, y2: String) =
+      s"(($x2 - $x1) * ($p2 - $y1) - ($y2 - $y1) * ($p1 - $x1))"
+    val c1 = cross(ax, ay, bx, by)
+    val c2 = cross(bx, by, cx2, cy2)
+    val c3 = cross(cx2, cy2, ax, ay)
+    s"(($c1 >= 0 AND $c2 >= 0 AND $c3 >= 0) OR ($c1 <= 0 AND $c2 <= 0 AND $c3 <= 0))"
+  }
+
+  /** The engine-side probe must use the same >>6 scaling as the oracle
+    * so boundary cases agree. Scale a polygon set down. */
+  def scaled(polys: Array[WorldPolygon]): Array[WorldPolygon] =
+    polys.map(p => WorldPolygon(p.poly_id, p.xs.map(_ >> 6), p.ys.map(_ >> 6)))
+}

@@ -1,0 +1,62 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Cell
+
+/**
+ * Relational tile queries over a point table with integer world-coord
+ * columns `x32`,`y32` (and/or a `cell` column): the reference's
+ * enumerate/bbox/sibling operators (enumerate.c:54-162) re-expressed as
+ * Catalyst-friendly DataFrame plans — no UDFs, everything stays in
+ * whole-stage codegen and pushes down to Parquet.
+ */
+object TileOps {
+  /** Per-tile rollup over zoom levels [minZ, maxZ]: count + exact
+    * integer centroid sums (enumerate.c:137-140). One explode, one
+    * shuffle; the rollup over the zoom hierarchy is computed in the
+    * same aggregation (tile ids per z derived by bit shifts). */
+  def enumerateRollup(points: DataFrame, minZ: Int, maxZ: Int): DataFrame = {
+    points
+      .select(col("x32"), col("y32"))
+      .withColumn("z", explode(sequence(lit(minZ), lit(maxZ))))
+      .select(
+        col("z"),
+        expr("x32 >> (32 - z)").as("tx"),
+        expr("y32 >> (32 - z)").as("ty"),
+        col("x32"), col("y32"))
+      .groupBy("z", "tx", "ty")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("x32")).as("xsum"),
+        sum(col("y32")).as("ysum"))
+  }
+
+  /** Z-order tile range scan: cell BETWEEN lo AND hi — the engine's core
+    * spatial filter (reference: binary search over the sorted file,
+    * util.c:12-31 + render.c:111-119). Pushes to Parquet min/max. */
+  def tileRangeScan(points: DataFrame, z: Int, tx: Int, ty: Int): DataFrame =
+    points.filter(col("cell").between(Cell.tileRangeLo(z, tx, ty), Cell.tileRangeHi(z, tx, ty)))
+
+  /** bbox filter in world coordinates (enumerate -b, enumerate.c:127-135;
+    * bounds inclusive both ends). */
+  def bboxFilter(points: DataFrame, left: Long, top: Long, right: Long, bottom: Long): DataFrame =
+    points.filter(col("x32") >= left && col("x32") <= right &&
+      col("y32") >= top && col("y32") <= bottom)
+
+  /** Sibling completion (enumerate -s, enumerate.c:86-118): for every
+    * non-empty tile at zoom z, emit the empty tiles of its parent quad. */
+  def missingSiblings(points: DataFrame, z: Int): DataFrame = {
+    val present = points
+      .select(expr(s"x32 >> (32 - $z)").as("tx"), expr(s"y32 >> (32 - $z)").as("ty"))
+      .distinct()
+    val quad = present
+      .select((col("tx") / 2).cast("long").as("px"), (col("ty") / 2).cast("long").as("py"))
+      .distinct()
+    val all = quad
+      .withColumn("qx", explode(sequence(lit(0), lit(1))))
+      .withColumn("qy", explode(sequence(lit(0), lit(1))))
+      .select((col("px") * 2 + col("qx")).as("tx"), (col("py") * 2 + col("qy")).as("ty"))
+    all.join(present, Seq("tx", "ty"), "left_anti")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale training-data text operators over the `documents` table
+ * (doc_id, text, lang, source, n_chars). Everything here is built from
+ * codegen'd Catalyst functions (no Scala UDFs in the hot path), designed
+ * so the shuffle key is a small hash/signature — at 100 TB the wide text
+ * column never shuffles except where semantically required.
+ */
+object TextOps {
+  /** Exact dedup: hash-groupBy on md5(text); keeps the smallest doc_id
+    * as the canonical representative. Only the 16-byte digest shuffles. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("text_md5"), col("doc_id"))
+      .groupBy("text_md5")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct character n-gram set of a text column (sorted for
+    * determinism). */
+  def ngrams(c: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(0))),
+      i => c.substr(i, lit(n)))))
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def jaccard(a: Column, b: Column, n: Int): Column = {
+    val ga = ngrams(a, n)
+    val gb = ngrams(b, n)
+    val inter = size(array_intersect(ga, gb))
+    val uni = size(ga) + size(gb) - inter
+    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Whitespace token count: nonempty chunks between single spaces —
+    * a definition both Spark and the SQL oracle compute identically. */
+  def tokenCount(c: Column): Column =
+    size(filter(split(c, " ", -1), x => x =!= ""))
+
+  private val stopwords = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " de la "))
+
+  /** Number of non-overlapping occurrences of `needle`, via
+    * length-difference arithmetic (exact, engine-portable). */
+  def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Heuristic language id: stopword-count argmax with fixed tie order
+    * en > de > fr > es. Returns (scores..., guess). */
+  def langScores(c: Column): Seq[(String, Column)] =
+    stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> words.map(w => occurrences(c, w)).reduce(_ + _)
+    }
+
+  def langGuess(c: Column): Column = {
+    val scores = langScores(c).toMap
+    val en = scores("en"); val de = scores("de"); val fr = scores("fr"); val es = scores("es")
+    when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality features: all exact integers (length, punctuation count,
+    * stopword count, uppercase count) + a bucketed score. */
+  def qualityColumns(c: Column): Seq[(String, Column)] = {
+    val punct = occurrences(c, ".") + occurrences(c, ",") + occurrences(c, "!")
+    val stop = stopwords.values.flatten.toSeq.distinct.sorted.map(w => occurrences(c, w)).reduce(_ + _)
+    val chars = length(c).cast("long")
+    val toks = tokenCount(c).cast("long")
+    Seq(
+      "chars" -> chars,
+      "toks" -> toks,
+      "punct" -> punct,
+      "stop" -> stop,
+      "q_bucket" -> when(chars < 64, lit(0))
+        .when(stop * 20 >= toks, lit(3))
+        .when(punct * 10 >= toks, lit(2))
+        .otherwise(lit(1)))
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the sanitized
+    * character stream, mod 2^31-1 — computable identically in any
+    * engine with a list fold. Sanitize to [a-z ] so ascii() semantics
+    * agree across engines. */
+  def fingerprint(c: Column): Column = {
+    val clean = regexp_replace(c, "[^a-z ]", "")
+    val chars = split(clean, "", -1)
+    // fold with the first char's code as the seed (list_reduce-compatible)
+    when(length(clean) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(chars, lit(2), greatest(size(chars) - 1, lit(0))),
+        ascii(element_at(chars, 1)).cast("long"),
+        (h, ch) => (h * 31 + ascii(ch)) % 2147483647L))
+  }
+
+  // ---------- near-dup signatures (engine-native; verified by sbt tests
+  // against brute-force Jaccard/Hamming rather than the SQL oracle) ----
+
+  /** MinHash signature: for each of `perms` permutations, the min over
+    * shingle hashes of xxhash64(shingle, seed). */
+  def minhashSignature(c: Column, shingle: Int, perms: Int): Column = {
+    val g = ngrams(c, shingle)
+    array((0 until perms).map { p =>
+      array_min(transform(g, s => xxhash64(s, lit(p))))
+    }: _*)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each band's slice.
+    * Join on (band, key) to get candidate pairs. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
+    }: _*)
+
+  /** 64-bit SimHash over whitespace tokens: sign of per-bit weighted
+    * sums of token hashes. Pure column expressions (binary bit trick:
+    * sum each bit across tokens, set bit if count*2 >= n). */
+  def simhash64(c: Column): Column = {
+    val toks = filter(split(c, " ", -1), x => x =!= "")
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(hashes)
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hashes, lit(0L), (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(1L))
+      when(cnt * 2 >= n.cast("long"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    when(n === 0, lit(0L)).otherwise(bits.reduce(_.bitwiseOR(_)))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}
