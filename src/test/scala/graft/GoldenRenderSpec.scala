@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import graft.core._
+import graft.render.Render
+
+/** Golden tests: the Spark render pipeline vs the compiled reference
+  * binaries on the same corpus (north_rule: identical tile assignments
+  * and join output rows; pixels PSNR >= 40 dB). */
+class GoldenRenderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val mapbits = 48 // encode zoom 16
+  val metabits = 8
+
+  /** deterministic corpus: dense cluster + global scatter (lat,lon,meta).
+    * Values are pre-rounded to the 6 decimals written to the text file,
+    * so both engines parse the identical doubles. */
+  lazy val corpus: Seq[(Double, Double, Long)] = {
+    val r = new scala.util.Random(1234)
+    def r6(v: Double): Double = f"$v%.6f".toDouble
+    val dense = (0 until 4000).map { _ =>
+      (r6(40.6 + r.nextDouble() * 0.2), r6(-74.1 + r.nextDouble() * 0.2), r.nextInt(256).toLong)
+    }
+    val scatter = (0 until 4000).map { _ =>
+      (r6(r.nextDouble() * 170.0 - 85.0), r6(r.nextDouble() * 359.9 - 179.95), r.nextInt(256).toLong)
+    }
+    dense ++ scatter
+  }
+
+  lazy val refDir: String = {
+    val txt = corpus.map { case (lat, lon, m) => f"$lat%.6f,$lon%.6f :$m" }.mkString("\n") + "\n"
+    Files.writeString(Paths.get("/tmp/golden_pts.txt"), txt)
+    val dir = "/tmp/golden.dm"
+    import scala.sys.process._
+    s"rm -rf $dir".!
+    RefBinaries.run("encode", Seq("-o", dir, "-z16", "-m8", "/tmp/golden_pts.txt"))
+    dir
+  }
+
+  /** our cell/meta table in (cell,meta)-sorted order with global rank */
+  lazy val cellRows: Seq[(Long, Long)] = corpus
+    .filter { case (lat, lon, _) => Mercator.valid(lat, lon) }
+    .map { case (lat, lon, m) =>
+      val c = Cell.encode(Mercator.lonToX32(lon).toInt, Mercator.latToY32(lat).toInt)
+      (Cell.truncate(c, mapbits), m)
+    }
+    .sortBy(identity)
+
+  def pointsDf = {
+    import spark.implicits._
+    cellRows.zipWithIndex
+      .map { case ((c, m), i) => (c, m, i.toLong) }
+      .toDF("cell", "meta", "rank")
+  }
+
+  def refTile(z: Int, x: Int, y: Int): Array[Byte] = {
+    val (rc, png) = RefBinaries.run("render", Seq(refDir, z.toString, x.toString, y.toString))
+    assert(rc == 0)
+    png
+  }
+
+  def ourTile(z: Int, x: Int, y: Int): Option[Array[Byte]] = {
+    val tiles = Render.renderPoints(pointsDf, z, mapbits, RenderParams()).collect()
+    tiles.find(t => t.x == x && t.y == y).map(_.png)
+  }
+
+  def comparePixels(z: Int, x: Int, y: Int): (Double, Int, Int) = {
+    val (refRgba, _, _) = Png.decode(refTile(z, x, y))
+    val ours = ourTile(z, x, y)
+    assert(ours.isDefined, s"no tile rendered at $z/$x/$y")
+    val (ourRgba, _, _) = Png.decode(ours.get)
+    val psnr = Png.psnr(refRgba, ourRgba)
+    // support = pixels with any non-background color (bg = 0,0,0); the
+    // 254/255 alpha boundary flips on 1-ulp libm differences, so alpha
+    // is excluded and support tolerance is handled by callers
+    def support(b: Array[Byte]) = b.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    (psnr, support(refRgba), support(ourRgba))
+  }
+
+  /** tile containing the dense cluster at zoom z */
+  def denseTile(z: Int): (Int, Int) = {
+    val c = Cell.encode(Mercator.lonToX32(-74.0).toInt, Mercator.latToY32(40.7).toInt)
+    (Cell.tileX(c, z), Cell.tileY(c, z))
+  }
+
+  test("z13 pixel path: tile pixels match reference (PSNR >= 40, same support)") {
+    val (x, y) = denseTile(13)
+    val (psnr, refSup, ourSup) = comparePixels(13, x, y)
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 500), s"support mismatch ref=$refSup ours=$ourSup")
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  test("z15 brush path (overzoom spill): pixels match reference") {
+    val (x, y) = denseTile(15)
+    val (psnr, refSup, ourSup) = comparePixels(15, x, y)
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 500), s"support mismatch ref=$refSup ours=$ourSup")
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  test("z17 overzoom noise path: pixels match reference") {
+    val (x, y) = denseTile(17)
+    val (psnr, refSup, ourSup) = comparePixels(17, x, y)
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 500), s"support mismatch ref=$refSup ours=$ourSup")
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  test("z10 step-sampling path: pixels match reference") {
+    val (x, y) = denseTile(10)
+    val (psnr, refSup, ourSup) = comparePixels(10, x, y)
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 500), s"support mismatch ref=$refSup ours=$ourSup")
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  test("render -d join rows: tile membership identical to reference") {
+    val (x, y) = denseTile(12)
+    val (rc, out) = RefBinaries.run("render", Seq("-d", refDir, "12", x.toString, y.toString))
+    assert(rc == 0)
+    // dump rows end with "// xxxxxxxx yyyyyyyy" hex world coords
+    val refRows = new String(out).linesIterator.map { line =>
+      val hex = line.split("// ")(1).trim.split(" ")
+      val xs = java.lang.Long.parseLong(hex(0), 16)
+      val ys = java.lang.Long.parseLong(hex(1), 16)
+      val meta = line.split(" ").find(_.contains(":")).map(_.split(":")(1).toLong).getOrElse(0L)
+      (xs, ys, meta)
+    }.toSeq.sorted
+    val lo = Cell.tileRangeLo(12, x, y)
+    val hi = Cell.tileRangeHi(12, x, y)
+    val ourRows = cellRows.filter { case (c, _) => c >= lo && c <= hi }
+      .map { case (c, m) => (Cell.decodeX(c), Cell.decodeY(c), m) }
+      .sorted
+    assert(refRows.size == ourRows.size,
+      s"row count ref=${refRows.size} ours=${ourRows.size}; refHead=${refRows.take(3)} ourHead=${ourRows.take(3)}")
+    val diffs = refRows.zip(ourRows).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+    assert(refRows.nonEmpty)
+  }
+}

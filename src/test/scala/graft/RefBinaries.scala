@@ -33,20 +33,23 @@ object RefBinaries {
   def available: Boolean =
     try { dir; true } catch { case _: Throwable => false }
 
-  /** Run a reference binary; returns (exitCode, stdout bytes). */
+  /** Run a reference binary; returns (exitCode, stdout bytes).
+    * Uses file redirection (no pump-thread race on binary stdout). */
   def run(bin: String, args: Seq[String], stdin: Option[Array[Byte]] = None,
           cwd: Option[Path] = None): (Int, Array[Byte]) = {
-    val cmd = (dir.resolve(bin).toString +: args)
-    val out = new java.io.ByteArrayOutputStream()
-    val io = new ProcessIO(
-      in => { stdin.foreach(in.write); in.close() },
-      os => { val buf = new Array[Byte](65536)
-        var n = os.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = os.read(buf) }
-        os.close() },
-      err => { err.close() })
-    val p = Process(cmd, cwd.map(_.toFile)).run(io)
-    val rc = p.exitValue()
-    (rc, out.toByteArray)
+    val outFile = Files.createTempFile("refout", ".bin")
+    try {
+      val pb = new java.lang.ProcessBuilder((dir.resolve(bin).toString +: args): _*)
+      cwd.foreach(p => pb.directory(p.toFile))
+      pb.redirectOutput(outFile.toFile)
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      stdin match {
+        case Some(bytes) => p.getOutputStream.write(bytes); p.getOutputStream.close()
+        case None => p.getOutputStream.close()
+      }
+      val rc = p.waitFor()
+      (rc, Files.readAllBytes(outFile))
+    } finally Files.deleteIfExists(outFile)
   }
 }
