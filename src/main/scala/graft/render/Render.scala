@@ -3,39 +3,38 @@ package graft.render
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
+import graft.encode.Feature
 
 /** One rendered tile. */
 case class TileOut(z: Int, x: Int, y: Int, png: Array[Byte])
 
-/** A draw command shuffled to its tile's reducer: a feature occurrence
-  * in tile (z,x,y). `slot` encodes processing order (-1 = own range,
-  * 0..8 = neighbor probe order) so FP accumulation matches the
-  * reference's loop order exactly (do_tile, render.c:942-967). */
-case class PointCmd(tkey: Long, slot: Int, cell: Long, meta: Long)
+/** A feature occurrence shuffled to a tile's reducer. `slot` encodes the
+  * reference's probe order so FP accumulation matches exactly:
+  *  -1            = points own range        (do_tile render.c:942)
+  *   0..8         = point neighbor probes   (render.c:947-967)
+  *   1000 + ...   = line lookups above zDraw (render.c:969-985)
+  *   2000 + ...   = line lookups at/below zDraw (render.c:987-1002)
+  */
+case class FeatCmd(tkey: Long, slot: Int, vertices: Array[Long], meta: Long, own: Boolean)
 
 /**
- * Tile rasterization of a point table — the reference's `render`
- * pipeline (render.c:932-1003 + process :74-368) as one Spark job:
+ * Tile rasterization — the reference's `render` pipeline
+ * (render.c:932-1003 + process :74-368) as one Spark job:
  *
- *   points -> [rank filter (step sampling)] -> flatMap to draw tiles
- *   (own tile + spill ring) -> groupByKey(tile) -> canvas accumulation
- *   -> tone map -> PNG.
+ *   features -> [rank filter (step sampling)] -> flatMap to the tiles
+ *   each feature is drawn into (own tile, spill ring, line pyramid) ->
+ *   groupByKey(tile) -> canvas accumulation -> tone map -> PNG.
  *
- * The single shuffle (groupByKey on tile) replaces the reference's
- * per-tile process parallelism (xargs -P8); tiles are independent, so
- * this scales with executors. Skewed tiles (city hotspots) can be
- * split by salting the tile key and merging canvases — the canvas is
- * an associative monoid (graft.core.Canvas.merge).
+ * One shuffle; tiles are independent (the reference's xargs -P8 becomes
+ * the shuffle partitioning). Dense-city tiles are the skew risk: the
+ * canvas is an associative monoid (Canvas.merge), so skewed tiles can be
+ * salted into sub-groups and merged; AQE handles moderate skew.
  */
 object Render {
   /** Add a global `rank` column over the (cell, meta)-sorted order —
     * the analog of the reference's file offset, needed for the
-    * deterministic step-subsample at low zooms (render.c:165-167).
-    * One extra narrow pass; ranks are per-partition offsets + local
-    * index (the table must already be range-partitioned + sorted). */
+    * deterministic step-subsample at low zooms (render.c:165-167). */
   def withGlobalRank(sorted: DataFrame): DataFrame = {
-    // cache to freeze the physical partitioning between the count pass
-    // and the rank pass (two jobs must see identical partitions)
     val frozen = sorted.cache()
     val counts = frozen.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
@@ -62,124 +61,298 @@ object Render {
     brush * (p.tilesize / 256.0) * (p.tilesize / 256.0) > 1
   }
 
-  /**
-   * Render every tile at zoom `zDraw` that contains at least one point.
-   * `points` needs columns (cell: Long, meta: Long[, rank: Long]);
-   * rank is required when the zoom's sampling step > 1.
-   * Returns the RGBA pixel buffer per tile (PNG encode is a separate
-   * map so tests can compare raw pixels).
-   */
-  def renderPoints(points: DataFrame, zDraw: Int, mapbits: Int, p: RenderParams): Dataset[TileOut] = {
+  /** Point draw commands for zoom zDraw (own tile + spill ring). */
+  private def pointCmds(points: DataFrame, zDraw: Int, p: RenderParams): Dataset[FeatCmd] = {
     val spark = points.sparkSession
     import spark.implicits._
     val (step, _, _) = p.pointParams(zDraw)
-    val sampled =
-      if (step <= 1) points
-      else points.filter(col("rank") % step === 0)
-
+    val sampled = if (step <= 1) points else points.filter(col("rank") % step === 0)
     val spill = brushSpills(p, zDraw)
     val hasMeta = points.columns.contains("meta")
-    val base = sampled.select(col("cell"), (if (hasMeta) col("meta") else lit(0L)).as("meta"))
+    sampled.select(col("cell"), (if (hasMeta) col("meta") else lit(0L)).as("meta"))
       .as[(Long, Long)]
-
-    val cmds: Dataset[PointCmd] = base.flatMap { case (cell, meta) =>
-      val tx = Cell.tileX(cell, zDraw)
-      val ty = Cell.tileY(cell, zDraw)
-      val own = PointCmd(Cell.tileKey(zDraw, tx, ty), -1, cell, meta)
-      if (!spill) Iterator.single(own)
-      else {
-        val n = 1L << zDraw
-        // this point also appears in each neighbor's probe (slot = the
-        // neighbor loop index from THAT tile's perspective)
-        val nbrs = for {
-          dx <- -1 to 1
-          dy <- -1 to 1
-          if dx != 0 || dy != 0
-          nx = tx + dx; ny = ty + dy
-          if ny >= 0 && ny < n && nx >= 0 && nx < n
-        } yield {
-          // from tile (nx,ny), this point lies in probe slot for offset
-          // (-dx,-dy): loop order xx (-1..1) outer, yy (-1..1) inner
-          val sx = -dx + 1; val sy = -dy + 1
-          PointCmd(Cell.tileKey(zDraw, nx, ny), sx * 3 + sy, cell, meta)
+      .flatMap { case (cell, meta) =>
+        val tx = Cell.tileX(cell, zDraw)
+        val ty = Cell.tileY(cell, zDraw)
+        val own = FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true)
+        if (!spill) Iterator.single(own)
+        else {
+          val n = 1L << zDraw
+          val nbrs = for {
+            dx <- -1 to 1; dy <- -1 to 1
+            if dx != 0 || dy != 0
+            nx = tx + dx; ny = ty + dy
+            if ny >= 0 && ny < n && nx >= 0 && nx < n
+          } yield FeatCmd(Cell.tileKey(zDraw, nx, ny), (-dx + 1) * 3 + (-dy + 1), Array(cell), meta, own = false)
+          Iterator.single(own) ++ nbrs.iterator
         }
-        Iterator.single(own) ++ nbrs.iterator
+      }
+  }
+
+  /** Line draw commands for zoom zDraw: the pyramid lookup inverted.
+    * A line in "file" (n, c) is drawn into tile T(z,x,y) iff the first
+    * vertex shares the level-min(z,c) prefix with T and (c > z implies
+    * c <= z+8) (do_tile render.c:969-1002) — plus the draw itself clips,
+    * so we emit only tiles the segments' bounding boxes touch. */
+  private def lineCmds(lines: Dataset[Feature], zDraw: Int, mapbits: Int, p: RenderParams): Dataset[FeatCmd] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val z = zDraw
+    lines.flatMap { f =>
+      val n = f.vertices.length
+      if (n < 2) Iterator.empty
+      else {
+        val xs = f.vertices.map(Cell.decodeX)
+        val ys = f.vertices.map(Cell.decodeY)
+        val xi = xs.map(v => v.toInt)
+        val yi = ys.map(v => v.toInt)
+        val c0 = math.min(BitPack.commonLevels(xi, yi, mapbits), mapbits / 2)
+        if (c0 > z + 8 && c0 > z) Iterator.empty
+        else {
+          val cell0 = f.vertices(0)
+          val ownTx = Cell.tileX(cell0, z)
+          val ownTy = Cell.tileY(cell0, z)
+          // probe-order slot (z_lookup asc above z; desc at/below z);
+          // inner loop over n ascending (render.c:976-1001)
+          val slot =
+            if (c0 > z) 1000 + (c0 - z) * 64 + n
+            else 2000 + (z - c0) * 64 + n
+          val tiles = scala.collection.mutable.LinkedHashSet.empty[Long]
+          if (c0 > z) {
+            // whole line inside one z-tile
+            tiles += Cell.tileKey(z, ownTx, ownTy)
+          } else {
+            // tiles = z-descendants of the line's level-c tile touched by
+            // any segment bbox (with the clip margin)
+            val margin = ((1.0 + p.lineThick) * (1L << (32 - z)).toDouble / p.tilesize).ceil.toLong
+            val nTiles = 1L << z
+            val pcx = if (c0 == 0) 0L else xs(0) >>> (32 - c0)
+            val pcy = if (c0 == 0) 0L else ys(0) >>> (32 - c0)
+            var k = 1
+            while (k < xs.length) {
+              // antimeridian wrap: consider both unwrapped variants
+              val wraps = math.abs(xs(k) - xs(k - 1)) >= (1L << 31)
+              val segs: Seq[(Long, Long)] =
+                if (!wraps) Seq((xs(k - 1), xs(k)))
+                else if (xs(k) > xs(k - 1)) Seq((xs(k - 1), xs(k) - (1L << 32)), (xs(k - 1) + (1L << 32), xs(k)))
+                else Seq((xs(k - 1), xs(k) + (1L << 32)), (xs(k - 1) - (1L << 32), xs(k)))
+              for ((xa, xb) <- segs) {
+                // column walk: per tile column, the segment's y-interval
+                // (cost ~ tiles crossed, not bbox area)
+                val ya = ys(k - 1).toDouble; val yb = ys(k).toDouble
+                val w = (1L << (32 - z)).toDouble
+                val lox = math.min(xa, xb) - margin
+                val hix = math.max(xa, xb) + margin
+                var tx = math.floor(lox / w).toLong
+                val txEnd = math.floor(hix / w).toLong
+                val dx = (xb - xa).toDouble
+                while (tx <= txEnd) {
+                  val colLo = tx * w - margin
+                  val colHi = (tx + 1) * w + margin
+                  // y range of the segment restricted to this column
+                  val (y0c, y1c) =
+                    if (dx == 0) (math.min(ya, yb), math.max(ya, yb))
+                    else {
+                      val t0 = math.max(0.0, math.min(1.0, (colLo - xa) / dx))
+                      val t1 = math.max(0.0, math.min(1.0, (colHi - xa) / dx))
+                      val u0 = ya + (yb - ya) * t0
+                      val u1 = ya + (yb - ya) * t1
+                      (math.min(u0, u1), math.max(u0, u1))
+                    }
+                  val loy = math.max(0L, (y0c - margin).toLong)
+                  val hiy = math.min((1L << 32) - 1, (y1c + margin).toLong)
+                  val txw = ((tx % nTiles) + nTiles) % nTiles
+                  var ty = loy >>> (32 - z)
+                  val tyEnd = hiy >>> (32 - z)
+                  while (ty <= tyEnd) {
+                    // prefix condition at level c0
+                    if (c0 == 0 || ((txw >>> (z - c0)) == pcx && (ty >>> (z - c0)) == pcy))
+                      tiles += Cell.tileKey(z, txw.toInt, ty.toInt)
+                    ty += 1
+                  }
+                  tx += 1
+                }
+              }
+              k += 1
+            }
+          }
+          val ownKey = Cell.tileKey(z, ownTx, ownTy)
+          tiles.iterator.map(tk => FeatCmd(tk, slot, f.vertices, f.meta, own = tk == ownKey))
+        }
       }
     }
+  }
 
+  /**
+   * Render every tile at zoom zDraw containing at least one feature's
+   * first vertex (the reference's enumerate-driven tileset rule),
+   * or all touched tiles when requireOwn = false (single-tile render).
+   */
+  def renderTiles(points: Option[DataFrame], lines: Option[Dataset[Feature]],
+                  zDraw: Int, mapbits: Int, p: RenderParams,
+                  requireOwn: Boolean = true,
+                  only: Option[Set[(Int, Int)]] = None): Dataset[TileOut] = {
+    val spark = points.map(_.sparkSession).orElse(lines.map(_.sparkSession)).get
+    import spark.implicits._
+    val pc = points.map(pointCmds(_, zDraw, p))
+    val lc = lines.map(lineCmds(_, zDraw, mapbits, p))
+    val all = (pc, lc) match {
+      case (Some(a), Some(b)) => a.union(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalArgumentException("no input")
+    }
+    val cmds = only match {
+      case Some(ts) =>
+        val keys = ts.map { case (x, y) => Cell.tileKey(zDraw, x, y) }
+        all.filter(c => keys.contains(c.tkey))
+      case None => all
+    }
     cmds.groupByKey(_.tkey).flatMapGroups { (tkey, it) =>
       val z = Cell.tileKeyZ(tkey)
       val tx = Cell.tileKeyX(tkey)
       val ty = Cell.tileKeyY(tkey)
       val recs = it.toArray
-      // reference order: own range in (cell,meta) order, then each
-      // neighbor range in probe-loop order (render.c:942-967)
-      java.util.Arrays.sort(recs, (a: PointCmd, b: PointCmd) => {
-        val c = Integer.compare(a.slot, b.slot)
-        if (c != 0) c else {
-          val cc = java.lang.Long.compare(a.cell, b.cell)
-          if (cc != 0) cc else java.lang.Long.compare(a.meta, b.meta)
-        }
-      })
-      if (!recs.exists(_.slot == -1)) Iterator.empty
+      sortRecs(recs)
+      if (requireOwn && !recs.exists(_.own)) Iterator.empty
       else {
-        val canvas = renderPointCanvas(recs, z, tx, ty, mapbits, p)
+        val canvas = renderCanvas(recs, z, tx, ty, mapbits, p)
         val rgba = ToneMap(canvas, p)
         Iterator.single(TileOut(z, tx, ty, Png.encode(rgba, p.tilesize, p.tilesize)))
       }
     }
   }
 
-  /** The per-tile canvas accumulation (process(), render.c:121-313,
-    * points path), operating on own + neighbor records in reference
-    * order. Neighbor records only draw if the own range drew at least
-    * one brush (the `further` rule, render.c:942-947). */
-  def renderPointCanvas(recs: Array[PointCmd], z: Int, tx: Int, ty: Int,
-                        mapbits: Int, p: RenderParams): Canvas = {
+  /** Convenience: points only. */
+  def renderPoints(points: DataFrame, zDraw: Int, mapbits: Int, p: RenderParams): Dataset[TileOut] =
+    renderTiles(Some(points), None, zDraw, mapbits, p)
+
+  /** Reference processing order: slot, then packed-record memcmp order
+    * (= vertex cells lexicographically, then meta). */
+  def sortRecs(recs: Array[FeatCmd]): Unit =
+    java.util.Arrays.sort(recs, (a: FeatCmd, b: FeatCmd) => {
+      var c = Integer.compare(a.slot, b.slot)
+      if (c != 0) c
+      else {
+        val n = math.min(a.vertices.length, b.vertices.length)
+        var i = 0
+        while (c == 0 && i < n) {
+          c = java.lang.Long.compare(a.vertices(i), b.vertices(i))
+          i += 1
+        }
+        if (c == 0) c = Integer.compare(a.vertices.length, b.vertices.length)
+        if (c == 0) c = java.lang.Long.compare(a.meta, b.meta)
+        c
+      }
+    })
+
+  /** Per-tile canvas accumulation (process(), render.c:74-368). */
+  def renderCanvas(recs: Array[FeatCmd], z: Int, tx: Int, ty: Int,
+                   mapbits: Int, p: RenderParams): Canvas = {
     val canvas = new Canvas(p.tilesize, p.tilesize)
-    val (step, brush0, bright0) = p.pointParams(z)
+    val (_, brush0, brightPt0) = p.pointParams(z)
     val mercScale = p.mercatorBrushScale(z, ty)
     val brush = brush0 * mercScale
-    val b = brush * (p.tilesize / 256.0) * (p.tilesize / 256.0)
+    val bPt = brush * (p.tilesize / 256.0) * (p.tilesize / 256.0)
+    val (thick0, brightLn0) = p.lineParams(z)
     var further = false
+    val noise = z >= mapbits / 2 - 8
+    val noisebits = 32 - mapbits / 2
+
+    def denoise(v: Long, other: Long): Long = {
+      // overzoom de-gridding (render.c:198-212): x gets bits of y, y of x
+      var vi = v.toInt
+      val oi = other.toInt
+      var j = 0
+      while (j < noisebits) {
+        vi |= ((oi >>> (2 * noisebits - 1 - j)) & 1) << j
+        j += 1
+      }
+      vi.toLong & 0xFFFFFFFFL
+    }
+
     var i = 0
     while (i < recs.length) {
       val r = recs(i)
-      if (r.slot == -1 || further) {
-        if (r.meta <= p.maxmeta) {
-          var x = Cell.decodeX(r.cell)
-          var y = Cell.decodeY(r.cell)
-          if (z >= mapbits / 2 - 8) {
-            // overzoom de-gridding noise (render.c:198-212)
-            val noisebits = 32 - mapbits / 2
-            var xi = x.toInt; var yi = y.toInt
-            var j = 0
-            while (j < noisebits) {
-              val nx = xi | (((yi >>> (2 * noisebits - 1 - j)) & 1) << j)
-              val ny = yi | (((xi >>> (2 * noisebits - 1 - j)) & 1) << j)
-              xi = nx; yi = ny
-              j += 1
-            }
-            x = xi.toLong & 0xFFFFFFFFL; y = yi.toLong & 0xFFFFFFFFL
+      val isPoint = r.vertices.length == 1
+      val drawIt =
+        if (isPoint) r.slot == -1 || further
+        else true
+      if (drawIt && r.meta <= p.maxmeta) {
+        val n = r.vertices.length
+        val xs = new Array[Long](n)
+        val ys = new Array[Long](n)
+        var k = 0
+        while (k < n) {
+          var x = Cell.decodeX(r.vertices(k))
+          var y = Cell.decodeY(r.vertices(k))
+          if (noise) {
+            val nx = denoise(x, y)
+            val ny = denoise(y, x)
+            x = nx; y = ny
           }
-          val hue = if (p.colorRampActive) p.metaHue(r.meta) else -1.0
-          var bright = bright0
-          var bb = b
+          xs(k) = x; ys(k) = y
+          k += 1
+        }
+        val hue = if (p.colorRampActive) p.metaHue(r.meta) else -1.0
+        if (isPoint) {
+          var bright = brightPt0
+          var bb = bPt
           if (p.metabright) bright *= r.meta
           if (p.metabrush) bb *= r.meta
-          val xd = Mercator.worldToTileFracX(x, z, tx)
-          val yd = Mercator.worldToTileFracY(y, z, ty)
-          var xs = xd * p.tilesize
-          var ys = yd * p.tilesize
+          val xd = Mercator.worldToTileFracX(xs(0), z, tx)
+          val yd = Mercator.worldToTileFracY(ys(0), z, ty)
+          var xsc = xd * p.tilesize
+          var ysc = yd * p.tilesize
           if (!p.antialias) {
-            xs = (xd * p.tilesize).toInt + .5
-            ys = (yd * p.tilesize).toInt + .5
+            xsc = (xd * p.tilesize).toInt + .5
+            ysc = (yd * p.tilesize).toInt + .5
           }
           if (bb <= 1) {
-            canvas.drawPixel(xs - .5, ys - .5, bright * bb, hue)
+            canvas.drawPixel(xsc - .5, ysc - .5, bright * bb, hue)
           } else {
-            Raster.drawBrush(xs, ys, canvas, bright, bb, hue, p.gaussian)
+            Raster.drawBrush(xsc, ysc, canvas, bright, bb, hue, p.gaussian)
             if (r.slot == -1) further = true
+          }
+        } else {
+          var bright = brightLn0
+          if (p.metabright) bright *= r.meta
+          val xd = new Array[Double](n)
+          val yd = new Array[Double](n)
+          var j = 0
+          while (j < n) {
+            xd(j) = Mercator.worldToTileFracX(xs(j), z, tx)
+            yd(j) = Mercator.worldToTileFracY(ys(j), z, ty)
+            j += 1
+          }
+          val ts = p.tilesize
+          val thick1 = thick0 * ts / 256.0
+          var kk = 1
+          while (kk < n) {
+            var bright1 = bright
+            if (p.gps) {
+              bright1 = p.gpsAttenuate(bright1,
+                (xs(kk) - xs(kk - 1)).toDouble, (ys(kk) - ys(kk - 1)).toDouble, z)
+            }
+            if (bright1 != 0) {
+              val xk1 = xs(kk - 1)
+              val xk = xs(kk)
+              if (xk - xk1 >= (1L << 31)) {
+                // segment wraps westward: draw twice shifted (render.c:340-348)
+                val xdw = Mercator.worldToTileFracX(xk - (1L << 32), z, tx)
+                Raster.drawClip(xd(kk - 1) * ts, yd(kk - 1) * ts, xdw * ts, yd(kk) * ts, canvas, bright1, hue, p.antialias, thick1)
+                val xd1w = Mercator.worldToTileFracX(xk1 + (1L << 32), z, tx)
+                Raster.drawClip(xd1w * ts, yd(kk - 1) * ts, xd(kk) * ts, yd(kk) * ts, canvas, bright1, hue, p.antialias, thick1)
+              } else if (xk1 - xk >= (1L << 31)) {
+                val xd1w = Mercator.worldToTileFracX(xk1 - (1L << 32), z, tx)
+                Raster.drawClip(xd1w * ts, yd(kk - 1) * ts, xd(kk) * ts, yd(kk) * ts, canvas, bright1, hue, p.antialias, thick1)
+                val xdw = Mercator.worldToTileFracX(xk + (1L << 32), z, tx)
+                Raster.drawClip(xd(kk - 1) * ts, yd(kk - 1) * ts, xdw * ts, yd(kk) * ts, canvas, bright1, hue, p.antialias, thick1)
+              } else {
+                Raster.drawClip(xd(kk - 1) * ts, yd(kk - 1) * ts, xd(kk) * ts, yd(kk) * ts, canvas, bright1, hue, p.antialias, thick1)
+              }
+            }
+            kk += 1
           }
         }
       }
