@@ -1,24 +1,118 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark main (driver contract): runs the headline pipeline —
+ * image+caption table -> geotag/cell-encode -> sorted snapshot ->
+ * PIP join -> tile rasterization pyramid — and every SparkEntry query,
+ * printing ONE JSON line:
+ *   {"metric":"tiles/sec","value":N,"unit":"tiles/sec",
+ *    "queries":{...sec...},"sf":...,"detail":{...}}
+ */
 object Bench {
+  def session(cpus: Int): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+    .getOrCreate()
+
+  /** The headline pipeline at `rows` scale. Returns (tiles, seconds
+    * encode, seconds pip, seconds render). Input images parquet must
+    * already exist at imgPath (generation is untimed test-data synth). */
+  def headline(spark: SparkSession, imgPath: String, workDir: String,
+               zooms: Seq[Int]): (Long, Double, Double, Double) = {
+    import spark.implicits._
+    val cpus = spark.sparkContext.defaultParallelism
+
+    // JIT/codegen warmup on a small sample (untimed)
+    {
+      val warm = graft.tables.ImageTable.generateGeo(spark, 5000, partitions = cpus)
+        .toDF().select(col("cell"), col("meta"))
+        .repartitionByRange(cpus, col("cell"))
+        .sortWithinPartitions(col("cell"), col("meta"))
+      val ranked = graft.render.Render.withGlobalRank(warm)
+      graft.render.Render.renderPyramid(ranked, 0 to 6, 48, graft.core.RenderParams()).count()
+      ranked.unpersist()
+    }
+
+    // --- encode: geotag -> cell -> range partition -> sorted snapshot
+    val t0 = System.nanoTime()
+    val imgs = spark.read.parquet(imgPath).as[graft.tables.ImageRow]
+    val geo = imgs.map(graft.tables.ImageTable.geotag)
+    val sortedPath = s"$workDir/sorted"
+    geo.toDF()
+      .repartitionByRange(cpus * 2, col("cell"))
+      .sortWithinPartitions(col("cell"), col("meta"))
+      .write.mode("overwrite").parquet(sortedPath)
+    val tEnc = (System.nanoTime() - t0) / 1e9
+
+    // --- PIP join: broadcast polygon R-tree over the snapshot
+    val t1 = System.nanoTime()
+    val table = spark.read.parquet(sortedPath)
+    val polys = graft.join.PipJoin.trianglesFromKeys(0L until 64L)
+    val pts = table.select(col("phash").as("id"),
+      graft.functions.cell_x(col("cell")).as("x32"),
+      graft.functions.cell_y(col("cell")).as("y32"))
+    val pipHits = graft.join.PipJoin.join(spark, pts, polys).count()
+    val tPip = (System.nanoTime() - t1) / 1e9
+
+    // --- rasterize: tile pyramid over the sorted snapshot
+    val t2 = System.nanoTime()
+    val ranked = graft.render.Render.withGlobalRank(
+      table.select(col("cell"), col("meta")))
+    val tiles = graft.render.Render
+      .renderPyramid(ranked, zooms, 48, graft.core.RenderParams())
+      .count()
+    ranked.unpersist()
+    val tRen = (System.nanoTime() - t2) / 1e9
+    require(pipHits > 0, "pip join produced no rows")
+    (tiles, tEnc, tPip, tRen)
+  }
+
+  /** rows scaled off the sf dir's lineitem row count. */
+  def rowsFor(spark: SparkSession, sfDir: String): Long =
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+  def prepareImages(spark: SparkSession, rows: Long, path: String): Unit = {
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      graft.tables.ImageTable.generate(spark, rows,
+        partitions = spark.sparkContext.defaultParallelism * 2)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    val rows = rowsFor(spark, sfDir)
+    val tag = sfDir.replaceAll("[^0-9.]", "")
+    val imgPath = s"/tmp/graft_bench/images_$tag"
+    prepareImages(spark, rows, imgPath)
+
+    val zooms = 0 to 8
+    val (tiles, tEnc, tPip, tRen) = headline(spark, imgPath, s"/tmp/graft_bench/work_$tag", zooms)
+    val total = tEnc + tPip + tRen
+    val tps = tiles / total
+
+    // per-query timings (count() forces the plan)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8"}}""")
     spark.stop()
   }
 }

@@ -58,12 +58,18 @@ object SparkEntry {
   // ---------- flagship ----------
 
   /** Flagship: the image+caption table end-to-end — generate, geotag,
-    * cell-encode, per-tile rollup (driver smoke-checks rows > 0). */
+    * cell-encode, rasterize a z5 tile pyramid; returns the tile table
+    * (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val geo = graft.tables.ImageTable.generateGeo(spark, 2000)
-    geo.select(cell_x(col("cell")).as("x32"), cell_y(col("cell")).as("y32"))
-      .transform(TileOps.enumerateRollup(_, 0, 6))
+    val pts = geo.toDF().select(col("cell"), col("meta"))
+      .repartitionByRange(4, col("cell"))
+      .sortWithinPartitions(col("cell"), col("meta"))
+    val ranked = graft.render.Render.withGlobalRank(pts)
+    graft.render.Render.renderPoints(ranked, 5, 48, graft.core.RenderParams())
+      .toDF()
+      .select(col("z"), col("x"), col("y"), length(col("png")).as("png_bytes"))
   }
 
   // ---------- operator queries ----------

@@ -7,25 +7,80 @@ import javax.imageio.ImageIO
 /** PNG encode/decode of RGBA pixel buffers via the JDK's ImageIO — the
   * engine's tile sink format (reference sink: graphics.c:192-218). */
 object Png {
-  /** rgba: 4 bytes per pixel, row-major. */
-  def encode(rgba: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
-    var i = 0
-    var p = 0
-    val pixels = new Array[Int](width * height)
-    while (i < pixels.length) {
-      val r = rgba(p) & 0xFF
-      val g = rgba(p + 1) & 0xFF
-      val b = rgba(p + 2) & 0xFF
-      val a = rgba(p + 3) & 0xFF
-      pixels(i) = (a << 24) | (r << 16) | (g << 8) | b
-      i += 1
-      p += 4
+  ImageIO.setUseCache(false) // no file-backed stream cache (decode path)
+
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0xEDB88320 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
     }
-    img.setRGB(0, 0, width, height, pixels, 0, width)
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    t
+  }
+
+  private def crc32(buf: Array[Byte], off: Int, len: Int, seed: Int = -1): Int = {
+    var c = seed
+    var i = off
+    val end = off + len
+    while (i < end) {
+      c = crcTable((c ^ buf(i)) & 0xFF) ^ (c >>> 8)
+      i += 1
+    }
+    c
+  }
+
+  /** rgba: 4 bytes per pixel, row-major. Hand-rolled RGBA8 PNG writer
+    * (filter 0 + deflate) — ImageIO's encoder uses a file-backed cache
+    * and registry locks that serialize executor threads; this one is
+    * allocation-only and thread-safe. */
+  def encode(rgba: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    // raw scanlines with filter byte 0
+    val raw = new Array[Byte](height * (1 + width * 4))
+    var y = 0
+    while (y < height) {
+      System.arraycopy(rgba, y * width * 4, raw, y * (1 + width * 4) + 1, width * 4)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(3)
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+    val buf = new Array[Byte](65536)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      comp.write(buf, 0, n)
+    }
+    deflater.end()
+    val idat = comp.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream(idat.length + 64)
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      dos.writeInt(data.length)
+      val full = new Array[Byte](4 + data.length)
+      typ.getBytes("ASCII").copyToArray(full)
+      data.copyToArray(full, 4)
+      dos.write(full)
+      dos.writeInt(~crc32(full, 0, full.length))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte) // bit depth
+    ihdr.put(6.toByte) // color type RGBA
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    dos.flush()
+    out.toByteArray
   }
 
   /** PNG bytes -> (rgba, width, height). */

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg-shaped table layer over parquet (no Iceberg jar ships in
+ * /opt/spark/jars): immutable data files + manifest JSON + an atomically
+ * swapped SNAPSHOT pointer. Gives the engine's encode output
+ * snapshot/append/time-travel semantics and the checkpoint table the
+ * north rule requires (per-partition lineage + row-count metrics;
+ * resume from last committed snapshot).
+ *
+ * Layout:
+ *   root/data/<snap>/part-*.parquet   immutable data files
+ *   root/manifests/<snap>.json        file list + row counts
+ *   root/SNAPSHOT                     current snapshot id (atomic rename)
+ */
+object Snapshots {
+  private def write(path: String, s: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, s)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentSnapshot(root: String): Option[Long] = {
+    val p = Paths.get(root, "SNAPSHOT")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Commit a DataFrame as the next snapshot. `parents` lists the
+    * snapshot ids whose data files this snapshot carries forward
+    * (append semantics: pass currentSnapshot). Returns the new id. */
+  def commit(root: String, df: DataFrame, parents: Seq[Long] = Nil): Long = {
+    val snap = currentSnapshot(root).getOrElse(0L) + 1
+    val dataDir = s"$root/data/$snap"
+    df.write.mode("overwrite").parquet(dataDir)
+    val files = Files.list(Paths.get(dataDir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    val rows = df.sparkSession.read.parquet(dataDir).count()
+    val manifest =
+      s"""{"snapshot": $snap, "parents": [${parents.mkString(",")}],
+         | "rows": $rows,
+         | "files": [${files.map(f => "\"" + f + "\"").mkString(",")}]}""".stripMargin
+    write(s"$root/manifests/$snap.json", manifest)
+    write(s"$root/SNAPSHOT", snap.toString)
+    snap
+  }
+
+  private def manifestFiles(root: String, snap: Long): Seq[String] = {
+    val txt = Files.readString(Paths.get(s"$root/manifests/$snap.json"))
+    val filesPart = txt.split("\"files\":")(1)
+    "\"([^\"]+)\"".r.findAllMatchIn(filesPart).map(_.group(1)).toSeq
+  }
+
+  private def manifestParents(root: String, snap: Long): Seq[Long] = {
+    val txt = Files.readString(Paths.get(s"$root/manifests/$snap.json"))
+    val p = txt.split("\"parents\": \\[")(1).split("]")(0).trim
+    if (p.isEmpty) Nil else p.split(",").map(_.trim.toLong).toSeq
+  }
+
+  /** Read a snapshot (defaults to current): the union of its own data
+    * files and all ancestors' (append chains). */
+  def read(spark: SparkSession, root: String, snapshot: Option[Long] = None): DataFrame = {
+    val snap = snapshot.orElse(currentSnapshot(root))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    def allFiles(s: Long): Seq[String] =
+      manifestFiles(root, s) ++ manifestParents(root, s).flatMap(allFiles)
+    spark.read.parquet(allFiles(snap).distinct: _*)
+  }
+
+  /** Append: commit new data whose read() also includes the current
+    * snapshot's files — the reference's encode-new + merge
+    * incrementality (README.md:97-107) without rewriting history. */
+  def append(root: String, df: DataFrame): Long =
+    commit(root, df, currentSnapshot(root).toSeq)
+}
+
+/** One lineage record per completed work unit (bucket of the tile
+  * keyspace): the checkpoint table the tiling job resumes from. */
+case class LineageRow(snapshot: Long, bucket: Int, rows: Long, tiles: Long, committed_at: Long)
+
+/**
+ * Resumable tiling job: the tile keyspace is split into `buckets` cell
+ * ranges; each bucket renders + writes independently and commits a
+ * lineage row. A killed job re-runs only uncommitted buckets, so the
+ * final tile set is exactly-once per bucket.
+ */
+object CheckpointedTiles {
+  def lineageDir(out: String) = s"$out/_lineage"
+
+  def committed(out: String): Set[Int] = {
+    val d = Paths.get(lineageDir(out))
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toInt).toSet
+  }
+
+  def lineage(out: String): Seq[LineageRow] = {
+    val d = Paths.get(lineageDir(out))
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala.filter(_.toString.endsWith(".json")).map { p =>
+      val t = Files.readString(p)
+      def f(k: String) = s""""$k": (-?\\d+)""".r.findFirstMatchIn(t).get.group(1).toLong
+      LineageRow(f("snapshot"), f("bucket").toInt, f("rows"), f("tiles"), f("committed_at"))
+    }.toSeq.sortBy(_.bucket)
+  }
+
+  /**
+   * Render zoom `z` tiles of `snapshotRoot`'s current snapshot into
+   * `out`, bucketed by level-L quadtree cell (L = bucketLevel, so
+   * 4^L buckets). Each bucket reads its own cell range PLUS the ring of
+   * neighboring level-L cells (so brush spill crosses bucket borders
+   * correctly) but emits only tiles whose level-L ancestor is the
+   * bucket — exactly-once per tile. Already-committed buckets are
+   * skipped (resume). `failAtBucket` injects a crash for tests.
+   * Returns the number of buckets run this invocation.
+   */
+  def run(spark: SparkSession, snapshotRoot: String, out: String, z: Int,
+          mapbits: Int, bucketLevel: Int = 1,
+          failAtBucket: Option[Int] = None): Int = {
+    import graft.core.Cell
+    require(z >= bucketLevel, "zoom must be at least the bucket level")
+    val snap = Snapshots.currentSnapshot(snapshotRoot).getOrElse(0L)
+    val done = committed(out)
+    val L = bucketLevel
+    val nSide = 1 << L
+    var ran = 0
+    val table = Snapshots.read(spark, snapshotRoot)
+    for (by <- 0 until nSide; bx <- 0 until nSide) {
+      val b = by * nSide + bx
+      if (!done.contains(b)) {
+        if (failAtBucket.contains(b))
+          throw new RuntimeException(s"injected failure at bucket $b")
+        // input: the bucket's ring of level-L cells (spill sources)
+        val ranges = Cell.kRing(L, bx, by, 1)
+          .map { case (rx, ry) => (Cell.tileRangeLo(L, rx, ry), Cell.tileRangeHi(L, rx, ry)) }
+        val cond = ranges.map { case (lo, hi) => col("cell").between(lo, hi) }.reduce(_ || _)
+        val pts = table.filter(cond).select(col("cell"), col("meta"))
+        val rows = pts.count()
+        // output: only tiles whose level-L ancestor is this bucket
+        val shift = z - L
+        val tiles = graft.render.Render
+          .renderTiles(Some(pts), None, z, mapbits, graft.core.RenderParams(),
+            requireOwn = true,
+            only = Some((tx, ty) => (tx >> shift) == bx && (ty >> shift) == by))
+          .cache()
+        val nTiles = tiles.count()
+        tiles.toDF().write.mode("overwrite").parquet(s"$out/bucket=$b")
+        tiles.unpersist()
+        val rec = s"""{"snapshot": $snap, "bucket": $b, "rows": $rows, "tiles": $nTiles, "committed_at": ${System.currentTimeMillis()}}"""
+        val dir = Paths.get(lineageDir(out))
+        Files.createDirectories(dir)
+        val tmp = dir.resolve(s"$b.json.tmp")
+        Files.writeString(tmp, rec)
+        Files.move(tmp, dir.resolve(s"$b.json"), StandardCopyOption.ATOMIC_MOVE)
+        ran += 1
+      }
+    }
+    ran
+  }
+}

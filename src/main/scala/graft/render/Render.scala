@@ -35,23 +35,27 @@ object Render {
     * the analog of the reference's file offset, needed for the
     * deterministic step-subsample at low zooms (render.c:165-167). */
   def withGlobalRank(sorted: DataFrame): DataFrame = {
+    // cache to freeze the physical partitioning between the count pass
+    // and the rank pass (the two jobs must see identical partitions);
+    // RDD mapPartitionsWithIndex gives a per-RDD partition index that
+    // stays correct under later unions (TaskContext ids do not)
     val frozen = sorted.cache()
-    val counts = frozen.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val n = frozen.rdd.getNumPartitions
-    val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val rdd = frozen.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().toMap
+    val n = rdd.getNumPartitions
+    val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).toArray
     val schema = org.apache.spark.sql.types.StructType(
       frozen.schema.fields :+ org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    frozen.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
       var r = offsets(pid)
       it.map { row =>
         val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
         r += 1
         out
       }
-    }(enc)
+    }
+    frozen.sparkSession.createDataFrame(ranked, schema)
   }
 
   /** Does a point rendered at zDraw use a brush larger than one pixel
@@ -191,7 +195,7 @@ object Render {
   def renderTiles(points: Option[DataFrame], lines: Option[Dataset[Feature]],
                   zDraw: Int, mapbits: Int, p: RenderParams,
                   requireOwn: Boolean = true,
-                  only: Option[Set[(Int, Int)]] = None): Dataset[TileOut] = {
+                  only: Option[(Int, Int) => Boolean] = None): Dataset[TileOut] = {
     val spark = points.map(_.sparkSession).orElse(lines.map(_.sparkSession)).get
     import spark.implicits._
     val pc = points.map(pointCmds(_, zDraw, p))
@@ -203,9 +207,8 @@ object Render {
       case _ => throw new IllegalArgumentException("no input")
     }
     val cmds = only match {
-      case Some(ts) =>
-        val keys = ts.map { case (x, y) => Cell.tileKey(zDraw, x, y) }
-        all.filter(c => keys.contains(c.tkey))
+      case Some(pred) =>
+        all.filter(c => pred(Cell.tileKeyX(c.tkey), Cell.tileKeyY(c.tkey)))
       case None => all
     }
     cmds.groupByKey(_.tkey).flatMapGroups { (tkey, it) =>
@@ -226,6 +229,66 @@ object Render {
   /** Convenience: points only. */
   def renderPoints(points: DataFrame, zDraw: Int, mapbits: Int, p: RenderParams): Dataset[TileOut] =
     renderTiles(Some(points), None, zDraw, mapbits, p)
+
+  /** Render a whole zoom pyramid in ONE pass + ONE shuffle: a single
+    * flatMap emits every zoom's commands (the tile key embeds z), so
+    * the tileset build is one job regardless of pyramid depth. */
+  def renderPyramid(points: DataFrame, zooms: Seq[Int], mapbits: Int, p: RenderParams): Dataset[TileOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val zArr = zooms.toArray
+    val steps = zArr.map(z => p.pointParams(z)._1.toLong)
+    val spills = zArr.map(z => brushSpills(p, z))
+    val needRank = steps.exists(_ > 1)
+    val hasMeta = points.columns.contains("meta")
+    val src = points.select(col("cell"),
+      (if (hasMeta) col("meta") else lit(0L)).as("meta"),
+      (if (needRank) col("rank") else lit(0L)).as("rank"))
+      .as[(Long, Long, Long)]
+    val cmds = src.flatMap { case (cell, meta, rank) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
+      var zi = 0
+      while (zi < zArr.length) {
+        if (rank % steps(zi) == 0) {
+          val z = zArr(zi)
+          val tx = Cell.tileX(cell, z)
+          val ty = Cell.tileY(cell, z)
+          out += FeatCmd(Cell.tileKey(z, tx, ty), -1, Array(cell), meta, own = true)
+          if (spills(zi)) {
+            val n = 1L << z
+            var dx = -1
+            while (dx <= 1) {
+              var dy = -1
+              while (dy <= 1) {
+                if (dx != 0 || dy != 0) {
+                  val nx = tx + dx; val ny = ty + dy
+                  if (ny >= 0 && ny < n && nx >= 0 && nx < n)
+                    out += FeatCmd(Cell.tileKey(z, nx, ny), (-dx + 1) * 3 + (-dy + 1), Array(cell), meta, own = false)
+                }
+                dy += 1
+              }
+              dx += 1
+            }
+          }
+        }
+        zi += 1
+      }
+      out
+    }
+    cmds.groupByKey(_.tkey).flatMapGroups { (tkey, it) =>
+      val z = Cell.tileKeyZ(tkey)
+      val tx = Cell.tileKeyX(tkey)
+      val ty = Cell.tileKeyY(tkey)
+      val recs = it.toArray
+      sortRecs(recs)
+      if (!recs.exists(_.own)) Iterator.empty
+      else {
+        val canvas = renderCanvas(recs, z, tx, ty, mapbits, p)
+        val rgba = ToneMap(canvas, p)
+        Iterator.single(TileOut(z, tx, ty, Png.encode(rgba, p.tilesize, p.tilesize)))
+      }
+    }
+  }
 
   /** Reference processing order: slot, then packed-record memcmp order
     * (= vertex cells lexicographically, then meta). */

@@ -74,7 +74,7 @@ class GoldenLineSpec extends AnyFunSuite {
     assert(rc == 0)
     val (refRgba, _, _) = Png.decode(png)
     val tiles = Render.renderTiles(None, Some(featuresDs), z, mapbits, RenderParams(),
-      requireOwn = false, only = Some(Set((x, y)))).collect()
+      requireOwn = false, only = Some((tx, ty) => tx == x && ty == y)).collect()
     val ours = tiles.find(t => t.x == x && t.y == y)
     // a tile no feature touches is pure background (the reference still
     // emits a PNG; our pipeline emits nothing — equivalent output)
