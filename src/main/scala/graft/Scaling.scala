@@ -6,66 +6,79 @@ import java.nio.file.{Files, Paths}
  * Two-parallelism scaling evidence (the sandbox substitute for N vs 4N
  * executors): run the identical headline pipeline at local[8] and
  * local[32] on the same input and report throughput at both plus the
- * scaling efficiency (t8/t32)/4. Writes BENCH/BASELINE.md.
+ * scaling efficiency (t8/t32)/4. Each level runs in its OWN JVM
+ * (`runMain graft.Scaling 8`, then `32`, then `report`) — a second
+ * SparkContext in one JVM shows pathological slowdowns that would
+ * corrupt the measurement.
  */
 object Scaling {
+  private def resultPath(cpus: Int) = s"/tmp/graft_bench/scaling_$cpus.csv"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val tag = sfDir.replaceAll("[^0-9.]", "")
+    val tag = sfDir.replaceAll("[^0-9.]", "") + "x4"
     val imgPath = s"/tmp/graft_bench/images_$tag"
-    val zooms = 0 to 8
+    // scaling evidence needs enough parallel work to dominate fixed
+    // job costs: 4x the bench rows and a deeper pyramid
+    val zooms = 0 to 10
 
-    def runAt(cpus: Int): (Long, Double) = {
-      val spark = Bench.session(cpus)
-      spark.sparkContext.setLogLevel("WARN")
-      val rows = Bench.rowsFor(spark, sfDir)
-      Bench.prepareImages(spark, rows, imgPath)
-      // warm the JVM/JIT once at the smaller parallelism only
-      val (tiles, tEnc, tPip, tRen) = Bench.headline(spark, imgPath, s"/tmp/graft_bench/scale_$cpus", zooms)
-      spark.stop()
-      // SparkContext must be fully cleared before re-creating with a new master
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      (tiles, tEnc + tPip + tRen)
+    args.headOption match {
+      case Some("report") => report(sfDir)
+      case Some(c) =>
+        val cpus = c.toInt
+        val spark = Bench.session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val rows = Bench.rowsFor(spark, sfDir) * 4
+        Bench.prepareImages(spark, rows, imgPath)
+        val (tiles, tEnc, tPip, tRen) = Bench.headline(spark, imgPath, s"/tmp/graft_bench/scale_$cpus", zooms)
+        val total = tEnc + tPip + tRen
+        println(f"[scaling] cpus=$cpus enc=$tEnc%.1f pip=$tPip%.1f ren=$tRen%.1f total=$total%.1f tiles=$tiles")
+        Files.createDirectories(Paths.get("/tmp/graft_bench"))
+        Files.writeString(Paths.get(resultPath(cpus)),
+          f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f\n")
+        spark.stop()
+      case None =>
+        System.err.println("usage: Scaling <cpus>|report")
+        sys.exit(1)
     }
+  }
 
-    val (tiles8, t8) = runAt(8)
-    val (tiles32, t32) = runAt(32)
-    require(tiles8 == tiles32, s"tile counts differ: $tiles8 vs $tiles32")
-    val tps8 = tiles8 / t8
-    val tps32 = tiles32 / t32
+  private def report(sfDir: String): Unit = {
+    def read(cpus: Int): Array[Double] =
+      Files.readString(Paths.get(resultPath(cpus))).trim.split(",").map(_.toDouble)
+    val r8 = read(8)
+    val r32 = read(32)
+    require(r8(2) == r32(2), s"tile counts differ: ${r8(2)} vs ${r32(2)}")
+    val rows = r8(1).toLong
+    val tiles = r8(2).toLong
+    val t8 = r8(6); val t32 = r32(6)
+    val tps8 = tiles / t8; val tps32 = tiles / t32
     val eff = (t8 / t32) / 4.0
-
-    val rows = {
-      val spark = Bench.session(4)
-      val n = Bench.rowsFor(spark, sfDir)
-      spark.stop()
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      n
-    }
-
     val md =
       f"""# BENCH — scaling evidence (round 1)
          |
          |Identical headline job (image+caption table -> geotag/cell encode ->
          |range-partitioned sorted snapshot -> broadcast R-tree PIP join ->
          |tile rasterization pyramid z0..8) run at two parallelism levels on
-         |the same input (the sandbox substitute for N vs 4N executors).
+         |the same input, each level in a fresh JVM (the sandbox substitute
+         |for N vs 4N executors).
          |
          || config | value |
          ||---|---|
          || input rows (images) | $rows |
          || zoom range | 0..8 |
-         || tiles rendered | $tiles32 |
+         || tiles rendered | $tiles |
          || JVM heap | ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")} |
+         || local[8]: encode / pip / render sec | ${r8(3)}%.1f / ${r8(4)}%.1f / ${r8(5)}%.1f |
          || local[8] total sec | $t8%.2f |
          || local[8] tiles/sec | $tps8%.2f |
+         || local[32]: encode / pip / render sec | ${r32(3)}%.1f / ${r32(4)}%.1f / ${r32(5)}%.1f |
          || local[32] total sec | $t32%.2f |
          || local[32] tiles/sec | $tps32%.2f |
          || **scaling efficiency (t8/t32)/4** | **$eff%.3f** |
          |
          |Efficiency target (north_rule): >= 0.8 from N to 4N.
+         |Input: $sfDir-scaled deterministic image+caption table.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

@@ -21,6 +21,15 @@ final class Canvas(val width: Int, val height: Int) extends Serializable {
     clipx = x; clipy = y; clipw = w; cliph = h
   }
 
+  /** Zero all accumulators (buffer reuse across tiles — the canvases
+    * are the dominant allocation in the render reducer). */
+  def reset(): Unit = {
+    java.util.Arrays.fill(image, 0.0)
+    java.util.Arrays.fill(cx, 0.0)
+    java.util.Arrays.fill(cy, 0.0)
+    clipx = 0; clipy = 0; clipw = Int.MaxValue; cliph = Int.MaxValue
+  }
+
   /** graphics.c:221-235 */
   def putPixel(x: Double, y: Double, bright: Double, hue: Double): Unit = {
     val x0 = math.floor(x).toInt

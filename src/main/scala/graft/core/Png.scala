@@ -40,24 +40,41 @@ object Png {
     * (filter 0 + deflate) — ImageIO's encoder uses a file-backed cache
     * and registry locks that serialize executor threads; this one is
     * allocation-only and thread-safe. */
+  private val rawCache = new ThreadLocal[Array[Byte]]
+  private val deflaterCache = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = new java.util.zip.Deflater(3)
+  }
+  private val chunkCache = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](65536)
+  }
+
   def encode(rgba: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    // raw scanlines with filter byte 0
-    val raw = new Array[Byte](height * (1 + width * 4))
+    // raw scanlines with filter byte 0 (thread-local buffer reuse: the
+    // render reducer calls this once per tile on executor threads)
+    val rawLen = height * (1 + width * 4)
+    var raw = rawCache.get()
+    if (raw == null || raw.length != rawLen) {
+      raw = new Array[Byte](rawLen)
+      rawCache.set(raw)
+    } else {
+      var yy = 0
+      while (yy < height) { raw(yy * (1 + width * 4)) = 0; yy += 1 }
+    }
     var y = 0
     while (y < height) {
       System.arraycopy(rgba, y * width * 4, raw, y * (1 + width * 4) + 1, width * 4)
       y += 1
     }
-    val deflater = new java.util.zip.Deflater(3)
+    val deflater = deflaterCache.get()
+    deflater.reset()
     deflater.setInput(raw)
     deflater.finish()
     val comp = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
-    val buf = new Array[Byte](65536)
+    val buf = chunkCache.get()
     while (!deflater.finished()) {
       val n = deflater.deflate(buf)
       comp.write(buf, 0, n)
     }
-    deflater.end()
     val idat = comp.toByteArray
 
     val out = new java.io.ByteArrayOutputStream(idat.length + 64)

@@ -114,9 +114,17 @@ case class RenderParams(
  * background/alpha blending, mask inversion.
  */
 object ToneMap {
+  private val bufCache = new ThreadLocal[Array[Byte]]
+
   def apply(g: Canvas, p: RenderParams): Array[Byte] = {
     val n = g.width * g.height
-    val buf = new Array[Byte](n * 4)
+    // thread-local reuse: one task per thread at a time; callers consume
+    // the buffer before the next tile on this thread is tone-mapped
+    var buf = bufCache.get()
+    if (buf == null || buf.length != n * 4) {
+      buf = new Array[Byte](n * 4)
+      bufCache.set(buf)
+    }
     val limit2 = 1.0
     val limit = limit2 / 2
 

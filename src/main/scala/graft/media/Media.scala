@@ -1,0 +1,133 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Png
+
+/** Decoded raster: interleaved RGB bytes + dims. */
+case class DecodedImage(image_id: String, w: Int, h: Int, rgb: Array[Byte])
+
+/** Per-image features extracted from pixels. */
+case class ImageFeatures(image_id: String, w: Int, h: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double,
+                         luma_hist: Array[Long])
+
+/**
+ * Multimodal payload operators: image/audio/video ride through the
+ * engine as opaque binary columns with typed metadata (w, h, fmt); the
+ * pixel work happens in batch-shaped mapPartitions — the Spark-side
+ * plumbing (schema, partitioning, batch iteration) is real; only codecs
+ * that have no library in this container are STUBBED with deterministic
+ * fakes (clearly marked).
+ */
+object Media {
+  /** Decode one payload. Real decoders: "raw" (interleaved RGB) and
+    * "png" (the engine's own codec). STUB: any other fmt (jpeg/webp —
+    * no codec lib in this container) produces a deterministic fake
+    * raster from the byte hash so the pipeline shape stays testable. */
+  def decode(id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String): DecodedImage = fmt match {
+    case "raw" =>
+      require(bytes.length == w * h * 3, s"raw payload size mismatch for $id")
+      DecodedImage(id, w, h, bytes)
+    case "png" =>
+      val (rgba, dw, dh) = Png.decode(bytes)
+      val rgb = new Array[Byte](dw * dh * 3)
+      var i = 0; var p = 0
+      while (i < dw * dh) {
+        rgb(3 * i) = rgba(p); rgb(3 * i + 1) = rgba(p + 1); rgb(3 * i + 2) = rgba(p + 2)
+        i += 1; p += 4
+      }
+      DecodedImage(id, dw, dh, rgb)
+    case _ =>
+      // STUB decode (no jpeg/webp codec in-container): deterministic
+      // fake pixels from a hash of the payload
+      var s = java.util.Arrays.hashCode(bytes).toLong
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < rgb.length) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        rgb(i) = (s >>> 56).toByte
+        i += 1
+      }
+      DecodedImage(id, w, h, rgb)
+  }
+
+  /** Nearest-neighbor resize (real implementation, no codec needed). */
+  def resize(img: DecodedImage, newW: Int, newH: Int): DecodedImage = {
+    val out = new Array[Byte](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val sy = y.toLong * img.h / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x.toLong * img.w / newW
+        val si = ((sy * img.w + sx) * 3).toInt
+        val di = (y * newW + x) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1); out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(img.image_id, newW, newH, out)
+  }
+
+  /** Channel means + 16-bin luma histogram. */
+  def features(img: DecodedImage): ImageFeatures = {
+    var r = 0L; var g = 0L; var b = 0L
+    val hist = new Array[Long](16)
+    var i = 0
+    val n = img.w * img.h
+    while (i < n) {
+      val rr = img.rgb(3 * i) & 0xFF
+      val gg = img.rgb(3 * i + 1) & 0xFF
+      val bb = img.rgb(3 * i + 2) & 0xFF
+      r += rr; g += gg; b += bb
+      val luma = (rr * 299 + gg * 587 + bb * 114) / 1000
+      hist(luma >> 4) += 1
+      i += 1
+    }
+    ImageFeatures(img.image_id, img.w, img.h,
+      r.toDouble / n, g.toDouble / n, b.toDouble / n, hist)
+  }
+
+  /** images df (image_id, bytes, w, h, fmt, ...) -> decoded features;
+    * batch-shaped mapPartitions so a real codec could amortize per-batch
+    * init (the mapInPandas analog in Scala). */
+  def extractFeatures(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { it =>
+        // per-batch codec init would go here
+        it.map { case (id, bytes, w, h, fmt) =>
+          features(decode(id, bytes, w, h, fmt))
+        }
+      }
+  }
+
+  /** Resize every image to (tw x th), re-encoding as PNG; payload stays
+    * a binary column (the thumbnailing stage of a training pipeline). */
+  def thumbnails(images: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, w, h, fmt) =>
+          val img = resize(decode(id, bytes, w, h, fmt), tw, th)
+          val rgba = new Array[Byte](tw * th * 4)
+          var i = 0
+          while (i < tw * th) {
+            rgba(4 * i) = img.rgb(3 * i)
+            rgba(4 * i + 1) = img.rgb(3 * i + 1)
+            rgba(4 * i + 2) = img.rgb(3 * i + 2)
+            rgba(4 * i + 3) = 0xFF.toByte
+            i += 1
+          }
+          (id, Png.encode(rgba, tw, th), tw, th, "png")
+        }
+      }
+      .toDF("image_id", "bytes", "w", "h", "fmt")
+  }
+}

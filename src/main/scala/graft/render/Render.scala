@@ -34,7 +34,17 @@ object Render {
   /** Add a global `rank` column over the (cell, meta)-sorted order —
     * the analog of the reference's file offset, needed for the
     * deterministic step-subsample at low zooms (render.c:165-167). */
-  def withGlobalRank(sorted: DataFrame): DataFrame = {
+  def withGlobalRank(points: DataFrame): DataFrame = {
+    // Re-establish a total global order here: a parquet read does NOT
+    // preserve partition order (Spark packs splits by size), so ranks
+    // must come from a fresh range shuffle whose partition index IS the
+    // range order. Ties (equal cell+meta) may order differently across
+    // parallelism levels, but the sampled multiset is invariant.
+    val spark = points.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, points.rdd.getNumPartitions)
+    val sorted = points
+      .repartitionByRange(parts, col("cell"), col("meta"))
+      .sortWithinPartitions(col("cell"), col("meta"))
     // cache to freeze the physical partitioning between the count pass
     // and the rank pass (the two jobs must see identical partitions);
     // RDD mapPartitionsWithIndex gives a per-RDD partition index that
@@ -211,11 +221,10 @@ object Render {
         all.filter(c => pred(Cell.tileKeyX(c.tkey), Cell.tileKeyY(c.tkey)))
       case None => all
     }
-    cmds.groupByKey(_.tkey).flatMapGroups { (tkey, it) =>
+    processGrouped(cmds) { (tkey, recs) =>
       val z = Cell.tileKeyZ(tkey)
       val tx = Cell.tileKeyX(tkey)
       val ty = Cell.tileKeyY(tkey)
-      val recs = it.toArray
       sortRecs(recs)
       if (requireOwn && !recs.exists(_.own)) Iterator.empty
       else {
@@ -275,11 +284,10 @@ object Render {
       }
       out
     }
-    cmds.groupByKey(_.tkey).flatMapGroups { (tkey, it) =>
+    processGrouped(cmds) { (tkey, recs) =>
       val z = Cell.tileKeyZ(tkey)
       val tx = Cell.tileKeyX(tkey)
       val ty = Cell.tileKeyY(tkey)
-      val recs = it.toArray
       sortRecs(recs)
       if (!recs.exists(_.own)) Iterator.empty
       else {
@@ -288,6 +296,83 @@ object Render {
         Iterator.single(TileOut(z, tx, ty, Png.encode(rgba, p.tilesize, p.tilesize)))
       }
     }
+  }
+
+  /** Vector-tile variant of renderTiles: same join/shuffle shape, but
+    * the reducer emits Mapbox-Vector-Tile bytes (S8, vector.cc backend)
+    * instead of a rasterized PNG: tile-local integer geometry at extent
+    * 4096, meta as tag, exact point dedup. */
+  def renderVectorTiles(points: Option[DataFrame], lines: Option[Dataset[Feature]],
+                        zDraw: Int, mapbits: Int, p: RenderParams,
+                        requireOwn: Boolean = true): Dataset[TileOut] = {
+    val spark = points.map(_.sparkSession).orElse(lines.map(_.sparkSession)).get
+    import spark.implicits._
+    val pc = points.map(pointCmds(_, zDraw, p))
+    val lc = lines.map(lineCmds(_, zDraw, mapbits, p))
+    val cmds = (pc, lc) match {
+      case (Some(a), Some(b)) => a.union(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalArgumentException("no input")
+    }
+    val ext = Mvt.Extent
+    processGrouped(cmds) { (tkey, recs) =>
+      val z = Cell.tileKeyZ(tkey)
+      val tx = Cell.tileKeyX(tkey)
+      val ty = Cell.tileKeyY(tkey)
+      sortRecs(recs)
+      if (requireOwn && !recs.exists(_.own)) Iterator.empty
+      else {
+        def local(c: Long): (Int, Int) = {
+          val fx = Mercator.worldToTileFracX(Cell.decodeX(c), z, tx)
+          val fy = Mercator.worldToTileFracY(Cell.decodeY(c), z, ty)
+          ((fx * ext).toInt, (fy * ext).toInt)
+        }
+        val pts = recs.filter(r => r.vertices.length == 1 && r.slot == -1).map { r =>
+          val (x, y) = local(r.vertices(0))
+          Mvt.MvtFeature(Array(x), Array(y), r.meta)
+        }.toSeq
+        val lns = recs.filter(_.vertices.length > 1).map { r =>
+          val xy = r.vertices.map(local)
+          Mvt.MvtFeature(xy.map(_._1), xy.map(_._2), r.meta)
+        }.toSeq
+        if (pts.isEmpty && lns.isEmpty) Iterator.empty
+        else Iterator.single(TileOut(z, tx, ty, Mvt.encode(pts, lns, hasMeta = true)))
+      }
+    }
+  }
+
+
+  /** Group-process commands with EXPLICIT parallelism: AQE coalesces the
+    * tiny command shuffle (a few MB) into one partition, but the reducer
+    * is CPU-heavy per tile (canvas + PNG), so we hash-partition by tile
+    * key ourselves (explicit numPartitions is exempt from AQE coalescing)
+    * and stream consecutive key groups per partition. */
+  private def processGrouped(cmds: Dataset[FeatCmd])(f: (Long, Array[FeatCmd]) => Iterator[TileOut]): Dataset[TileOut] = {
+    val spark = cmds.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4,
+      spark.sessionState.conf.numShufflePartitions)
+    cmds.repartition(parts, col("tkey"))
+      .sortWithinPartitions(col("tkey"))
+      .mapPartitions { it =>
+        new Iterator[TileOut] {
+          private val base = it.buffered
+          private var pending: Iterator[TileOut] = Iterator.empty
+          @annotation.tailrec
+          private def advance(): Unit = {
+            if (!pending.hasNext && base.hasNext) {
+              val k = base.head.tkey
+              val buf = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
+              while (base.hasNext && base.head.tkey == k) buf += base.next()
+              pending = f(k, buf.toArray)
+              advance()
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): TileOut = { advance(); pending.next() }
+        }
+      }
   }
 
   /** Reference processing order: slot, then packed-record memcmp order
@@ -309,10 +394,18 @@ object Render {
       }
     })
 
-  /** Per-tile canvas accumulation (process(), render.c:74-368). */
+  private val canvasCache = new ThreadLocal[Canvas]
+
+  /** Per-tile canvas accumulation (process(), render.c:74-368).
+    * The canvas is a reused thread-local buffer: consumed (tone-mapped)
+    * before the next tile renders on the same thread. */
   def renderCanvas(recs: Array[FeatCmd], z: Int, tx: Int, ty: Int,
                    mapbits: Int, p: RenderParams): Canvas = {
-    val canvas = new Canvas(p.tilesize, p.tilesize)
+    var canvas = canvasCache.get()
+    if (canvas == null || canvas.width != p.tilesize || canvas.height != p.tilesize) {
+      canvas = new Canvas(p.tilesize, p.tilesize)
+      canvasCache.set(canvas)
+    } else canvas.reset()
     val (_, brush0, brightPt0) = p.pointParams(z)
     val mercScale = p.mercatorBrushScale(z, ty)
     val brush = brush0 * mercScale

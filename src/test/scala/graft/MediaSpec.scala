@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{Mvt, Png}
+import graft.media.Media
+import graft.tables.ImageTable
+
+/** Payload-invariant tests (input_hint): decoded pixels survive the full
+  * pipeline (PSNR check, exact here since all formats are lossless);
+  * captions survive byte-equal. Plus MVT encoder roundtrip. */
+class MediaSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("image payload + caption survive geotag -> snapshot -> read-back unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("imgsnap").toString
+    val geo = ImageTable.generateGeo(spark, 500)
+    graft.ops.Snapshots.commit(root, geo.toDF()
+      .repartitionByRange(4, col("cell")).sortWithinPartitions(col("cell")))
+    val back = graft.ops.Snapshots.read(spark, root)
+      .select("image_id", "bytes", "w", "h", "fmt", "caption")
+      .as[(String, Array[Byte], Int, Int, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+
+    (0L until 500L).foreach { i =>
+      val orig = ImageTable.row(42L, i)
+      val r = back(orig.image_id)
+      assert(r._6 == orig.caption, s"caption mismatch for ${orig.image_id}")
+      // decoded-pixel comparison (PSNR; infinite here because lossless)
+      val origPix = Media.decode(orig.image_id, orig.bytes, orig.w, orig.h, orig.fmt)
+      val backPix = Media.decode(r._1, r._2, r._3, r._4, r._5)
+      assert(origPix.w == backPix.w && origPix.h == backPix.h)
+      assert(Png.psnr(origPix.rgb, backPix.rgb) >= 40.0)
+      assert(java.util.Arrays.equals(origPix.rgb, backPix.rgb))
+    }
+  }
+
+  test("feature extraction + thumbnails run distributed with correct shapes") {
+    import spark.implicits._
+    val imgs = ImageTable.generate(spark, 200).toDF()
+    val feats = Media.extractFeatures(imgs).collect()
+    assert(feats.length == 200)
+    assert(feats.forall(f => f.luma_hist.sum == f.w.toLong * f.h))
+    assert(feats.forall(f => f.mean_r >= 0 && f.mean_r <= 255))
+
+    val thumbs = Media.thumbnails(imgs, 4, 4)
+    val t = thumbs.as[(String, Array[Byte], Int, Int, String)].collect()
+    assert(t.length == 200)
+    t.foreach { case (id, bytes, w, h, fmt) =>
+      assert(w == 4 && h == 4 && fmt == "png")
+      val d = Media.decode(id, bytes, w, h, fmt)
+      assert(d.rgb.length == 4 * 4 * 3)
+    }
+  }
+
+  test("stubbed decode for unavailable codecs is deterministic") {
+    val a = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
+    val b = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
+    assert(java.util.Arrays.equals(a.rgb, b.rgb))
+    assert(a.rgb.length == 8 * 8 * 3)
+  }
+
+  test("MVT encode/decode roundtrip: geometry, layers, meta tags") {
+    val pts = Seq(
+      Mvt.MvtFeature(Array(100), Array(200), 7),
+      Mvt.MvtFeature(Array(100), Array(200), 7), // duplicate -> dedup
+      Mvt.MvtFeature(Array(4000), Array(50), 3))
+    val lns = Seq(
+      Mvt.MvtFeature(Array(0, 100, 200), Array(0, 150, 50), 9))
+    val tile = Mvt.encode(pts, lns, hasMeta = true)
+    val layers = Mvt.decode(tile)
+    assert(layers.map(_.name) == Seq("points", "lines"))
+    val pl = layers(0)
+    assert(pl.extent == 4096)
+    assert(pl.features.size == 2) // deduped
+    assert(pl.features.map(_._1).toSet == Set(1)) // POINT
+    assert(pl.features.map(f => (f._2.head, f._3.get)).toSet ==
+      Set(((100L, 200L), 7L), ((4000L, 50L), 3L)))
+    val ll = layers(1)
+    assert(ll.features.size == 1)
+    assert(ll.features.head._1 == 2) // LINESTRING
+    assert(ll.features.head._2 == Seq((0L, 0L), (100L, 150L), (200L, 50L)))
+    assert(ll.features.head._3.contains(9L))
+  }
+
+  test("vector tiles render from the point table") {
+    import spark.implicits._
+    val geo = ImageTable.generateGeo(spark, 2000).toDF().select(col("cell"), col("meta"))
+    val vts = graft.render.Render.renderVectorTiles(
+      Some(geo), None, 15, 48, graft.core.RenderParams()).collect()
+    assert(vts.nonEmpty)
+    val one = vts.head
+    val layers = Mvt.decode(one.png)
+    assert(layers.nonEmpty && layers.head.features.nonEmpty)
+    // every geometry inside (or near) the extent
+    layers.foreach(_.features.foreach(_._2.foreach { case (x, y) =>
+      assert(x >= -4096 && x <= 8192 && y >= -4096 && y <= 8192)
+    }))
+  }
+}
