@@ -47,13 +47,21 @@ object Bench {
       ranked.unpersist()
     }
 
-    // --- encode: geotag -> cell -> range partition -> sorted snapshot
+    // --- encode: geotag -> cell -> range partition -> sorted snapshot.
+    // Index/payload separation (the 100 TB design): the spatial index
+    // carries only narrow columns — geotag derives from phash, so the
+    // payload bytes are never read (Parquet column pruning) and never
+    // shuffle; consumers join payloads back by image_id when needed.
     val t0 = System.nanoTime()
-    val imgs = spark.read.parquet(imgPath).as[graft.tables.ImageRow]
-    val geo = imgs.map(graft.tables.ImageTable.geotag)
+    val idx = spark.read.parquet(imgPath).select("image_id", "phash")
+      .as[(String, Long)]
+      .map { case (id, ph) =>
+        val (lat, lon, cell, meta) = graft.tables.ImageTable.geotagPhash(ph)
+        (id, ph, lat, lon, cell, meta)
+      }
+      .toDF("image_id", "phash", "lat", "lon", "cell", "meta")
     val sortedPath = s"$workDir/sorted"
-    geo.toDF()
-      .repartitionByRange(cpus * 2, col("cell"))
+    idx.repartitionByRange(cpus * 2, col("cell"))
       .sortWithinPartitions(col("cell"), col("meta"))
       .write.mode("overwrite").parquet(sortedPath)
     val tEnc = (System.nanoTime() - t0) / 1e9

@@ -375,6 +375,119 @@ object Render {
       }
   }
 
+  /**
+   * Skew-aware pyramid render: tiles whose (sampled) point count exceeds
+   * `hotThreshold` are salted into `salts` sub-groups rendered as
+   * partial canvases in parallel, then merged (Canvas.merge is
+   * associative+commutative) and tone-mapped. Cold tiles take the normal
+   * single-phase path. FP accumulation order differs from the reference
+   * on hot tiles (within the PSNR tolerance); cold tiles are unchanged.
+   */
+  def renderPyramidSalted(points: DataFrame, zooms: Seq[Int], mapbits: Int, p: RenderParams,
+                          hotThreshold: Int = 100000, salts: Int = 16): Dataset[TileOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // hot tiles: sampled own-count per (z,tile) above threshold
+    val hasMeta = points.columns.contains("meta")
+    val steps = zooms.map(z => z -> p.pointParams(z)._1.toLong).toMap
+    val needRank = steps.values.exists(_ > 1)
+    val src0 = points.select(col("cell"),
+      (if (hasMeta) col("meta") else lit(0L)).as("meta"),
+      (if (needRank) col("rank") else lit(0L)).as("rank")).as[(Long, Long, Long)]
+    val zArr = zooms.toArray
+    val hot: Set[Long] = src0.flatMap { case (cell, _, rank) =>
+      zArr.iterator.filter(z => rank % steps(z) == 0)
+        .map(z => Cell.tileKey(z, Cell.tileX(cell, z), Cell.tileY(cell, z)))
+    }.groupByKey(identity).count()
+      .filter(_._2 > hotThreshold).map(_._1).collect().toSet
+
+    if (hot.isEmpty) return renderPyramid(points, zooms, mapbits, p)
+    val hotB = spark.sparkContext.broadcast(hot)
+
+    val cmds = pyramidCmds(src0, zArr, steps, zooms.map(z => z -> brushSpills(p, z)).toMap)
+    val cold = processGrouped(cmds.filter(c => !hotB.value.contains(c.tkey))) { (tkey, recs) =>
+      renderOne(tkey, recs, mapbits, p, requireOwn = true)
+    }
+    // hot path: salt -> partial canvases -> merge -> tone map
+    val partials = cmds.filter(c => hotB.value.contains(c.tkey))
+      .groupByKey(c => (c.tkey, (c.vertices(0) ^ c.meta) % salts))
+      .mapGroups { (key: (Long, Long), it: Iterator[FeatCmd]) =>
+        val tkey = key._1
+        val recs = it.toArray
+        sortRecs(recs)
+        val z = Cell.tileKeyZ(tkey)
+        val canvas = renderCanvasFresh(recs, z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), mapbits, p,
+          ignoreFurther = true)
+        (tkey, canvas.image, canvas.cx, canvas.cy)
+      }
+    val hotTiles = partials.groupByKey(_._1).mapGroups { (tkey, it) =>
+      val z = Cell.tileKeyZ(tkey)
+      val merged = new Canvas(p.tilesize, p.tilesize)
+      it.foreach { case (_, img, cx, cy) =>
+        var i = 0
+        while (i < img.length) {
+          merged.image(i) += img(i); merged.cx(i) += cx(i); merged.cy(i) += cy(i)
+          i += 1
+        }
+      }
+      val rgba = ToneMap(merged, p)
+      TileOut(z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), Png.encode(rgba, p.tilesize, p.tilesize))
+    }
+    cold.union(hotTiles)
+  }
+
+  /** Emit pyramid commands from a typed (cell, meta, rank) source. */
+  private def pyramidCmds(src: Dataset[(Long, Long, Long)], zArr: Array[Int],
+                          steps: Map[Int, Long], spills: Map[Int, Boolean]): Dataset[FeatCmd] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.flatMap { case (cell, meta, rank) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
+      var zi = 0
+      while (zi < zArr.length) {
+        val z = zArr(zi)
+        if (rank % steps(z) == 0) {
+          val tx = Cell.tileX(cell, z)
+          val ty = Cell.tileY(cell, z)
+          out += FeatCmd(Cell.tileKey(z, tx, ty), -1, Array(cell), meta, own = true)
+          if (spills(z)) {
+            val n = 1L << z
+            var dx = -1
+            while (dx <= 1) {
+              var dy = -1
+              while (dy <= 1) {
+                if (dx != 0 || dy != 0) {
+                  val nx = tx + dx; val ny = ty + dy
+                  if (ny >= 0 && ny < n && nx >= 0 && nx < n)
+                    out += FeatCmd(Cell.tileKey(z, nx, ny), (-dx + 1) * 3 + (-dy + 1), Array(cell), meta, own = false)
+                }
+                dy += 1
+              }
+              dx += 1
+            }
+          }
+        }
+        zi += 1
+      }
+      out
+    }
+  }
+
+  /** Shared per-tile finisher. */
+  private def renderOne(tkey: Long, recs: Array[FeatCmd], mapbits: Int, p: RenderParams,
+                        requireOwn: Boolean): Iterator[TileOut] = {
+    val z = Cell.tileKeyZ(tkey)
+    val tx = Cell.tileKeyX(tkey)
+    val ty = Cell.tileKeyY(tkey)
+    sortRecs(recs)
+    if (requireOwn && !recs.exists(_.own)) Iterator.empty
+    else {
+      val canvas = renderCanvas(recs, z, tx, ty, mapbits, p)
+      val rgba = ToneMap(canvas, p)
+      Iterator.single(TileOut(z, tx, ty, Png.encode(rgba, p.tilesize, p.tilesize)))
+    }
+  }
+
   /** Reference processing order: slot, then packed-record memcmp order
     * (= vertex cells lexicographically, then meta). */
   def sortRecs(recs: Array[FeatCmd]): Unit =
@@ -406,12 +519,28 @@ object Render {
       canvas = new Canvas(p.tilesize, p.tilesize)
       canvasCache.set(canvas)
     } else canvas.reset()
+    renderCanvasInto(canvas, recs, z, tx, ty, mapbits, p, ignoreFurther = false)
+    canvas
+  }
+
+  /** Fresh (escaping) canvas variant for the salted partial-aggregation
+    * path; ignoreFurther draws neighbor spill unconditionally (valid on
+    * hot tiles, whose own range always draws brushes). */
+  def renderCanvasFresh(recs: Array[FeatCmd], z: Int, tx: Int, ty: Int,
+                        mapbits: Int, p: RenderParams, ignoreFurther: Boolean): Canvas = {
+    val canvas = new Canvas(p.tilesize, p.tilesize)
+    renderCanvasInto(canvas, recs, z, tx, ty, mapbits, p, ignoreFurther)
+    canvas
+  }
+
+  private def renderCanvasInto(canvas: Canvas, recs: Array[FeatCmd], z: Int, tx: Int, ty: Int,
+                               mapbits: Int, p: RenderParams, ignoreFurther: Boolean): Unit = {
     val (_, brush0, brightPt0) = p.pointParams(z)
     val mercScale = p.mercatorBrushScale(z, ty)
     val brush = brush0 * mercScale
     val bPt = brush * (p.tilesize / 256.0) * (p.tilesize / 256.0)
     val (thick0, brightLn0) = p.lineParams(z)
-    var further = false
+    var further = ignoreFurther
     val noise = z >= mapbits / 2 - 8
     val noisebits = 32 - mapbits / 2
 
@@ -514,6 +643,5 @@ object Render {
       }
       i += 1
     }
-    canvas
   }
 }

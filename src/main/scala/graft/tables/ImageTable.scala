@@ -81,13 +81,15 @@ object ImageTable {
     ImageRow(f"img$i%012d", bytes, w, h, fmt, caption, h0)
   }
 
-  /** Geotag: lat/lon derived from phash (FIXTURES.md formula) with a
+  /** Geotag derivation from phash alone (FIXTURES.md formula) with a
     * hotspot skew mixture (~30% of rows land in a few dense cells) to
-    * exercise salting / AQE skew handling. */
-  def geotag(r: ImageRow): GeoImageRow = {
-    val u1 = ((r.phash >>> 32).toDouble / 4294967296.0)
-    val u2 = ((r.phash & 0xFFFFFFFFL).toDouble / 4294967296.0)
-    val h2 = splitmix64(r.phash, 7L)
+    * exercise salting / AQE skew handling. Returns (lat, lon, cell, meta).
+    * Pure function of phash: the spatial index never needs the payload
+    * column (Parquet prunes `bytes` at scan). */
+  def geotagPhash(phash: Long): (Double, Double, Long, Long) = {
+    val u1 = ((phash >>> 32).toDouble / 4294967296.0)
+    val u2 = ((phash & 0xFFFFFFFFL).toDouble / 4294967296.0)
+    val h2 = splitmix64(phash, 7L)
     val (lat, lon) =
       if ((h2 & 0xFF) < 77) { // ~30%: city hotspots
         val hotspots = Array((40.7128, -74.0060), (51.5074, -0.1278),
@@ -101,8 +103,13 @@ object ImageTable {
       }
     val x = Mercator.lonToX32(lon)
     val y = Mercator.latToY32(lat)
+    (lat, lon, graft.core.Cell.encode(x, y), phash & 0xFF)
+  }
+
+  def geotag(r: ImageRow): GeoImageRow = {
+    val (lat, lon, cell, meta) = geotagPhash(r.phash)
     GeoImageRow(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash,
-      lat, lon, graft.core.Cell.encode(x, y), r.phash & 0xFF)
+      lat, lon, cell, meta)
   }
 
   /** Distributed deterministic generation of the image table. */
