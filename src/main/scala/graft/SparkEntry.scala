@@ -236,6 +236,53 @@ object SparkEntry {
       .groupBy("event_type", "minute")
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))),
 
+    // embedding near-dup: all-pairs cosine above threshold (exact)
+    "q31_embed_neardup" -> ((s, d) => {
+      val t = emb(s, d).select(col("vec_id"), col("embedding"))
+      val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), Ann.cosine(col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") >= 0.25)
+    }),
+
+    // hash join + aggregation (lineitem x orders)
+    "q33_join_agg" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      li(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).as("qty_c"))
+    }),
+
+    // window top-k: top-3 suppliers by quantity per return flag
+    "q34_top_suppliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = li(s, d).groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).as("qty_c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty_c").desc, col("l_suppkey").asc)
+      agg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    }),
+
+    // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
+    "q35_sessions" -> ((s, d) => {
+      s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+        FROM (
+          SELECT user_id,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS session_id
+          FROM (
+            SELECT user_id, event_id, sec,
+              CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 600
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, event_id, unix_timestamp(ts) AS sec FROM events_v) t
+          ) m
+        ) g GROUP BY user_id
+      """)
+    }),
+
     // ---------- classic relational ----------
 
     "q32_tpch_q1" -> ((s, d) => li(s, d)
@@ -382,6 +429,40 @@ object SparkEntry {
          |   FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id < 5) q
          |   WHERE v.vec_id <> q.vec_id) c) r
          | WHERE rn <= 10""".stripMargin.replace("\n", " "),
+
+    "q31_embed_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | ${cosSql("a.embedding", "b.embedding")} AS cos
+         | FROM embeddings a, embeddings b
+         | WHERE a.vec_id < b.vec_id AND ${cosSql("a.embedding", "b.embedding")} >= 0.25""".stripMargin.replace("\n", " "),
+
+    "q33_join_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         | sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q34_top_suppliers" ->
+      s"""SELECT l_returnflag, l_suppkey, qty_c, rn FROM (
+         | SELECT l_returnflag, l_suppkey, qty_c,
+         |   row_number() OVER (PARTITION BY l_returnflag ORDER BY qty_c DESC, l_suppkey) AS rn
+         | FROM (SELECT l_returnflag, l_suppkey,
+         |   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+         |   FROM lineitem GROUP BY 1, 2) a) r
+         | WHERE rn <= 3""".stripMargin.replace("\n", " "),
+
+    "q35_sessions" ->
+      s"""SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+         | FROM (
+         |  SELECT user_id,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS session_id
+         |  FROM (
+         |   SELECT user_id, event_id, sec,
+         |     CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 600
+         |          THEN 1 ELSE 0 END AS new_sess
+         |   FROM (SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS sec FROM events) t
+         |  ) m
+         | ) g GROUP BY user_id""".stripMargin.replace("\n", " "),
 
     "q30_window_agg" ->
       s"""SELECT event_type, (epoch_us(ts) // 1000000) // 60 AS minute,

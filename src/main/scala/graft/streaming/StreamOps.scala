@@ -16,6 +16,7 @@ object StreamOps {
     * time + watermark: the streaming analog of the enumerate rollup. */
   def streamingTileCounts(events: DataFrame, z: Int, window: String, watermark: String): DataFrame =
     events
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> instant (UTC session)
       .withWatermark("ts", watermark)
       .withColumn("tx", expr(s"x32 >> ${32 - z}"))
       .withColumn("ty", expr(s"y32 >> ${32 - z}"))
@@ -28,7 +29,8 @@ object StreamOps {
     * closes a session when no event arrives within `gapMs`. */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"), expr("unix_millis(ts)").cast("long"))
+    val typed = events.select(col("user_id").cast("long"),
+      expr("unix_millis(CAST(ts AS TIMESTAMP))").cast("long"))
       .as[(Long, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Session, Session](

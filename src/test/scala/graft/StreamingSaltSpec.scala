@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Png
+import graft.streaming.StreamOps
+
+class StreamingSaltSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("streaming windowed tile counts match the batch rollup") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val withGeo = batch.select(col("ts"),
+      graft.oracle.GeoDerive.x32(col("event_id"), col("user_id")).as("x32"),
+      graft.oracle.GeoDerive.y32(col("event_id"), col("user_id")).as("y32"))
+    // bounded streaming source over the same parquet (the streaming file
+    // source requires a directory)
+    val streamDir = java.nio.file.Files.createTempDirectory("evstream").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(streamDir, "events.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+      .select(col("ts"),
+        graft.oracle.GeoDerive.x32(col("event_id"), col("user_id")).as("x32"),
+        graft.oracle.GeoDerive.y32(col("event_id"), col("user_id")).as("y32"))
+    val agg = StreamOps.streamingTileCounts(stream, z = 4, window = "1 hour", watermark = "0 seconds")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("tilecnt").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT tx, ty, sum(cnt) AS cnt FROM tilecnt GROUP BY 1,2")
+      .as[(Long, Long, Long)].collect().map { case (a, b, c) => ((a, b), c) }.toMap
+
+    val expected = withGeo
+      .select(expr("x32 >> 28").as("tx"), expr("y32 >> 28").as("ty"))
+      .groupBy("tx", "ty").count()
+      .as[(Long, Long, Long)].collect().map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization closes sessions on gaps") {
+    import spark.implicits._
+    val now = 1700000000000L
+    val events = Seq(
+      (1L, now), (1L, now + 1000), (1L, now + 500000), // gap closes first session
+      (2L, now + 10)).toDF("user_id", "ms")
+      .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"))
+    val stream = spark.readStream.schema(events.schema)
+      .parquet {
+        val p = java.nio.file.Files.createTempDirectory("sess").toString
+        events.write.mode("overwrite").parquet(p)
+        p
+      }
+    val sessions = StreamOps.sessionize(spark, stream, gapMs = 60000)
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName("sess").start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.sql("SELECT userId, nEvents FROM sess").as[(Long, Long)].collect().toSet
+    // only user 1's first session closed (2 events); open sessions stay in state
+    assert(closed == Set((1L, 2L)))
+  }
+
+  test("salted hot-tile render equals unsalted output (same tiles, pixels within tolerance)") {
+    import spark.implicits._
+    // heavily skewed: 30k points in one z10 tile + scatter
+    val r = new scala.util.Random(5)
+    val dense = (0 until 30000).map { _ =>
+      (graft.core.Cell.encode(
+        graft.core.Mercator.lonToX32(-74.0 + r.nextDouble() * 0.05).toInt,
+        graft.core.Mercator.latToY32(40.7 + r.nextDouble() * 0.05).toInt), r.nextInt(256).toLong)
+    }
+    val scatter = (0 until 5000).map { _ =>
+      (graft.core.Cell.encode(
+        graft.core.Mercator.lonToX32(r.nextDouble() * 300 - 150).toInt,
+        graft.core.Mercator.latToY32(r.nextDouble() * 140 - 70).toInt), r.nextInt(256).toLong)
+    }
+    val pts = (dense ++ scatter).toDF("cell", "meta")
+    val ranked = graft.render.Render.withGlobalRank(pts)
+    val p = graft.core.RenderParams()
+    val plain = graft.render.Render.renderPyramid(ranked, Seq(14, 15), 48, p)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    val salted = graft.render.Render.renderPyramidSalted(ranked, Seq(14, 15), 48, p,
+      hotThreshold = 1000, salts = 8)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    assert(plain.keySet == salted.keySet)
+    assert(plain.nonEmpty)
+    plain.foreach { case (k, png) =>
+      val (a, _, _) = Png.decode(png)
+      val (b, _, _) = Png.decode(salted(k))
+      val psnr = Png.psnr(a, b)
+      assert(psnr >= 50.0, s"tile $k psnr=$psnr")
+    }
+  }
+}
