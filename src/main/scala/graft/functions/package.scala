@@ -26,9 +26,13 @@ package object functions {
 
   /** Register SQL names for the native expressions. */
   def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.LongType
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cell_encode", es => CellEncodeExpr(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(es.head), "builtin")
-    reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(es.head), "builtin")
+    // SQL literals may arrive as INT: coerce children to LONG
+    reg.createOrReplaceTempFunction("cell_encode",
+      es => CellEncodeExpr(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
+    reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(Cast(es.head, LongType)), "built-in")
+    reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(Cast(es.head, LongType)), "built-in")
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the scale-critical properties — predicate
+  * pushdown to Parquet, column pruning, broadcast joins, whole-stage
+  * codegen over the native cell expressions — hold in the optimized
+  * plans, not just in intent. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val sortedPath: String = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("plan").toString + "/sorted"
+    graft.tables.ImageTable.generateGeo(spark, 5000).toDF()
+      .repartitionByRange(4, col("cell"))
+      .sortWithinPartitions(col("cell"), col("meta"))
+      .write.parquet(p)
+    p
+  }
+
+  def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("tile range scan pushes cell BETWEEN to the parquet scan (row-group pruning)") {
+    val table = spark.read.parquet(sortedPath)
+    val scan = graft.query.TileOps.tileRangeScan(table, 6, 11, 23).select("cell")
+    val plan = formatted(scan)
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(cell") && plan.contains("LessThanOrEqual(cell"),
+      plan.split("\n").filter(_.contains("PushedFilters")).mkString("; "))
+  }
+
+  test("narrow projection prunes columns at the scan (ReadSchema)") {
+    val table = spark.read.parquet(sortedPath)
+    val q = table.select(col("cell")).filter(col("cell") > 0)
+    val plan = formatted(q)
+    val readSchema = plan.split("\n").find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("cell") && !readSchema.contains("image_id"), readSchema)
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val j = li.join(broadcast(nation), col("l_suppkey") % 25 === col("n_nationkey"))
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("native cell expressions stay inside whole-stage codegen") {
+    import graft.functions._
+    val table = spark.read.parquet(sortedPath)
+    val q = table.select(cell_x(col("cell")).as("x"), cell_y(col("cell")).as("y"))
+      .filter(col("x") > 100)
+    val plan = q.queryExecution.executedPlan.toString()
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen span
+    val projLine = plan.split("\n").find(_.contains("cell_x")).getOrElse("")
+    assert(projLine.trim.startsWith("*("), "cell_x not under codegen:\n" + plan.take(1500))
+  }
+
+  test("sql registration: cell functions usable from spark.sql") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql("SELECT cell_x(cell_encode(123456789, 987654321)) AS x, cell_y(cell_encode(123456789, 987654321)) AS y")
+      .collect().head
+    assert(r.getLong(0) == 123456789L && r.getLong(1) == 987654321L)
+  }
+}
