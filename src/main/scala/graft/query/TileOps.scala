@@ -32,6 +32,38 @@ object TileOps {
         sum(col("y32")).as("ysum"))
   }
 
+  /** Feature-level rollup incl. the clipped segment-length stat of
+    * `enumerate -d` (enumerate.c:142-159): features keyed by FIRST
+    * vertex (the reference's documented limitation), per-zoom length
+    * normalized by tile span; segments longer than 6400 world units
+    * (~200ft) are excluded as GPS jumps. */
+  def enumerateRollupFeatures(features: org.apache.spark.sql.Dataset[graft.encode.Feature],
+                              minZ: Int, maxZ: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.flatMap { f =>
+      val x0 = Cell.decodeX(f.vertices(0))
+      val y0 = Cell.decodeY(f.vertices(0))
+      // raw (un-normalized) clipped length: sum of short segment lengths
+      var raw = 0.0
+      var k = 1
+      while (k < f.vertices.length) {
+        val dx = (Cell.decodeX(f.vertices(k)) - Cell.decodeX(f.vertices(k - 1))).toDouble
+        val dy = (Cell.decodeY(f.vertices(k)) - Cell.decodeY(f.vertices(k - 1))).toDouble
+        val d = math.sqrt(dx * dx + dy * dy)
+        if (d < 6400) raw += d
+        k += 1
+      }
+      (minZ to maxZ).iterator.map { z =>
+        val max = (1L << (32 - z)).toDouble
+        (z, (x0 >>> (32 - z)).toInt, (y0 >>> (32 - z)).toInt, raw / max)
+      }
+    }.toDF("z", "tx", "ty", "len")
+      .groupBy("z", "tx", "ty")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("len").as("len"))
+  }
+
   /** Z-order tile range scan: cell BETWEEN lo AND hi — the engine's core
     * spatial filter (reference: binary search over the sorted file,
     * util.c:12-31 + render.c:111-119). Pushes to Parquet min/max. */
