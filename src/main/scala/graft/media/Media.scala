@@ -106,6 +106,68 @@ object Media {
       }
   }
 
+  // ---------- audio / video payload plumbing ----------
+
+  /** Decoded audio: mono PCM samples. STUB decode (no audio codec lib
+    * in this container): deterministic fake samples from the byte hash;
+    * the schema/batching plumbing is real. */
+  case class DecodedAudio(media_id: String, sampleRate: Int, samples: Array[Float])
+
+  def decodeAudio(id: String, bytes: Array[Byte], sampleRate: Int, nSamples: Int): DecodedAudio = {
+    var s = java.util.Arrays.hashCode(bytes).toLong
+    val out = new Array[Float](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((s >>> 40).toInt / 8388608.0f) - 1.0f
+      i += 1
+    }
+    DecodedAudio(id, sampleRate, out)
+  }
+
+  case class AudioFeatures(media_id: String, rms: Double, zeroCrossings: Long, durSec: Double)
+
+  def audioFeatures(a: DecodedAudio): AudioFeatures = {
+    var sq = 0.0
+    var zc = 0L
+    var i = 1
+    sq = a.samples(0).toDouble * a.samples(0)
+    while (i < a.samples.length) {
+      sq += a.samples(i).toDouble * a.samples(i)
+      if ((a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    AudioFeatures(a.media_id, math.sqrt(sq / a.samples.length), zc,
+      a.samples.length.toDouble / a.sampleRate)
+  }
+
+  /** Video frame sampling: emit every k-th frame as an image payload.
+    * STUB frame decode; real batch shape (one input row -> many frame
+    * rows, the explode pattern a real decoder would follow). */
+  def sampleFrames(id: String, bytes: Array[Byte], w: Int, h: Int,
+                   nFrames: Int, every: Int): Seq[DecodedImage] = {
+    (0 until nFrames by every).map { f =>
+      var s = java.util.Arrays.hashCode(bytes).toLong ^ (f.toLong * 0x9E3779B97F4A7C15L)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < rgb.length) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        rgb(i) = (s >>> 56).toByte
+        i += 1
+      }
+      DecodedImage(s"$id#f$f", w, h, rgb)
+    }
+  }
+
+  /** audio df (media_id, bytes, sample_rate, n_samples) -> features. */
+  def extractAudioFeatures(audio: DataFrame): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id"), col("bytes"), col("sample_rate"), col("n_samples"))
+      .as[(String, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, b, sr, n) => audioFeatures(decodeAudio(id, b, sr, n)) })
+  }
+
   /** Resize every image to (tw x th), re-encoding as PNG; payload stays
     * a binary column (the thumbnailing stage of a training pipeline). */
   def thumbnails(images: DataFrame, tw: Int, th: Int): DataFrame = {

@@ -89,6 +89,23 @@ class MediaSpec extends AnyFunSuite {
     assert(ll.features.head._3.contains(9L))
   }
 
+  test("audio/video payload plumbing: features + frame sampling") {
+    import spark.implicits._
+    val audio = (0 until 50).map { i =>
+      (s"aud$i", Array.tabulate[Byte](64)(j => ((i * 31 + j) & 0xFF).toByte), 16000, 1600)
+    }.toDF("media_id", "bytes", "sample_rate", "n_samples")
+    val feats = Media.extractAudioFeatures(audio).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(f => f.rms > 0 && f.rms < 1.2 && f.durSec == 0.1))
+    // deterministic
+    val feats2 = Media.extractAudioFeatures(audio).collect()
+    assert(feats.map(_.rms).toSeq == feats2.map(_.rms).toSeq)
+
+    val frames = Media.sampleFrames("vid1", Array[Byte](1, 2, 3), 8, 8, nFrames = 30, every = 10)
+    assert(frames.map(_.image_id) == Seq("vid1#f0", "vid1#f10", "vid1#f20"))
+    assert(frames.forall(_.rgb.length == 8 * 8 * 3))
+  }
+
   test("vector tiles render from the point table") {
     import spark.implicits._
     val geo = ImageTable.generateGeo(spark, 2000).toDF().select(col("cell"), col("meta"))
