@@ -27,6 +27,9 @@ case class RenderParams(
     maxmeta: Long = Long.MaxValue,
     tilesize: Int = 256,
     gps: Boolean = false,
+    // -x c: cloud/circle mode — meta = count scattered in a radius
+    // (render.c:60-72, 272-305); <= 0 = off. Value = radius parameter.
+    circle: Double = -1,
     // color ramp (-C meta1:hue1:meta2:hue2); inactive by default
     colorRampActive: Boolean = false,
     colorMeta1: Long = 0, colorHue1: Double = 0,
@@ -93,6 +96,17 @@ case class RenderParams(
       while (hue > 1) hue -= 1
       hue
     }
+  }
+
+  /** Cloud radius in tiles for circle mode (cloudsize(),
+    * render.c:60-72): radius parameter scaled by latitude and zoom. */
+  def cloudSize(zDraw: Int, xDraw: Int, yDraw: Int): Double = {
+    val lat = Mercator.tileToLat(((yDraw + .5) * (1L << (32 - zDraw))).toLong, 32)
+    val rat = math.cos(lat * math.Pi / 180)
+    var size = circle * .00000274 // degrees
+    size /= rat
+    size /= 360.0 / (1 << zDraw) // tiles
+    size
   }
 
   /** GPS-jump attenuation: returns the scaled brightness, or 0 to drop

@@ -80,8 +80,16 @@ object Render {
     val spark = points.sparkSession
     import spark.implicits._
     val (step, _, _) = p.pointParams(zDraw)
-    val sampled = if (step <= 1) points else points.filter(col("rank") % step === 0)
-    val spill = brushSpills(p, zDraw)
+    // circle mode: when the sampling-step/size swap applies
+    // (render.c:175-182), records are NOT strided (innerstep divides
+    // the per-record dot count instead)
+    val circleSwap = p.circle > 0 && step > 1
+    val sampled = if (step <= 1 || circleSwap) points else points.filter(col("rank") % step === 0)
+    val spill = brushSpills(p, zDraw) || p.circle > 0
+    // circle clouds can span several tiles: ring radius from the cloud
+    // size at the equator (upper bound; per-tile clip rejects overshoot)
+    val ring = if (p.circle <= 0) 1
+      else math.min(8, math.ceil(p.circle * .00000274 / (360.0 / (1 << zDraw))).toInt + 1)
     val hasMeta = points.columns.contains("meta")
     sampled.select(col("cell"), (if (hasMeta) col("meta") else lit(0L)).as("meta"))
       .as[(Long, Long)]
@@ -93,11 +101,12 @@ object Render {
         else {
           val n = 1L << zDraw
           val nbrs = for {
-            dx <- -1 to 1; dy <- -1 to 1
+            dx <- -ring to ring; dy <- -ring to ring
             if dx != 0 || dy != 0
             nx = tx + dx; ny = ty + dy
             if ny >= 0 && ny < n && nx >= 0 && nx < n
-          } yield FeatCmd(Cell.tileKey(zDraw, nx, ny), (-dx + 1) * 3 + (-dy + 1), Array(cell), meta, own = false)
+          } yield FeatCmd(Cell.tileKey(zDraw, nx, ny),
+            (-dx + ring) * (2 * ring + 1) + (-dy + ring), Array(cell), meta, own = false)
           Iterator.single(own) ++ nbrs.iterator
         }
       }
@@ -561,7 +570,7 @@ object Render {
       val r = recs(i)
       val isPoint = r.vertices.length == 1
       val drawIt =
-        if (isPoint) r.slot == -1 || further
+        if (isPoint) r.slot == -1 || further || p.circle > 0
         else true
       if (drawIt && r.meta <= p.maxmeta) {
         val n = r.vertices.length
@@ -593,7 +602,45 @@ object Render {
             xsc = (xd * p.tilesize).toInt + .5
             ysc = (yd * p.tilesize).toInt + .5
           }
-          if (bb <= 1) {
+          if (p.circle > 0) {
+            // cloud mode (render.c:266-305): meta = dot count scattered
+            // in a latitude-scaled radius. Deterministic splittable PRNG
+            // seeded per point (the reference uses srand(x*37+y); C
+            // rand() is libc-specific, so the dot positions are our own
+            // deterministic stream — same density law).
+            val size = p.cloudSize(z, tx, ty) * p.tilesize
+            val (step0, _, _) = p.pointParams(z)
+            val innerstep = if (step0 > 1 && size > .0625) step0 else 1
+            if (size < .5) {
+              if (bb <= 1) {
+                canvas.drawPixel(xsc - .5, ysc - .5, bright * bb * r.meta / innerstep, hue)
+              } else {
+                Raster.drawBrush(xsc, ysc, canvas, bright * r.meta / innerstep, bb, hue, p.gaussian)
+                if (r.slot == -1) further = true
+              }
+            } else if (xsc + size >= 0 && ysc + size >= 0 &&
+              xsc - size <= p.tilesize && ysc - size <= p.tilesize) {
+              var seed = graft.tables.ImageTable.splitmix64(xs(0) * 37 + ys(0), 1L)
+              def nextU(): Double = {
+                seed = seed * 6364136223846793005L + 1442695040888963407L
+                (seed >>> 11).toDouble / (1L << 53).toDouble
+              }
+              var todo = r.meta
+              while (todo > 0) {
+                val rr = math.sqrt(nextU())
+                val ang = nextU() * 2 * math.Pi
+                val xp = xsc + size * rr * math.cos(ang)
+                val yp = ysc + size * rr * math.sin(ang)
+                if (bb <= 1) {
+                  canvas.drawPixel(xp - .5, yp - .5, bright * bb, hue)
+                } else {
+                  Raster.drawBrush(xp, yp, canvas, bright, bb, hue, p.gaussian)
+                  if (r.slot == -1) further = true
+                }
+                todo -= innerstep
+              }
+            }
+          } else if (bb <= 1) {
             canvas.drawPixel(xsc - .5, ysc - .5, bright * bb, hue)
           } else {
             Raster.drawBrush(xsc, ysc, canvas, bright, bb, hue, p.gaussian)

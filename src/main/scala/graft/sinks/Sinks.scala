@@ -82,6 +82,69 @@ object Sinks {
   }
 
   /**
+   * Assemble mode (`render -A`, render.c:827-887): render every tile of
+   * a lat/lon bbox at zoom z and stitch into one large RGBA image,
+   * cropped to the bbox at pixel precision. Deviation from the
+   * reference: the crop offset is rounded to whole pixels (the reference
+   * draws at fractional offsets — a <=0.5 px global shift) and brush
+   * spill across subtile borders comes from the neighbor ring rather
+   * than being clipped away. Capped at 10000x10000 like the reference.
+   */
+  def assemble(points: Option[DataFrame], lines: Option[Dataset[Feature]],
+               z: Int, lat1: Double, lon1: Double, lat2: Double, lon2: Double,
+               mapbits: Int, p: graft.core.RenderParams): (Array[Byte], Int, Int) = {
+    val wx1 = math.min(Mercator.lonToX32(lon1), Mercator.lonToX32(lon2))
+    val wx2 = math.max(Mercator.lonToX32(lon1), Mercator.lonToX32(lon2))
+    val wy1 = math.min(Mercator.latToY32(lat1), Mercator.latToY32(lat2))
+    val wy2 = math.max(Mercator.latToY32(lat1), Mercator.latToY32(lat2))
+    val ts = p.tilesize
+    val x1 = (wx1 >> (32 - z)).toInt; val x2 = (wx2 >> (32 - z)).toInt
+    val y1 = (wy1 >> (32 - z)).toInt; val y2 = (wy2 >> (32 - z)).toInt
+    val fx1 = Mercator.worldToTileFracX(wx1, z, x1)
+    val fy1 = Mercator.worldToTileFracY(wy1, z, y1)
+    val fx2 = Mercator.worldToTileFracX(wx2, z, x2)
+    val fy2 = Mercator.worldToTileFracY(wy2, z, y2)
+    val outW = ((x2 - x1 + fx2 - fx1) * ts).toInt
+    val outH = ((y2 - y1 + fy2 - fy1) * ts).toInt
+    require(outW.toLong * outH <= 10000L * 10000L, "Image too big")
+    val cropX = (fx1 * ts).round.toInt
+    val cropY = (fy1 * ts).round.toInt
+
+    val tiles = graft.render.Render.renderTiles(points, lines, z, mapbits, p,
+      requireOwn = false,
+      only = Some((tx, ty) => tx >= x1 && tx <= x2 && ty >= y1 && ty <= y2))
+      .collect()
+    val big = new Array[Byte](outW * outH * 4)
+    // background fill for empty regions
+    val bgTile = graft.core.ToneMap(new graft.core.Canvas(1, 1), p)
+    var i = 0
+    while (i < outW * outH) {
+      System.arraycopy(bgTile, 0, big, i * 4, 4)
+      i += 1
+    }
+    tiles.foreach { t =>
+      val (rgba, _, _) = graft.core.Png.decode(t.png)
+      val ox = (t.x - x1) * ts - cropX
+      val oy = (t.y - y1) * ts - cropY
+      var py = 0
+      while (py < ts) {
+        val by = oy + py
+        if (by >= 0 && by < outH) {
+          var px = 0
+          while (px < ts) {
+            val bx = ox + px
+            if (bx >= 0 && bx < outW)
+              System.arraycopy(rgba, (py * ts + px) * 4, big, (by * outW + bx) * 4, 4)
+            px += 1
+          }
+        }
+        py += 1
+      }
+    }
+    (big, outW, outH)
+  }
+
+  /**
    * S10: write a dataset in the reference's own binary format —
    * per-(n,common) fully sorted packed record files + `meta` descriptor
    * (encode.c:274-403). The records stream through the driver in sorted

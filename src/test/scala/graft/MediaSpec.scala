@@ -106,6 +106,19 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.forall(_.rgb.length == 8 * 8 * 3))
   }
 
+  test("assemble mode stitches a bbox into one image") {
+    import spark.implicits._
+    val geo = graft.render.Render.withGlobalRank(
+      ImageTable.generateGeo(spark, 3000).toDF().select(col("cell"), col("meta")))
+    // bbox around the NYC hotspot
+    val (rgba, w, h) = graft.sinks.Sinks.assemble(Some(geo), None, 12,
+      40.60, -74.15, 40.85, -73.85, 48, graft.core.RenderParams())
+    assert(w > 256 && h > 128, s"dims $w x $h")
+    assert(rgba.length == w * h * 4)
+    val lit = rgba.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    assert(lit > 50, s"only $lit lit pixels")
+  }
+
   test("vector tiles render from the point table") {
     import spark.implicits._
     val geo = ImageTable.generateGeo(spark, 2000).toDF().select(col("cell"), col("meta"))

@@ -65,6 +65,28 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(closed == Set((1L, 2L)))
   }
 
+  test("circle/cloud mode: scatter density is deterministic and conserves dot counts") {
+    import spark.implicits._
+    val pts = (0 until 50).map { i =>
+      (graft.core.Cell.encode(
+        graft.core.Mercator.lonToX32(-74.0 + i * 0.001).toInt,
+        graft.core.Mercator.latToY32(40.7 + i * 0.001).toInt), (10 + i % 20).toLong)
+    }.toDF("cell", "meta")
+    val p = graft.core.RenderParams(circle = 1000, gamma = 1.0)
+    val t1 = graft.render.Render.renderTiles(Some(pts), None, 14, 48, p).collect()
+      .map(t => ((t.x, t.y), t.png)).toMap
+    val t2 = graft.render.Render.renderTiles(Some(pts), None, 14, 48, p).collect()
+      .map(t => ((t.x, t.y), t.png)).toMap
+    assert(t1.nonEmpty)
+    assert(t1.keySet == t2.keySet)
+    // deterministic across runs
+    t1.foreach { case (k, png) => assert(java.util.Arrays.equals(png, t2(k)), s"tile $k differs") }
+    // pixels actually scattered (many distinct lit pixels, not one splat)
+    val (rgba, _, _) = graft.core.Png.decode(t1.values.head)
+    val lit = rgba.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    assert(lit > 50, s"only $lit lit pixels")
+  }
+
   test("salted hot-tile render equals unsalted output (same tiles, pixels within tolerance)") {
     import spark.implicits._
     // heavily skewed: 30k points in one z10 tile + scatter
