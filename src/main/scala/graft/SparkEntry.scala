@@ -191,8 +191,14 @@ object SparkEntry {
     // near-dup signatures: engine-native (no SQL oracle; sbt-tested
     // against brute-force Jaccard / Hamming)
     "q28_minhash_lsh" -> ((s, d) => {
-      val sig = docs(s, d).select(col("doc_id"),
-        TextOps.minhashSignature(col("text"), 5, 16).as("sig"))
+      // materialize the ngram set first (otherwise project collapse
+      // inlines the shingle pipeline once per permutation AND per band —
+      // a giant codegen unit that dominates runtime)
+      val grams = docs(s, d).select(col("doc_id"),
+        TextOps.ngrams(col("text"), 5).as("g")).cache()
+      val sig = grams.select(col("doc_id"),
+        array((0 until 16).map(pp =>
+          array_min(transform(col("g"), sh => xxhash64(sh, lit(pp))))): _*).as("sig")).cache()
       val bands = sig.select(col("doc_id"),
         explode(TextOps.lshBands(col("sig"), 4, 4)).as("band_key"))
       val pairs = bands.as("a").join(bands.as("b"),
@@ -238,11 +244,17 @@ object SparkEntry {
 
     // embedding near-dup: all-pairs cosine above threshold (exact)
     "q31_embed_neardup" -> ((s, d) => {
-      val t = emb(s, d).select(col("vec_id"), col("embedding"))
-      val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      // precompute per-vector self-dot once (identical FP value to
+      // recomputing per pair, so the oracle stays bit-exact) — the
+      // higher-order fold is interpreted, so per-pair work must be one
+      // dot product, not three
+      val t = emb(s, d).select(col("vec_id"), col("embedding"),
+        Ann.dot(col("embedding"), col("embedding")).as("nn")).cache()
+      val a = t.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nn").as("na"))
+      val b = t.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nn").as("nb"))
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), Ann.cosine(col("ea"), col("eb")).as("cos"))
+        .select(col("vec_a"), col("vec_b"),
+          (Ann.dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.25)
     }),
 

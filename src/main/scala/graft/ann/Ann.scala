@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
 object Ann {
   /** Sequential-fold dot product of two float arrays (cast to double
     * elementwise, summed left-to-right — the same order DuckDB's list
-    * functions use, so results are bit-identical). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * functions use, so results are bit-identical). Native codegen'd
+    * expression (the HOF fold is interpreted and dominates ANN time). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.DotProductExpr(expression(a), expression(b)))
+  }
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
