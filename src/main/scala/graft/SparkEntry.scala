@@ -297,6 +297,43 @@ object SparkEntry {
 
     // ---------- classic relational ----------
 
+    // ROLLUP hierarchy aggregation (grouping sets)
+    "q36_rollup" -> ((s, d) => li(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).as("qty_c"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("qty_c"))),
+
+    // semi/anti joins: orders with and without any lineitem in a range
+    "q37_semi_anti" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val liBig = li(s, d).filter(col("l_quantity") >= 25)
+      val withBig = o.join(liBig, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), lit(1).as("has_big"))
+      val withoutBig = o.join(liBig, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), lit(0).as("has_big"))
+      withBig.unionByName(withoutBig)
+        .groupBy("has_big").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // line-tile enumeration (pyramid join membership; engine-only —
+    // rasterization semantics not SQL-expressible; golden-tested in sbt)
+    "q38_line_tiles" -> ((s, d) => {
+      import s.implicits._
+      val p = points(s, d).select(col("l_orderkey"), col("l_linenumber"), col("cell"))
+        .as[(Long, Int, Long)]
+      val lines = p.groupByKey(_._1).mapGroups { (k, it) =>
+        val vs = it.toArray.sortBy(_._2).map(_._3)
+        graft.encode.Feature(vs(0), vs, k % 256)
+      }.filter(f => f.vertices.length >= 2)
+      graft.render.Render.renderVectorTiles(None, Some(lines), 8, 48,
+        graft.core.RenderParams(), requireOwn = false)
+        .toDF().select(col("z"), col("x"), col("y"), length(col("png")).as("mvt_bytes"))
+    }),
+
     "q32_tpch_q1" -> ((s, d) => li(s, d)
       .filter(expr("unix_timestamp(l_shipdate) <= 904694400"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -480,6 +517,21 @@ object SparkEntry {
       s"""SELECT event_type, (epoch_us(ts) // 1000000) // 60 AS minute,
          | count(*) AS cnt, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
          | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q36_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         | count(*) AS cnt,
+         | sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " "),
+
+    "q37_semi_anti" ->
+      s"""SELECT has_big, count(*) AS cnt FROM (
+         | SELECT o_orderkey, 1 AS has_big FROM orders
+         |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 25)
+         | UNION ALL
+         | SELECT o_orderkey, 0 AS has_big FROM orders
+         |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 25)
+         |) t GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "q32_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
