@@ -323,13 +323,20 @@ object SparkEntry {
     // rasterization semantics not SQL-expressible; golden-tested in sbt)
     "q38_line_tiles" -> ((s, d) => {
       import s.implicits._
-      val p = points(s, d).select(col("l_orderkey"), col("l_linenumber"), col("cell"))
-        .as[(Long, Int, Long)]
+      // polylines: per order, vertices stepped off the order's base point
+      // (spatially short lines — the realistic trajectory shape)
+      val p = points(s, d).select(col("l_orderkey"), col("l_linenumber"), col("x32"), col("y32"))
+        .as[(Long, Int, Long, Long)]
       val lines = p.groupByKey(_._1).mapGroups { (k, it) =>
-        val vs = it.toArray.sortBy(_._2).map(_._3)
+        val rows = it.toArray.sortBy(_._2)
+        val bx = rows(0)._3; val by = rows(0)._4
+        val vs = rows.indices.map { i =>
+          graft.core.Cell.truncate(graft.core.Cell.encode(
+            (bx + i * 65536L) & 0xFFFFFFFFL, (by + i * 32768L) & 0xFFFFFFFFL), 48)
+        }.toArray
         graft.encode.Feature(vs(0), vs, k % 256)
       }.filter(f => f.vertices.length >= 2)
-      graft.render.Render.renderVectorTiles(None, Some(lines), 8, 48,
+      graft.render.Render.renderVectorTiles(None, Some(lines), 10, 48,
         graft.core.RenderParams(), requireOwn = false)
         .toDF().select(col("z"), col("x"), col("y"), length(col("png")).as("mvt_bytes"))
     }),

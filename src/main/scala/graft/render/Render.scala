@@ -46,26 +46,25 @@ object Render {
       .repartitionByRange(parts, col("cell"), col("meta"))
       .sortWithinPartitions(col("cell"), col("meta"))
     // cache to freeze the physical partitioning between the count pass
-    // and the rank pass (the two jobs must see identical partitions);
-    // RDD mapPartitionsWithIndex gives a per-RDD partition index that
-    // stays correct under later unions (TaskContext ids do not)
+    // and the rank pass (the two jobs must see identical partitions).
+    // rank = partitionOffset + local index, computed entirely with
+    // codegen'd expressions: monotonically_increasing_id() packs
+    // (partitionId << 33) | localIndex deterministically on the frozen
+    // partitioning — no Row-object conversion on the (wide) scan.
     val frozen = sorted.cache()
-    val rdd = frozen.rdd
-    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().toMap
-    val n = rdd.getNumPartitions
-    val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L)).toArray
-    val schema = org.apache.spark.sql.types.StructType(
-      frozen.schema.fields :+ org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))
-    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var r = offsets(pid)
-      it.map { row =>
-        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
-        r += 1
-        out
-      }
-    }
-    frozen.sparkSession.createDataFrame(ranked, schema)
+    val withMid = frozen.withColumn("_mid", monotonically_increasing_id())
+    val counts = withMid
+      .groupBy(shiftrightunsigned(col("_mid"), 33).as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val maxPid = if (counts.isEmpty) 0L else counts.keys.max
+    val offsets = (0L to maxPid).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val offsetMap = map((0L to maxPid).flatMap(i => Seq(lit(i), lit(offsets(i.toInt)))): _*)
+    withMid
+      .withColumn("rank",
+        element_at(offsetMap, shiftrightunsigned(col("_mid"), 33)) +
+          col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("_mid")
   }
 
   /** Does a point rendered at zDraw use a brush larger than one pixel
