@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** kNN ring-expansion correctness including the sparse-region fallback
+  * (queries whose ring has < k candidates or whose k-th neighbor is
+  * beyond the ring guarantee radius). */
+class KnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ring kNN equals brute force, including sparse-region fallback queries") {
+    import spark.implicits._
+    val r = new scala.util.Random(99)
+    // clustered points: dense blob + a few isolated outliers
+    val pts = ((0 until 5000).map(_ => (r.nextLong(1L << 24), r.nextLong(1L << 20), r.nextLong(1L << 20))) ++
+      (0 until 5).map(i => (900000L + i, (1L << 23) + i * 1000L, (1L << 23) + i * 1000L)))
+      .toDF("id", "x", "y")
+    // queries: some in the blob, some FAR outside it (forces fallback)
+    val qs = ((0 until 5).map(i => (i.toLong, r.nextLong(1L << 20), r.nextLong(1L << 20))) ++
+      (5 until 10).map(i => (i.toLong, (1L << 23) + r.nextLong(1L << 20), (1L << 23) + r.nextLong(1L << 20))))
+      .toDF("qid", "qx", "qy")
+
+    val got = graft.join.Knn.knnJoin(spark, pts, qs, k = 7, tileShift = 14)
+      .select("qid", "id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // brute force expected
+    val allPts = pts.as[(Long, Long, Long)].collect()
+    val allQs = qs.as[(Long, Long, Long)].collect()
+    allQs.foreach { case (qid, qx, qy) =>
+      val expect = allPts.map { case (id, x, y) =>
+        (id, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+      }.sortBy(t => (t._2, t._1)).take(7).map(_._1).toSeq
+      assert(got(qid) == expect, s"qid=$qid")
+    }
+  }
+}
