@@ -25,7 +25,7 @@ object Scaling {
     val imgPath = s"/tmp/graft_bench/images_$tag"
     // scaling evidence needs enough parallel work to dominate fixed
     // job costs: 4x the bench rows and a deeper pyramid
-    val zooms = 0 to 10
+    val zooms = 0 to 11
 
     args.headOption match {
       case Some("report") => report(sfDir)
@@ -64,7 +64,7 @@ object Scaling {
          |
          |Identical headline job (image+caption table -> geotag/cell encode ->
          |range-partitioned sorted snapshot -> broadcast R-tree PIP join ->
-         |tile rasterization pyramid z0..10) run at two parallelism levels
+         |tile rasterization pyramid z0..11) run at two parallelism levels
          |(N=$LoCpus and 4N=$HiCpus cores) on the same input, each level in
          |a fresh JVM, min of 2 repetitions (the sandbox substitute for
          |N vs 4N executors; this host's raw CPU scaling ceiling measured

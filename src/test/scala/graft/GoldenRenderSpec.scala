@@ -60,20 +60,21 @@ class GoldenRenderSpec extends AnyFunSuite {
       .toDF("cell", "meta", "rank")
   }
 
-  def refTile(z: Int, x: Int, y: Int): Array[Byte] = {
-    val (rc, png) = RefBinaries.run("render", Seq(refDir, z.toString, x.toString, y.toString))
+  def refTile(z: Int, x: Int, y: Int, flags: Seq[String] = Nil): Array[Byte] = {
+    val (rc, png) = RefBinaries.run("render", flags ++ Seq(refDir, z.toString, x.toString, y.toString))
     assert(rc == 0)
     png
   }
 
-  def ourTile(z: Int, x: Int, y: Int): Option[Array[Byte]] = {
-    val tiles = Render.renderPoints(pointsDf, z, mapbits, RenderParams()).collect()
+  def ourTile(z: Int, x: Int, y: Int, params: RenderParams = RenderParams()): Option[Array[Byte]] = {
+    val tiles = Render.renderPoints(pointsDf, z, mapbits, params).collect()
     tiles.find(t => t.x == x && t.y == y).map(_.png)
   }
 
-  def comparePixels(z: Int, x: Int, y: Int): (Double, Int, Int) = {
-    val (refRgba, _, _) = Png.decode(refTile(z, x, y))
-    val ours = ourTile(z, x, y)
+  def comparePixels(z: Int, x: Int, y: Int, flags: Seq[String] = Nil,
+                    params: RenderParams = RenderParams()): (Double, Int, Int) = {
+    val (refRgba, _, _) = Png.decode(refTile(z, x, y, flags))
+    val ours = ourTile(z, x, y, params)
     assert(ours.isDefined, s"no tile rendered at $z/$x/$y")
     val (ourRgba, _, _) = Png.decode(ours.get)
     val psnr = Png.psnr(refRgba, ourRgba)
@@ -116,6 +117,24 @@ class GoldenRenderSpec extends AnyFunSuite {
     val (psnr, refSup, ourSup) = comparePixels(10, x, y)
     assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 500), s"support mismatch ref=$refSup ours=$ourSup")
     assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  for ((name, flags, params) <- Seq(
+    ("no antialias (-a, Bresenham)", Seq("-a"), RenderParams(antialias = false)),
+    ("color ramp (-C 0:0:255:360 hue map)", Seq("-C", "0:0:255:360"),
+      RenderParams(colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
+    ("gamma 1.0 + white bg (-G 1 -w)", Seq("-G", "1", "-w"),
+      RenderParams(gamma = 1.0, bg = 0xFFFFFF, invert = true)),
+    ("mask mode (-m)", Seq("-m"), RenderParams(mask = true)),
+    ("meta ceiling (-x l100 / maxmeta=100)", Seq("-x", "l100"), RenderParams(maxmeta = 100)),
+    ("custom colors (-c 3366cc -S ffcc00 -t 128)", Seq("-c", "3366cc", "-S", "ffcc00", "-t", "128"),
+      RenderParams(color = 0x3366cc, color2 = 0xffcc00, transparency = 128)))) {
+    test(s"tone-map variant: $name matches reference") {
+      val (x, y) = denseTile(14)
+      val (psnr, refSup, ourSup) = comparePixels(14, x, y, flags, params)
+      assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
+      assert(psnr >= 40.0, s"psnr=$psnr refSup=$refSup")
+    }
   }
 
   test("render -d join rows: tile membership identical to reference") {
