@@ -6,11 +6,30 @@ package graft.core
  * aggregation buffer — elementwise addition is associative and
  * commutative, so partial canvases merge safely across Spark partitions
  * (reference kernel: graphics.c:221-235).
+ *
+ * Scale-minded internals: the hue planes are allocated lazily (most
+ * renders have no color ramp) and the touched row range is tracked so
+ * reset/tone-map only walk dirty memory — at high zooms most tiles are
+ * nearly empty and the canvas traffic, not the drawing, is the cost.
  */
 final class Canvas(val width: Int, val height: Int) extends Serializable {
   val image = new Array[Double](width * height)
-  val cx = new Array[Double](width * height)
-  val cy = new Array[Double](width * height)
+  private var cxArr: Array[Double] = null
+  private var cyArr: Array[Double] = null
+
+  /** dirty row range [minY, maxY] (inclusive); minY > maxY = untouched */
+  var minY: Int = height
+  var maxY: Int = -1
+
+  def cx: Array[Double] = {
+    if (cxArr == null) cxArr = new Array[Double](width * height)
+    cxArr
+  }
+  def cy: Array[Double] = {
+    if (cyArr == null) cyArr = new Array[Double](width * height)
+    cyArr
+  }
+  def hasHue: Boolean = cxArr != null
 
   var clipx: Int = 0
   var clipy: Int = 0
@@ -21,12 +40,18 @@ final class Canvas(val width: Int, val height: Int) extends Serializable {
     clipx = x; clipy = y; clipw = w; cliph = h
   }
 
-  /** Zero all accumulators (buffer reuse across tiles — the canvases
-    * are the dominant allocation in the render reducer). */
+  /** Zero the dirty region (buffer reuse across tiles). */
   def reset(): Unit = {
-    java.util.Arrays.fill(image, 0.0)
-    java.util.Arrays.fill(cx, 0.0)
-    java.util.Arrays.fill(cy, 0.0)
+    if (maxY >= minY) {
+      val from = minY * width
+      val until = (maxY + 1) * width
+      java.util.Arrays.fill(image, from, until, 0.0)
+      if (cxArr != null) {
+        java.util.Arrays.fill(cxArr, from, until, 0.0)
+        java.util.Arrays.fill(cyArr, from, until, 0.0)
+      }
+    }
+    minY = height; maxY = -1
     clipx = 0; clipy = 0; clipw = Int.MaxValue; cliph = Int.MaxValue
   }
 
@@ -38,6 +63,8 @@ final class Canvas(val width: Int, val height: Int) extends Serializable {
         x0 >= clipx && x0 < clipx + clipw && y0 >= clipy && y0 < clipy + cliph) {
       val i = y0 * width + x0
       image(i) += bright
+      if (y0 < minY) minY = y0
+      if (y0 > maxY) maxY = y0
       if (hue >= 0) {
         cx(i) += bright * math.cos(hue * 2 * math.Pi)
         cy(i) += bright * math.sin(hue * 2 * math.Pi)
@@ -59,9 +86,19 @@ final class Canvas(val width: Int, val height: Int) extends Serializable {
     var i = 0
     val n = width * height
     while (i < n) {
-      image(i) += o.image(i); cx(i) += o.cx(i); cy(i) += o.cy(i)
+      image(i) += o.image(i)
       i += 1
     }
+    if (o.hasHue) {
+      val tcx = cx; val tcy = cy // force alloc
+      i = 0
+      while (i < n) {
+        tcx(i) += o.cx(i); tcy(i) += o.cy(i)
+        i += 1
+      }
+    }
+    minY = math.min(minY, o.minY)
+    maxY = math.max(maxY, o.maxY)
     this
   }
 
@@ -194,9 +231,7 @@ object Raster {
   private final val Mult = 9
 
   /** Precompute the disk / Gaussian brush kernel at 9x supersampling,
-    * brightness-normalized (graphics.c:429-490). Returns (width, weights)
-    * where weights already include the 1/(Mult*Mult) factor folded in at
-    * draw time by the caller. */
+    * brightness-normalized (graphics.c:429-490). */
   def brushKernel(brush: Double, gaussian: Boolean): (Int, Array[Double]) = {
     val radius = Mult * math.sqrt(brush / math.Pi)
     val bigwidth = 2 * math.ceil(radius / Mult).toInt * Mult + Mult
@@ -250,8 +285,8 @@ object Raster {
                 brush: Double, hue: Double, gaussian: Boolean): Unit = {
     val (bw, weights) = brushCache.computeIfAbsent((brush, gaussian),
       _ => brushKernel(brush, gaussian))
-    val x = xIn - (math.ceil(bw / 2.0 - 0.5) + .5) // C: ceil(brushwidth/2) int division
-    val y = yIn - (math.ceil(bw / 2.0 - 0.5) + .5)
+    val x = xIn - (bw / 2 + .5)
+    val y = yIn - (bw / 2 + .5)
     if (x + bw < 0 || y + bw < 0 || x - bw > g.width || y - bw > g.height) return
     var xx = 0
     while (xx < bw) {

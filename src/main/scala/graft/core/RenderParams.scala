@@ -141,6 +141,7 @@ object ToneMap {
     }
     val limit2 = 1.0
     val limit = limit2 / 2
+    val hasHue = g.hasHue
 
     val (r, gg, b) =
       if (p.color < 0) (128, 128, 128)
@@ -153,11 +154,30 @@ object ToneMap {
       if (p.color2 < 0) (fg, fg, fg)
       else ((p.color2 >> 16) & 0xFF, (p.color2 >> 8) & 0xFF, p.color2 & 0xFF)
 
-    var i = 0
-    while (i < n) {
+    // background fast fill: zero-brightness pixels map to the constant
+    // bg pixel; fill the whole buffer with it (doubling arraycopy), then
+    // tone-map only the canvas's dirty rows — at high zooms most tiles
+    // are nearly empty and this is the dominant memory traffic.
+    // Mask mode inverts zero pixels (they are NOT background), so it
+    // keeps the full-canvas loop.
+    val fast = !p.mask
+    if (fast) {
+      buf(0) = bgR.toByte; buf(1) = bgG.toByte; buf(2) = bgB.toByte; buf(3) = p.transparency.toByte
+      var filled = 4
+      while (filled < buf.length) {
+        val copy = math.min(filled, buf.length - filled)
+        System.arraycopy(buf, 0, buf, filled, copy)
+        filled += copy
+      }
+      if (g.maxY < g.minY) return buf // untouched canvas: all background
+    }
+
+    var i = if (fast) g.minY * g.width else 0
+    val end = if (fast) (g.maxY + 1) * g.width else n
+    while (i < end) {
       var sat = 0.0
       var midr = r; var midg = gg; var midb = b
-      if (!(g.cx(i) == 0 && g.cy(i) == 0)) {
+      if (hasHue && !(g.cx(i) == 0 && g.cy(i) == 0)) {
         var h = math.atan2(g.cy(i), g.cx(i)) / (2 * math.Pi)
         if (g.image(i) != 0)
           sat = math.sqrt(g.cx(i) * g.cx(i) + g.cy(i) * g.cy(i)) / g.image(i)
@@ -193,10 +213,12 @@ object ToneMap {
       }
 
       if (v == 0) {
-        buf(4 * i) = bgR.toByte
-        buf(4 * i + 1) = bgG.toByte
-        buf(4 * i + 2) = bgB.toByte
-        buf(4 * i + 3) = p.transparency.toByte
+        if (!fast) {
+          buf(4 * i) = bgR.toByte
+          buf(4 * i + 1) = bgG.toByte
+          buf(4 * i + 2) = bgB.toByte
+          buf(4 * i + 3) = p.transparency.toByte
+        } // else: already background-filled
       } else {
         if (sat != 0 && v > limit2 * p.colorCap) v = limit2 * p.colorCap
         if (!p.saturate) {

@@ -431,6 +431,9 @@ object Render {
     val hotTiles = partials.groupByKey(_._1).mapGroups { (tkey, it) =>
       val z = Cell.tileKeyZ(tkey)
       val merged = new Canvas(p.tilesize, p.tilesize)
+      // raw-array merge bypasses putPixel: mark the whole canvas dirty
+      merged.minY = 0
+      merged.maxY = p.tilesize - 1
       it.foreach { case (_, img, cx, cy) =>
         var i = 0
         while (i < img.length) {
