@@ -34,5 +34,6 @@ package object functions {
       es => CellEncodeExpr(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
     reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(Cast(es.head, LongType)), "built-in")
     reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(Cast(es.head, LongType)), "built-in")
+    reg.createOrReplaceTempFunction("dot_ff", es => DotProductExpr(es(0), es(1)), "built-in")
   }
 }

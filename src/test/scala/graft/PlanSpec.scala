@@ -67,6 +67,17 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.trim.startsWith("*("), "cell_x not under codegen:\n" + plan.take(1500))
   }
 
+  test("SparkSessionExtensions applies cleanly (function injection)") {
+    // a fresh SparkSession with extensions can't be created in a JVM
+    // that already has one (getOrCreate reuses it), so verify the
+    // injection applies and the same builders work via the registry
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.registerAll(spark)
+    val r = spark.sql("SELECT dot_ff(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+  }
+
   test("sql registration: cell functions usable from spark.sql") {
     graft.functions.registerAll(spark)
     val r = spark.sql("SELECT cell_x(cell_encode(123456789, 987654321)) AS x, cell_y(cell_encode(123456789, 987654321)) AS y")
