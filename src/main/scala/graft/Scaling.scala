@@ -73,7 +73,7 @@ object Scaling {
          || config | value |
          ||---|---|
          || input rows (images) | $rows |
-         || zoom range | 0..8 |
+         || zoom range | 0..11 |
          || tiles rendered | $tiles |
          || JVM heap | ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")} |
          || local[$LoCpus]: encode / pip / render sec | ${r8(3)}%.1f / ${r8(4)}%.1f / ${r8(5)}%.1f |
