@@ -90,6 +90,52 @@ object Cell {
   def tileKeyX(key: Long): Int = compact(key & 0x0155555555555555L)
   def tileKeyY(key: Long): Int = compact((key >>> 1) & 0x0155555555555555L)
 
+  /**
+   * Cover an inclusive world-coordinate bbox with at most ~maxRanges
+   * contiguous cell-id ranges (quadtree decomposition). Turns bbox
+   * predicates into BETWEEN range unions that Parquet min/max statistics
+   * can prune — the Z-order equivalent of an R-tree window query.
+   * The union of ranges is a superset of the bbox (callers re-filter
+   * exactly); ranges are sorted and disjoint.
+   */
+  def coverRanges(xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+                  maxRanges: Int = 32): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // budget-limited DFS over quadtree nodes (z, tx, ty)
+    def node(z: Int, tx: Long, ty: Long, budget: Int): Int = {
+      val span = if (z == 0) 4294967296L else 1L << (32 - z)
+      val nx0 = tx * span; val nx1 = nx0 + span - 1
+      val ny0 = ty * span; val ny1 = ny0 + span - 1
+      if (nx1 < xmin || nx0 > xmax || ny1 < ymin || ny0 > ymax) return budget
+      if (nx0 >= xmin && nx1 <= xmax && ny0 >= ymin && ny1 <= ymax) {
+        out += ((tileRangeLo(z, tx.toInt, ty.toInt), tileRangeHi(z, tx.toInt, ty.toInt)))
+        return budget
+      }
+      if (budget <= 4 || z == 32) {
+        // out of budget: emit the whole node (superset)
+        out += ((tileRangeLo(z, tx.toInt, ty.toInt), tileRangeHi(z, tx.toInt, ty.toInt)))
+        return budget
+      }
+      var b = budget - 4
+      // children in Z order: (y,x) bit order matches the cell layout
+      b = node(z + 1, tx * 2, ty * 2, b)
+      b = node(z + 1, tx * 2 + 1, ty * 2, b)
+      b = node(z + 1, tx * 2, ty * 2 + 1, b)
+      b = node(z + 1, tx * 2 + 1, ty * 2 + 1, b)
+      b
+    }
+    node(0, 0, 0, maxRanges * 4)
+    // merge adjacent/overlapping ranges
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      if (merged.nonEmpty && lo <= merged.last._2 + 1 && merged.last._2 >= lo - 1)
+        merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, hi))
+      else merged += ((lo, hi))
+    }
+    merged.toSeq
+  }
+
   /** Ring of tiles within Chebyshev distance r of (tx,ty) at zoom z,
     * including the center; x wraps around the antimeridian, y clamps.
     * This is the kRing primitive used by overzoom brush spill

@@ -76,6 +76,19 @@ object TileOps {
     points.filter(col("x32") >= left && col("x32") <= right &&
       col("y32") >= top && col("y32") <= bottom)
 
+  /** bbox filter via Z-order range decomposition on the `cell` column:
+    * the BETWEEN union pushes to Parquet min/max pruning on the sorted
+    * table (the x/y predicates alone cannot prune Z-ordered files);
+    * the exact bbox re-filter runs on the surviving rows. */
+  def bboxRangeScan(points: DataFrame, left: Long, top: Long, right: Long, bottom: Long,
+                    maxRanges: Int = 32): DataFrame = {
+    val ranges = Cell.coverRanges(left, right, top, bottom, maxRanges)
+    val rangePred = ranges.map { case (lo, hi) => col("cell").between(lo, hi) }.reduce(_ || _)
+    points.filter(rangePred)
+      .filter(col("x32") >= left && col("x32") <= right &&
+        col("y32") >= top && col("y32") <= bottom)
+  }
+
   /** Sibling completion (enumerate -s, enumerate.c:86-118): for every
     * non-empty tile at zoom z, emit the empty tiles of its parent quad. */
   def missingSiblings(points: DataFrame, z: Int): DataFrame = {

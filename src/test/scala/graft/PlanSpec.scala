@@ -48,6 +48,32 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("cell") && !readSchema.contains("image_id"), readSchema)
   }
 
+  test("bbox Z-range scan equals plain bbox filter and pushes cell ranges") {
+    import spark.implicits._
+    val table = spark.read.parquet(sortedPath)
+    val (l, t, rr, b) = (1L << 30, 1L << 29, 3L << 30, (1L << 31) + (1L << 29))
+    val plain = graft.query.TileOps.bboxFilter(
+      table.select(col("cell"),
+        graft.functions.cell_x(col("cell")).as("x32"),
+        graft.functions.cell_y(col("cell")).as("y32")), l, t, rr, b)
+      .select("cell").as[Long].collect().sorted.toSeq
+    val ranged = graft.query.TileOps.bboxRangeScan(
+      table.select(col("cell"),
+        graft.functions.cell_x(col("cell")).as("x32"),
+        graft.functions.cell_y(col("cell")).as("y32")), l, t, rr, b)
+      .select("cell").as[Long].collect().sorted.toSeq
+    assert(plain == ranged)
+    assert(plain.nonEmpty)
+    // range predicate reaches the parquet scan
+    val q = graft.query.TileOps.bboxRangeScan(
+      table.select(col("cell"),
+        graft.functions.cell_x(col("cell")).as("x32"),
+        graft.functions.cell_y(col("cell")).as("y32")), l, t, rr, b)
+    val plan = formatted(q.select("cell"))
+    assert(plan.contains("PushedFilters") && plan.contains("Or(And(GreaterThanOrEqual(cell"),
+      plan.split("\n").filter(_.contains("PushedFilters")).mkString(";").take(400))
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")

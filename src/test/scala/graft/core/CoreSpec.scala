@@ -176,6 +176,27 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("coverRanges: cell in bbox <=> cell in some range (superset + exactness inside)") {
+    forAllSamples { r =>
+      val x1 = r.nextLong(1L << 32); val x2 = r.nextLong(1L << 32)
+      val y1 = r.nextLong(1L << 32); val y2 = r.nextLong(1L << 32)
+      val (xmin, xmax) = (math.min(x1, x2), math.max(x1, x2))
+      val (ymin, ymax) = (math.min(y1, y2), math.max(y1, y2))
+      val ranges = Cell.coverRanges(xmin, xmax, ymin, ymax, 32)
+      assert(ranges.nonEmpty && ranges.size <= 64)
+      // disjoint + sorted
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(h1 < l2)
+        case _ =>
+      }
+      // any point inside the bbox must be covered
+      val px = xmin + (if (xmax > xmin) math.abs(r.nextLong()) % (xmax - xmin + 1) else 0)
+      val py = ymin + (if (ymax > ymin) math.abs(r.nextLong()) % (ymax - ymin + 1) else 0)
+      val c = Cell.encode(px, py)
+      assert(ranges.exists { case (lo, hi) => c >= lo && c <= hi }, s"uncovered ($px,$py)")
+    }
+  }
+
   test("png encode/decode roundtrip and psnr") {
     val w = 16; val h = 16
     val rgba = Array.tabulate[Byte](w * h * 4)(i => ((i * 37) & 0xFF).toByte)
