@@ -93,7 +93,9 @@ object SparkEntry {
     // A3: enumerate rollup over zooms 0..8 with exact centroid sums
     "q04_enum_rollup" -> ((s, d) => TileOps.enumerateRollup(points(s, d), 0, 8)),
 
-    // P3: bbox filter in world coords
+    // P3: bbox filter in world coords (the Z-range decomposition variant
+    // is exercised in PlanSpec over a stored sorted table, where the
+    // BETWEEN union prunes parquet; on derived columns it's pure cost)
     "q05_bbox" -> ((s, d) => TileOps.bboxFilter(points(s, d),
       left = 1L << 30, top = 1L << 29, right = 3L << 30, bottom = (1L << 31) + (1L << 29))
       .select(col("l_orderkey"), col("l_linenumber"))),

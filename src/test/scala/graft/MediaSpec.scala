@@ -106,6 +106,21 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.forall(_.rgb.length == 8 * 8 * 3))
   }
 
+  test("tileset writer: z/x/y.png layout + metadata.json") {
+    import spark.implicits._
+    val geo = ImageTable.generateGeo(spark, 1000).toDF().select(col("cell"), col("meta"))
+    val tiles = graft.render.Render.renderTiles(Some(geo), None, 15, 48, graft.core.RenderParams())
+    val dir = java.nio.file.Files.createTempDirectory("tileset").toString
+    graft.sinks.Sinks.writeTileset(tiles, dir, "test")
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "metadata.json"))
+    assert(meta.contains("\"minzoom\": 15") && meta.contains("\"format\": \"png\""))
+    val z15 = new java.io.File(dir, "15")
+    assert(z15.isDirectory && z15.listFiles().nonEmpty)
+    val onePng = z15.listFiles().head.listFiles().head
+    val (rgba, w, h) = Png.decode(java.nio.file.Files.readAllBytes(onePng.toPath))
+    assert(w == 256 && h == 256 && rgba.length == 256 * 256 * 4)
+  }
+
   test("assemble mode stitches a bbox into one image") {
     import spark.implicits._
     val geo = graft.render.Render.withGlobalRank(
