@@ -68,19 +68,19 @@ class GoldenLineSpec extends AnyFunSuite {
     spark.createDataset(feats)
   }
 
-  def compareTile(z: Int, x: Int, y: Int): (Double, Int, Int) = {
+  def compareTile(z: Int, x: Int, y: Int, flags: Seq[String] = Nil,
+                  params: RenderParams = RenderParams()): (Double, Int, Int) = {
     refDir // force encode
-    val (rc, png) = RefBinaries.run("render", Seq(refDir, z.toString, x.toString, y.toString))
+    val (rc, png) = RefBinaries.run("render", flags ++ Seq(refDir, z.toString, x.toString, y.toString))
     assert(rc == 0)
     val (refRgba, _, _) = Png.decode(png)
-    val tiles = Render.renderTiles(None, Some(featuresDs), z, mapbits, RenderParams(),
+    val tiles = Render.renderTiles(None, Some(featuresDs), z, mapbits, params,
       requireOwn = false, only = Some((tx, ty) => tx == x && ty == y)).collect()
     val ours = tiles.find(t => t.x == x && t.y == y)
     // a tile no feature touches is pure background (the reference still
     // emits a PNG; our pipeline emits nothing — equivalent output)
     val ourPng = ours.map(_.png).getOrElse {
-      val p = RenderParams()
-      Png.encode(ToneMap(new Canvas(p.tilesize, p.tilesize), p), p.tilesize, p.tilesize)
+      Png.encode(ToneMap(new Canvas(params.tilesize, params.tilesize), params), params.tilesize, params.tilesize)
     }
     val (ourRgba, _, _) = Png.decode(ourPng)
     def support(b: Array[Byte]) = b.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
@@ -98,6 +98,20 @@ class GoldenLineSpec extends AnyFunSuite {
       val (psnr, refSup, ourSup) = compareTile(z, x, y)
       assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
       assert(psnr >= 40.0, s"psnr=$psnr refSup=$refSup ourSup=$ourSup")
+    }
+  }
+
+  for ((name, flags, params) <- Seq(
+    ("thick lines (-L 3)", Seq("-L", "3"), RenderParams(lineThick = 3)),
+    ("line ramp (-l 1.3)", Seq("-l", "1.3"), RenderParams(lineRamp = 1.3)),
+    ("GPS attenuation (-g)", Seq("-g"), RenderParams(gps = true)),
+    ("gps params (-g -O 14:800:1.4)", Seq("-g", "-O", "14:800:1.4"),
+      RenderParams(gps = true, gpsBase = 14, gpsDist = 800, gpsRamp = 1.4)))) {
+    test(s"line param variant: $name matches reference") {
+      val (x, y) = denseTile(14)
+      val (psnr, refSup, ourSup) = compareTile(14, x, y, flags, params)
+      assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
+      assert(psnr >= 40.0, s"psnr=$psnr refSup=$refSup")
     }
   }
 

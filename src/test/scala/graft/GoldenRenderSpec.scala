@@ -128,7 +128,11 @@ class GoldenRenderSpec extends AnyFunSuite {
     ("mask mode (-m)", Seq("-m"), RenderParams(mask = true)),
     ("meta ceiling (-x l100 / maxmeta=100)", Seq("-x", "l100"), RenderParams(maxmeta = 100)),
     ("custom colors (-c 3366cc -S ffcc00 -t 128)", Seq("-c", "3366cc", "-S", "ffcc00", "-t", "128"),
-      RenderParams(color = 0x3366cc, color2 = 0xffcc00, transparency = 128)))) {
+      RenderParams(color = 0x3366cc, color2 = 0xffcc00, transparency = 128)),
+    ("brightness model (-B 10:0.1:1.3)", Seq("-B", "10:0.1:1.3"),
+      RenderParams(dotBase = 10, dotBright = 0.1, dotRamp = 1.3)),
+    ("mercator compensation (-M 40)", Seq("-M", "40"), RenderParams(mercatorLat = 40)),
+    ("dot-drop exponent (-e 1.5)", Seq("-e", "1.5"), RenderParams(exponent = 1.5)))) {
     test(s"tone-map variant: $name matches reference") {
       val (x, y) = denseTile(14)
       val (psnr, refSup, ourSup) = comparePixels(14, x, y, flags, params)
