@@ -132,7 +132,14 @@ class GoldenRenderSpec extends AnyFunSuite {
     ("brightness model (-B 10:0.1:1.3)", Seq("-B", "10:0.1:1.3"),
       RenderParams(dotBase = 10, dotBright = 0.1, dotRamp = 1.3)),
     ("mercator compensation (-M 40)", Seq("-M", "40"), RenderParams(mercatorLat = 40)),
-    ("dot-drop exponent (-e 1.5)", Seq("-e", "1.5"), RenderParams(exponent = 1.5)))) {
+    ("dot-drop exponent (-e 1.5)", Seq("-e", "1.5"), RenderParams(exponent = 1.5)),
+    ("meta brightness (-x b with ramp)", Seq("-x", "b", "-C", "0:0:255:360"),
+      RenderParams(metabright = true, colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
+    ("CIE uniform color (-x u with ramp)", Seq("-x", "u", "-C", "0:0:255:360"),
+      RenderParams(cie = true, colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
+    ("color cap (-x s0.5 with ramp)", Seq("-x", "s0.5", "-C", "0:0:255:360"),
+      RenderParams(colorCap = 0.5, colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
+    ("no saturate (-s)", Seq("-s"), RenderParams(saturate = false)))) {
     test(s"tone-map variant: $name matches reference") {
       val (x, y) = denseTile(14)
       val (psnr, refSup, ourSup) = comparePixels(14, x, y, flags, params)
