@@ -139,7 +139,9 @@ class GoldenRenderSpec extends AnyFunSuite {
       RenderParams(cie = true, colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
     ("color cap (-x s0.5 with ramp)", Seq("-x", "s0.5", "-C", "0:0:255:360"),
       RenderParams(colorCap = 0.5, colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
-    ("no saturate (-s)", Seq("-s"), RenderParams(saturate = false)))) {
+    ("no saturate (-s)", Seq("-s"), RenderParams(saturate = false)),
+    ("meta brush (-x r at z15)", Seq("-x", "r"), RenderParams(metabrush = true)),
+    ("tile size 512 (-T 512)", Seq("-T", "512"), RenderParams(tilesize = 512)))) {
     test(s"tone-map variant: $name matches reference") {
       val (x, y) = denseTile(14)
       val (psnr, refSup, ourSup) = comparePixels(14, x, y, flags, params)
