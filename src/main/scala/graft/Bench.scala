@@ -124,8 +124,16 @@ object Bench {
       name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8"}}""")
+    val json =
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8"}}"""
     spark.stop()
+    // Driver contract: the JSON must be machine-readable. Emit it as the
+    // final bare stdout line (after spark.stop(), whose logs go to stderr)
+    // AND persist it to a well-known file as a fallback.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
   }
 }

@@ -190,24 +190,15 @@ object SparkEntry {
     "q25_fingerprint" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
-    // near-dup signatures: engine-native (no SQL oracle; sbt-tested
-    // against brute-force Jaccard / Hamming)
+    // near-dup candidate pairs: portable minhash (PortableHash — same
+    // integer arithmetic as the DuckDB oracle), fused sig+band kernel,
+    // hot-bucket cap so a duplicate cluster can't go quadratic
     "q28_minhash_lsh" -> ((s, d) => {
-      // materialize the ngram set first (otherwise project collapse
-      // inlines the shingle pipeline once per permutation AND per band —
-      // a giant codegen unit that dominates runtime)
-      val grams = docs(s, d).select(col("doc_id"),
-        TextOps.ngrams(col("text"), 5).as("g")).cache()
-      val sig = grams.select(col("doc_id"),
-        array((0 until 16).map(pp =>
-          array_min(transform(col("g"), sh => xxhash64(sh, lit(pp))))): _*).as("sig")).cache()
-      val bands = sig.select(col("doc_id"),
-        explode(TextOps.lshBands(col("sig"), 4, 4)).as("band_key"))
-      val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      pairs
+      val eligible = docs(s, d)
+        .filter(length(regexp_replace(col("text"), "[^a-z ]", "")) >= 5)
+      val bands = eligible.select(col("doc_id"),
+        explode(TextOps.minhashBandKeys(col("text"), 5, 4, 4)).as("band_key"))
+      TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
     }),
 
     "q29_simhash" -> ((s, d) => docs(s, d)
@@ -369,7 +360,7 @@ object SparkEntry {
 
     "q04_enum_rollup" ->
       s"""SELECT z, (x32 >> (32 - z)) AS tx, (y32 >> (32 - z)) AS ty,
-         | count(*) AS cnt, sum(x32) AS xsum, sum(y32) AS ysum
+         | count(*) AS cnt, CAST(sum(x32) AS BIGINT) AS xsum, CAST(sum(y32) AS BIGINT) AS ysum
          | FROM $pointsSql p, (SELECT unnest(generate_series(0, 8)) AS z) zs
          | GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
 
@@ -488,6 +479,46 @@ object SparkEntry {
          |   WHERE v.vec_id <> q.vec_id) c) r
          | WHERE rn <= 10""".stripMargin.replace("\n", " "),
 
+    // portable-hash LSH oracles: the DuckDB side recomputes the exact
+    // same integer signature arithmetic (PortableHash/RhpSig generate
+    // both the JVM kernels and this SQL), so buckets, candidate pairs
+    // and top-k rerank match bit-for-bit.
+    "q28_minhash_lsh" -> {
+      import graft.text.PortableHash
+      val keys = (0 until 4).map(b => PortableHash.bandKeySql("sig", b, 4)).mkString("[", ", ", "]")
+      s"""WITH cl AS (SELECT doc_id, ${PortableHash.cleanSql("text")} AS clean FROM documents),
+         | hs AS (SELECT doc_id, list_transform(list_transform(generate_series(1, len(clean) - 4), i -> substr(clean, i, 5)), s -> ${PortableHash.polySql("s", 31)}) AS hh FROM cl WHERE len(clean) >= 5),
+         | sig AS (SELECT doc_id, ${PortableHash.minhashSigSql("hh", 16)} AS sig FROM hs),
+         | bands AS (SELECT doc_id, unnest($keys) AS band_key FROM sig),
+         | st AS (SELECT doc_id, band_key, count(*) OVER (PARTITION BY band_key) AS bcnt, min(doc_id) OVER (PARTITION BY band_key) AS bmin FROM bands),
+         | pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM st a JOIN st b ON a.band_key = b.band_key AND a.doc_id < b.doc_id WHERE a.bcnt <= 64
+         |  UNION ALL
+         |  SELECT bmin AS doc_a, doc_id AS doc_b FROM st WHERE bcnt > 64 AND doc_id <> bmin)
+         | SELECT DISTINCT doc_a, doc_b FROM pairs""".stripMargin.replace("\n", " ")
+    },
+
+    "q29_simhash" -> {
+      import graft.text.PortableHash
+      s"""WITH cl AS (SELECT doc_id, ${PortableHash.cleanSql("text")} AS clean FROM documents),
+         | tk AS (SELECT doc_id, list_filter(string_split(clean, ' '), x -> x <> '') AS toks FROM cl),
+         | hs AS (SELECT doc_id, list_transform(toks, t -> ${PortableHash.tokenHashSql("t")}) AS hh, len(toks) AS n FROM tk)
+         | SELECT doc_id, ${PortableHash.simhashSql("hh", "n")} AS simhash FROM hs""".stripMargin.replace("\n", " ")
+    },
+
+    "q28_ann_lsh" -> {
+      val comp = graft.text.RhpSig.compSql("pp.p", "i")
+      s"""WITH bits AS (SELECT e.vec_id, pp.p,
+         |   CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 63)) AS p) pp),
+         | bands AS (SELECT vec_id, p // 8 AS band, CAST(sum(bit << (p % 8)) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+         | qb AS (SELECT band, key, vec_id AS qid FROM bands WHERE vec_id < 5),
+         | cand AS (SELECT DISTINCT q.qid, v.vec_id FROM bands v JOIN qb q ON v.band = q.band AND v.key = q.key AND v.vec_id <> q.qid),
+         | scored AS (SELECT c.qid, c.vec_id, ${cosSql("v.embedding", "q.embedding")} AS cos
+         |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)
+         | SELECT qid, vec_id, cos, rn FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) r WHERE rn <= 10""".stripMargin.replace("\n", " ")
+    },
+
     "q31_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          | ${cosSql("a.embedding", "b.embedding")} AS cos
@@ -496,7 +527,7 @@ object SparkEntry {
 
     "q33_join_agg" ->
       s"""SELECT o_orderpriority, count(*) AS cnt,
-         | sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+         | CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | GROUP BY 1""".stripMargin.replace("\n", " "),
 
@@ -505,7 +536,7 @@ object SparkEntry {
          | SELECT l_returnflag, l_suppkey, qty_c,
          |   row_number() OVER (PARTITION BY l_returnflag ORDER BY qty_c DESC, l_suppkey) AS rn
          | FROM (SELECT l_returnflag, l_suppkey,
-         |   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+         |   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
          |   FROM lineitem GROUP BY 1, 2) a) r
          | WHERE rn <= 3""".stripMargin.replace("\n", " "),
 
@@ -524,13 +555,13 @@ object SparkEntry {
 
     "q30_window_agg" ->
       s"""SELECT event_type, (epoch_us(ts) // 1000000) // 60 AS minute,
-         | count(*) AS cnt, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+         | count(*) AS cnt, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
          | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "q36_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          | count(*) AS cnt,
-         | sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+         | CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
          | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " "),
 
     "q37_semi_anti" ->
@@ -544,8 +575,8 @@ object SparkEntry {
 
     "q32_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
-         | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+         | CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+         | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
          | count(*) AS cnt
          | FROM lineitem WHERE (epoch_us(l_shipdate) // 1000000) <= 904694400
          | GROUP BY 1, 2""".stripMargin.replace("\n", " ")

@@ -35,29 +35,26 @@ object Ann {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim i): a fixed-point value in [-0.5, 0.5) from xxhash64. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
   /** Random-hyperplane (SimHash-style) signature of an embedding:
-    * `planes` sign bits packed into a Long. */
+    * `planes` sign bits packed into a Long. Native codegen'd kernel
+    * (graft.text.RhpSig) whose plane components are pure-integer mixes
+    * that the DuckDB oracle reproduces exactly — the projections fold
+    * doubles in the same sequential order, so the sign bits (hence
+    * buckets and candidate sets) match bit-for-bit. */
   def rhpSignature(v: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.RhpSigExpr(expression(v), planes))
   }
 
   /** LSH-bucketed ANN: bucket = signature band; candidates share a
     * band; exact cosine rerank inside buckets; top-k per query.
     * Recall < 1 by construction (approximate); `bands`/`rowsPerBand`
-    * trade recall vs candidate count. */
+    * trade recall vs candidate count. Defaults (64 planes, 8 bands of
+    * 8 rows) give 256 possible keys per band — at round-1's 16/4 the
+    * 4-bit keys made every bucket hold n/16 of the corpus, i.e.
+    * near-all-pairs at scale. */
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 16, bands: Int = 4): DataFrame = {
+              planes: Int = 64, bands: Int = 8): DataFrame = {
     val rows = planes / bands
     val mask = (1L << rows) - 1
     def bandCols(sig: Column): Column =

@@ -65,20 +65,40 @@ object Sinks {
     Files.writeString(Paths.get(dir, "metadata.json"), json)
   }
 
+  /** min/max zoom gathered during the write pass (an up-front
+    * `tiles.map(_.z).distinct().collect()` would execute the full
+    * render DAG a second time just for the metadata header). */
+  private class ZRangeAcc extends org.apache.spark.util.AccumulatorV2[Int, (Int, Int)] {
+    private var mn = Int.MaxValue
+    private var mx = Int.MinValue
+    override def isZero: Boolean = mn == Int.MaxValue
+    override def copy(): ZRangeAcc = { val a = new ZRangeAcc; a.mn = mn; a.mx = mx; a }
+    override def reset(): Unit = { mn = Int.MaxValue; mx = Int.MinValue }
+    override def add(v: Int): Unit = { if (v < mn) mn = v; if (v > mx) mx = v }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[Int, (Int, Int)]): Unit =
+      other match { case o: ZRangeAcc => if (o.mn < mn) mn = o.mn; if (o.mx > mx) mx = o.mx }
+    override def value: (Int, Int) = (mn, mx)
+  }
+
   /** Tile table -> z/x/y.png files + metadata.json (the `render -o`
-    * tileset layout). Executor-parallel file writes. */
+    * tileset layout). Executor-parallel file writes; ONE render job
+    * (the zoom range for metadata.json rides along in an accumulator). */
   def writeTileset(tiles: Dataset[graft.render.TileOut], dir: String, name: String): Unit = {
     val spark = tiles.sparkSession
-    import spark.implicits._
-    val zs = tiles.map(t => t.z).distinct().collect()
+    val zAcc = new ZRangeAcc
+    spark.sparkContext.register(zAcc, "tileset-zoom-range")
     tiles.foreachPartition { (it: Iterator[graft.render.TileOut]) =>
       it.foreach { t =>
         val p = Paths.get(dir, t.z.toString, t.x.toString)
         Files.createDirectories(p)
         Files.write(p.resolve(t.y.toString + ".png"), t.png)
+        zAcc.add(t.z)
       }
     }
-    if (zs.nonEmpty) writeTilesetMetadata(dir, name, zs.min, zs.max)
+    if (!zAcc.isZero) {
+      val (mn, mx) = zAcc.value
+      writeTilesetMetadata(dir, name, mn, mx)
+    }
   }
 
   /**
@@ -147,10 +167,11 @@ object Sinks {
   /**
    * S10: write a dataset in the reference's own binary format —
    * per-(n,common) fully sorted packed record files + `meta` descriptor
-   * (encode.c:274-403). The records stream through the driver in sorted
-   * partition order (at cluster scale each (n,common) group would be
+   * (encode.c:274-403). TEST-ONLY golden-interop sink: the records
+   * stream through the driver in sorted partition order — do not point
+   * it at real data. At cluster scale each (n,common) group would be
    * written as per-partition files and concatenated by the storage
-   * layer; dataset files here are local).
+   * layer; dataset files here are local single files by design.
    */
   def writeDatamapsBinary(features: Dataset[Feature], dir: String,
                           encodeZoom: Int = 16, metabits: Int = 0): Unit = {
@@ -159,14 +180,16 @@ object Sinks {
     val mapbits = 2 * (encodeZoom + 8)
     Files.createDirectories(Paths.get(dir))
 
-    // pack every record, tagged with its (n, common) file identity
+    // pack every record, tagged with its (n, common) file identity;
+    // cached so the per-group loop below re-filters the cached packed
+    // rows instead of re-running the upstream DAG per group
     val packed: Dataset[(Int, Int, Array[Byte])] = features.map { f =>
       val xs = f.vertices.map(c => Cell.decodeX(c).toInt)
       val ys = f.vertices.map(c => Cell.decodeY(c).toInt)
       val n = xs.length
       val common = if (n > 1) BitPack.commonLevels(xs, ys, mapbits) else 0
       (n, common, BitPack.pack(xs, ys, f.meta, metabits, mapbits, metabits, common))
-    }
+    }.cache()
 
     val groups = packed.select(col("_1"), col("_2")).distinct()
       .as[(Int, Int)].collect().sorted
@@ -187,6 +210,7 @@ object Sinks {
       sorted.toLocalIterator.foreach(out.write)
       out.close()
     }
+    packed.unpersist()
     Files.writeString(Paths.get(dir, "meta"), s"1\n$mapbits $metabits $maxn\n")
   }
 }

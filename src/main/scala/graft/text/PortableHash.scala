@@ -1,0 +1,217 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Engine-portable signature hashes: every primitive here is pure
+ * integer (or exactly-reproducible double) arithmetic that DuckDB can
+ * compute with `list_reduce`/`list_transform`, so the MinHash / SimHash
+ * / random-hyperplane LSH pipelines get full SQL oracles instead of
+ * engine-only checks. One Scala object generates BOTH the JVM kernels
+ * (invoked from codegen'd Catalyst expressions — the hot path) and the
+ * DuckDB SQL text (the oracle), so the two can never drift.
+ *
+ * Hash design:
+ *  - Base string hash: polynomial fold `h -> (h*31 + c) % (2^31-1)`
+ *    seeded with the first char code (list_reduce-compatible; the same
+ *    scheme as the q25 fingerprint).
+ *  - MinHash permutation p: affine `(A_p*h + B_p) % (2^31-1)` over the
+ *    base shingle hash (classic universal hashing; products stay under
+ *    2^62 so BIGINT math is exact in both engines).
+ *  - Texts are sanitized to [a-z ] first (byte == codepoint, so
+ *    DuckDB's ascii() and a JVM byte loop agree on any input).
+ */
+object PortableHash {
+  final val P = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine constants for MinHash permutations
+    * (xorshift64; embedded as literals in the oracle SQL). */
+  private def gen(n: Int): (Array[Long], Array[Long]) = {
+    var s = 88172645463325252L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    val a = new Array[Long](n); val b = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      a(i) = Math.floorMod(next(), P - 1) + 1 // in [1, P-1]
+      b(i) = Math.floorMod(next(), P)         // in [0, P-1]
+      i += 1
+    }
+    (a, b)
+  }
+  final val MaxPerms = 64
+  private val (permA, permB) = gen(MaxPerms)
+  def a(p: Int): Long = permA(p)
+  def b(p: Int): Long = permB(p)
+
+  /** keep only bytes in [a-z ] — identical to
+    * regexp_replace(text, '[^a-z ]', '') because multi-byte UTF-8 units
+    * are >= 0x80 and never in the keep set. */
+  private def clean(text: UTF8String): (Array[Byte], Int) = {
+    val bytes = text.getBytes
+    val buf = new Array[Byte](bytes.length)
+    var m = 0; var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i)
+      if ((c >= 'a' && c <= 'z') || c == ' ') { buf(m) = c; m += 1 }
+      i += 1
+    }
+    (buf, m)
+  }
+
+  /** MinHash signature over character `k`-shingles of the sanitized
+    * text: perms mins of the affine-permuted shingle hashes. Duplicate
+    * shingles never change a min, so no distinct pass is needed.
+    * Texts with fewer than k clean chars yield no shingles — callers
+    * filter those out (the SQL side does the same). */
+  def minhashSig(text: UTF8String, k: Int, perms: Int): GenericArrayData = {
+    val (buf, m) = clean(text)
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var s = 0
+    while (s <= m - k) {
+      var h = (buf(s) & 0xFFL)
+      var j = 1
+      while (j < k) { h = (h * 31 + (buf(s + j) & 0xFFL)) % P; j += 1 }
+      var p = 0
+      while (p < perms) {
+        val aff = (permA(p) * h + permB(p)) % P
+        if (aff < mins(p)) mins(p) = aff
+        p += 1
+      }
+      s += 1
+    }
+    if (m < k) java.util.Arrays.fill(mins, 0L)
+    new GenericArrayData(mins)
+  }
+
+  /** 62-bit SimHash over whitespace tokens of the sanitized text.
+    * Token hash packs two 31-bit polynomial hashes (bases 31 and 37):
+    * h64 = (h31 << 31) | h37 — 62 meaningful bits, always >= 0, so
+    * BIGINT bit ops agree across engines. */
+  def simhash62(text: UTF8String): Long = {
+    val (buf, m) = clean(text)
+    val counters = new Array[Int](62)
+    var ntok = 0
+    var i = 0
+    while (i < m) {
+      if (buf(i) != ' ') {
+        var h31 = (buf(i) & 0xFFL); var h37 = h31
+        var j = i + 1
+        while (j < m && buf(j) != ' ') {
+          val c = buf(j) & 0xFFL
+          h31 = (h31 * 31 + c) % P
+          h37 = (h37 * 37 + c) % P
+          j += 1
+        }
+        val h64 = (h31 << 31) | h37
+        ntok += 1
+        var b0 = 0
+        while (b0 < 62) { counters(b0) += ((h64 >>> b0) & 1L).toInt; b0 += 1 }
+        i = j
+      } else i += 1
+    }
+    if (ntok == 0) return 0L
+    var out = 0L; var b0 = 0
+    while (b0 < 62) { if (2L * counters(b0) >= ntok) out |= 1L << b0; b0 += 1 }
+    out
+  }
+
+  /** LSH band key: polynomial fold of the band's signature slice,
+    * seeded with (band+1) so keys never collide across bands. */
+  def bandKey(sig: ArrayData, band: Int, rows: Int): Long = {
+    var acc = band + 1L
+    var j = 0
+    while (j < rows) { acc = (acc * 1000003L + sig.getLong(band * rows + j)) % P; j += 1 }
+    acc
+  }
+
+  /** Fused minhash -> band keys (one kernel call per row; feeding a
+    * separate sig column into per-band folds would get inlined by
+    * project collapse and recompute the signature rows*bands times). */
+  def minhashBands(text: UTF8String, k: Int, bands: Int, rows: Int): GenericArrayData = {
+    val sig = minhashSig(text, k, bands * rows)
+    new GenericArrayData(Array.tabulate(bands)(b => bandKey(sig, b, rows)))
+  }
+
+  // ---------- DuckDB SQL generators (the oracle side) ----------
+
+  /** `(h*base + c) % P` char fold of a string expression (DuckDB). */
+  def polySql(str: String, base: Int): String =
+    s"list_reduce(list_transform(string_split($str, ''), c -> ascii(c)::BIGINT), (h, c) -> (h*$base + c) % $P)"
+
+  def cleanSql(col: String): String = s"regexp_replace($col, '[^a-z ]', '', 'g')"
+
+  /** Per-document MinHash signature as a BIGINT list literal. */
+  def minhashSigSql(hhCol: String, perms: Int): String =
+    (0 until perms).map(p =>
+      s"list_min(list_transform($hhCol, h -> (${permA(p)}*h + ${permB(p)}) % $P))"
+    ).mkString("[", ", ", "]")
+
+  /** Band-key fold over a 1-based sig list column (DuckDB). */
+  def bandKeySql(sigCol: String, band: Int, rows: Int): String = {
+    var acc = s"${band + 1}"
+    var j = 0
+    while (j < rows) { acc = s"(($acc) * 1000003 + $sigCol[${band * rows + j + 1}]) % $P"; j += 1 }
+    s"($acc)"
+  }
+
+  /** SimHash of a token-hash list column + token count column. */
+  def simhashSql(hhCol: String, nCol: String): String = {
+    val bits = (0 until 62).map { b0 =>
+      s"CASE WHEN 2*CAST(list_sum(list_transform($hhCol, h -> (h >> $b0) & 1)) AS BIGINT) >= $nCol THEN (1::BIGINT << $b0) ELSE 0 END"
+    }.mkString(" + ")
+    s"CASE WHEN $nCol = 0 THEN 0 ELSE ($bits) END"
+  }
+
+  /** token hash h64 = (poly31 << 31) | poly37 (DuckDB, per token t). */
+  def tokenHashSql(t: String): String =
+    s"((${polySql(t, 31)} << 31) | ${polySql(t, 37)})"
+}
+
+/**
+ * Random-hyperplane signature kernel for embedding LSH. The plane
+ * component for (plane p, dim i) is a pure-integer mix reduced to a
+ * fixed-point double in [-0.5, 0.5) — exactly computable in DuckDB —
+ * and the projection is the same sequential double fold as the dot
+ * product oracle, so the sign bits (hence buckets and candidates)
+ * match the SQL oracle bit-for-bit.
+ */
+object RhpSig {
+  final val P = 2147483647L
+
+  /** integer mix — every intermediate stays under 2^63 for p < 64 and
+    * i < 2^20, so BIGINT arithmetic is exact in both engines. */
+  def comp(p: Int, i: Int): Double = {
+    var h = ((p.toLong * 1000003L + i + 12345L) * 2654435761L) % P
+    h = (h * 2654435761L + 104729L) % P
+    (h % 1000000L).toDouble / 1000000.0 - 0.5
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      Array.tabulate(np, d)((p, i) => comp(p, i))
+    })
+
+  /** sign-bit signature of a float-array embedding (bit p set iff the
+    * projection on plane p is >= 0). */
+  def signature(v: ArrayData, nPlanes: Int): Long = {
+    val dim = v.numElements()
+    val w = planes(nPlanes, dim)
+    var sig = 0L; var p = 0
+    while (p < nPlanes) {
+      val wp = w(p)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v.getFloat(i).toDouble * wp(i); i += 1 }
+      if (s >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** DuckDB expression for comp(p, i) with a 1-BASED index expr `i1`. */
+  def compSql(p: String, i1: String): String =
+    s"((((((($p)*1000003 + ($i1) - 1 + 12345) * 2654435761) % $P) * 2654435761 + 104729) % $P) % 1000000)::DOUBLE / 1000000.0 - 0.5"
+}

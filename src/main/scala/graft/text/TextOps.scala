@@ -99,37 +99,65 @@ object TextOps {
         (h, ch) => (h * 31 + ascii(ch)) % 2147483647L))
   }
 
-  // ---------- near-dup signatures (engine-native; verified by sbt tests
-  // against brute-force Jaccard/Hamming rather than the SQL oracle) ----
+  // ---------- near-dup signatures (portable hashes: the same integer
+  // arithmetic is generated as DuckDB SQL by PortableHash, so these get
+  // full SQL oracles; the Spark side runs as one codegen'd kernel call
+  // per row instead of interpreted HOFs) ----
 
-  /** MinHash signature: for each of `perms` permutations, the min over
-    * shingle hashes of xxhash64(shingle, seed). */
-  def minhashSignature(c: Column, shingle: Int, perms: Int): Column = {
-    val g = ngrams(c, shingle)
-    array((0 until perms).map { p =>
-      array_min(transform(g, s => xxhash64(s, lit(p))))
-    }: _*)
-  }
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
 
-  /** LSH band keys from a minhash signature: hash of each band's slice.
-    * Join on (band, key) to get candidate pairs. */
+  /** MinHash signature over character `shingle`-grams of the sanitized
+    * ([a-z ]-only) text: array of `perms` affine-permuted minima.
+    * Callers must exclude texts with < `shingle` clean chars (the SQL
+    * oracle filters them the same way). */
+  def minhashSignature(c: Column, shingle: Int, perms: Int): Column =
+    column(graft.functions.MinhashSigExpr(expression(c), shingle, perms))
+
+  /** LSH band keys from a minhash signature: a seeded polynomial fold
+    * of each band's slice (seed = band+1, so keys never collide across
+    * bands and the flat key is joinable directly). Static expansion —
+    * no interpreted lambda. */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
+      var acc: Column = lit((b + 1).toLong)
+      (0 until rows).foreach { j =>
+        acc = (acc * 1000003L + element_at(sig, b * rows + j + 1)) % PortableHash.P
+      }
+      acc
     }: _*)
 
-  /** 64-bit SimHash over whitespace tokens: sign of per-bit weighted
-    * sums of token hashes. Pure column expressions (binary bit trick:
-    * sum each bit across tokens, set bit if count*2 >= n). */
-  def simhash64(c: Column): Column = {
-    val toks = filter(split(c, " ", -1), x => x =!= "")
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(hashes)
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(hashes, lit(0L), (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(1L))
-      when(cnt * 2 >= n.cast("long"), shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    when(n === 0, lit(0L)).otherwise(bits.reduce(_.bitwiseOR(_)))
+  /** Fused minhash + band keys in one kernel call per row (the shape
+    * to explode for the LSH self-join). */
+  def minhashBandKeys(c: Column, shingle: Int, bands: Int, rows: Int): Column =
+    column(graft.functions.MinhashBandsExpr(expression(c), shingle, bands, rows))
+
+  /** 62-bit SimHash over whitespace tokens of the sanitized text
+    * (token hash = two packed 31-bit polynomial hashes; see
+    * PortableHash.simhash62). */
+  def simhash64(c: Column): Column =
+    column(graft.functions.SimhashExpr(expression(c)))
+
+  /** Candidate pairs from exploded (doc_id, band_key) rows with a
+    * hot-bucket cap — the 100 TB guard: a cluster of near-identical
+    * documents lands in one band bucket, and an uncapped self-join goes
+    * quadratic in the cluster size. Buckets with <= cap members emit
+    * all pairs; larger buckets emit star pairs to the bucket's min
+    * doc_id (O(bucket) instead of O(bucket^2)), which preserves
+    * connected-component dedup semantics (every member still links to
+    * the representative). Deterministic, so the SQL oracle reproduces
+    * it exactly. */
+  def cappedCandidatePairs(bands: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+    val stats = bands.withColumn("bcnt", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = stats.filter(col("bcnt") <= cap)
+    val allPairs = small.as("a").join(small.as("b"),
+      col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val starPairs = stats.filter(col("bcnt") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Hamming distance between two 64-bit signatures. */
