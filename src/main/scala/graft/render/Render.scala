@@ -10,12 +10,16 @@ case class TileOut(z: Int, x: Int, y: Int, png: Array[Byte])
 
 /** A feature occurrence shuffled to a tile's reducer. `slot` encodes the
   * reference's probe order so FP accumulation matches exactly:
-  *  -1            = points own range        (do_tile render.c:942)
-  *   0..8         = point neighbor probes   (render.c:947-967)
-  *   1000 + ...   = line lookups above zDraw (render.c:969-985)
-  *   2000 + ...   = line lookups at/below zDraw (render.c:987-1002)
+  *  -1                               = points own range (do_tile render.c:942)
+  *  0 .. (2r+1)^2-1                  = point neighbor probes, receiver ring
+  *                                     radius r (render.c:947-967)
+  *  (1L<<56) | (c0-z)<<40 | n        = line lookups above zDraw (:969-985)
+  *  (2L<<56) | (z-c0)<<40 | n        = line lookups at/below zDraw (:987-1002)
+  * Band fields are disjoint (level <= 32 in 16 bits, n capped at 2^40-1),
+  * so slots never collide across bands/levels/vertex counts — unlike the
+  * round-1 Int encoding 1000+(c0-z)*64+n, which collided for n >= 64.
   */
-case class FeatCmd(tkey: Long, slot: Int, vertices: Array[Long], meta: Long, own: Boolean)
+case class FeatCmd(tkey: Long, slot: Long, vertices: Array[Long], meta: Long, own: Boolean)
 
 /**
  * Tile rasterization — the reference's `render` pipeline
@@ -33,7 +37,14 @@ case class FeatCmd(tkey: Long, slot: Int, vertices: Array[Long], meta: Long, own
 object Render {
   /** Add a global `rank` column over the (cell, meta)-sorted order —
     * the analog of the reference's file offset, needed for the
-    * deterministic step-subsample at low zooms (render.c:165-167). */
+    * deterministic step-subsample at low zooms (render.c:165-167).
+    *
+    * The RESULT is persisted (MEMORY_AND_DISK) and materialized; callers
+    * release it with `.unpersist()` when the renders are done. Memory
+    * envelope: only the narrow (cell, meta, rank) projection is cached —
+    * ~24 B/row columnar, so 10^12 rows is ~24 TB across the cluster,
+    * which MEMORY_AND_DISK spills per-executor; at that scale prefer
+    * writing the ranked snapshot to storage once and reading it back. */
   def withGlobalRank(points: DataFrame): DataFrame = {
     // Re-establish a total global order here: a parquet read does NOT
     // preserve partition order (Spark packs splits by size), so ranks
@@ -60,53 +71,133 @@ object Render {
     val maxPid = if (counts.isEmpty) 0L else counts.keys.max
     val offsets = (0L to maxPid).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
     val offsetMap = map((0L to maxPid).flatMap(i => Seq(lit(i), lit(offsets(i.toInt)))): _*)
-    withMid
+    val ranked = withMid
       .withColumn("rank",
         element_at(offsetMap, shiftrightunsigned(col("_mid"), 33)) +
           col("_mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("_mid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the ranked cache while `frozen` is still pinned (the
+    // rank values are only valid on the frozen physical partitioning —
+    // a recompute could re-sample different range boundaries), then
+    // release the intermediate so long-running sessions don't leak it.
+    ranked.count()
+    frozen.unpersist()
+    ranked
   }
 
   /** Does a point rendered at zDraw use a brush larger than one pixel
-    * (then splats may spill into adjacent tiles)? render.c:128-139. */
+    * anywhere (then splats may spill into adjacent tiles and the
+    * receiver must probe its ring)? render.c:128-139 + 151-160. Spill
+    * EMISSION may be conservative — the receiver only draws spilled
+    * records once an own-range record actually set `further` — so:
+    * metabrush mode always emits (meta can push any record's brush over
+    * one pixel), and mercator compensation uses the worst-case (extreme
+    * latitude) row scale. */
   def brushSpills(p: RenderParams, zDraw: Int): Boolean = {
+    if (p.metabrush) return true
     val (_, brush, _) = p.pointParams(zDraw)
-    brush * (p.tilesize / 256.0) * (p.tilesize / 256.0) > 1
+    val worstMerc = p.mercatorBrushScale(zDraw, 0) // row 0 = extreme latitude
+    brush * worstMerc * (p.tilesize / 256.0) * (p.tilesize / 256.0) > 1
   }
+
+  /** Receiving-tile probe ring radius for circle mode: the reference
+    * probes above=below=(int)(cloudsize(receiver)+1) tiles
+    * (do_tile render.c:947-956), with cloudsize divided by cos(lat) of
+    * the RECEIVING tile row (render.c:60-72) — so high-latitude tiles
+    * probe a wider ring. Safety cap keeps a degenerate huge circle from
+    * emitting unbounded commands (beyond it, clouds lose cross-tile
+    * dots, matching the round-1 documented deviation but 8x further
+    * out). */
+  private final val MaxCloudRing = 64
+  private def circleRing(p: RenderParams, z: Int, row: Long): Int = {
+    val n = 1L << z
+    if (row < 0 || row >= n) 0
+    else math.min(MaxCloudRing, (p.cloudSize(z, 0, row.toInt) + 1).toInt)
+  }
+
+  /** Does the receiver at (z, row) swap step into innerstep?
+    * (render.c:175-182: only when step > 1 AND the pixel cloud size at
+    * the receiving tile exceeds .0625 — for tinier clouds records stay
+    * strided.) */
+  private def circleSwapsAt(p: RenderParams, step: Int, z: Int, row: Long): Boolean =
+    step > 1 && p.cloudSize(z, 0, row.toInt) * p.tilesize > .0625
 
   /** Point draw commands for zoom zDraw (own tile + spill ring). */
   private def pointCmds(points: DataFrame, zDraw: Int, p: RenderParams): Dataset[FeatCmd] = {
     val spark = points.sparkSession
     import spark.implicits._
     val (step, _, _) = p.pointParams(zDraw)
-    // circle mode: when the sampling-step/size swap applies
-    // (render.c:175-182), records are NOT strided (innerstep divides
-    // the per-record dot count instead)
-    val circleSwap = p.circle > 0 && step > 1
-    val sampled = if (step <= 1 || circleSwap) points else points.filter(col("rank") % step === 0)
-    val spill = brushSpills(p, zDraw) || p.circle > 0
-    // circle clouds can span several tiles: ring radius from the cloud
-    // size at the equator (upper bound; per-tile clip rejects overshoot)
-    val ring = if (p.circle <= 0) 1
-      else math.min(8, math.ceil(p.circle * .00000274 / (360.0 / (1 << zDraw))).toInt + 1)
+    val circleMode = p.circle > 0
+    // circle mode with striding: the stride decision is per RECEIVING
+    // tile row (the step/innerstep swap depends on the receiver's cloud
+    // pixel size), so the rank must ride into the flatMap
+    val perReceiverStride = circleMode && step > 1
+    val sampled = if (step <= 1 || perReceiverStride) points
+      else points.filter(col("rank") % step === 0)
+    val spill = brushSpills(p, zDraw)
+    // widest possible receiver ring at this zoom = ring at the extreme-
+    // latitude row (row 0); bounds the per-record row scan
+    val dyMax = if (circleMode) circleRing(p, zDraw, 0L) else 0
     val hasMeta = points.columns.contains("meta")
-    sampled.select(col("cell"), (if (hasMeta) col("meta") else lit(0L)).as("meta"))
-      .as[(Long, Long)]
-      .flatMap { case (cell, meta) =>
+    val hasRank = points.columns.contains("rank")
+    sampled.select(col("cell"),
+      (if (hasMeta) col("meta") else lit(0L)).as("meta"),
+      (if (hasRank) col("rank") else lit(0L)).as("rank"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (cell, meta, rank) =>
         val tx = Cell.tileX(cell, zDraw)
         val ty = Cell.tileY(cell, zDraw)
-        val own = FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true)
-        if (!spill) Iterator.single(own)
-        else {
-          val n = 1L << zDraw
-          val nbrs = for {
-            dx <- -ring to ring; dy <- -ring to ring
-            if dx != 0 || dy != 0
-            nx = tx + dx; ny = ty + dy
-            if ny >= 0 && ny < n && nx >= 0 && nx < n
-          } yield FeatCmd(Cell.tileKey(zDraw, nx, ny),
-            (-dx + ring) * (2 * ring + 1) + (-dy + ring), Array(cell), meta, own = false)
-          Iterator.single(own) ++ nbrs.iterator
+        val n = 1L << zDraw
+        val strided = step > 1 && rank % step == 0
+        if (!circleMode) {
+          val own = FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true)
+          if (!spill) Iterator.single(own)
+          else {
+            val nbrs = for {
+              dx <- -1 to 1; dy <- -1 to 1
+              if dx != 0 || dy != 0
+              nx = tx + dx; ny = ty + dy
+              if ny >= 0 && ny < n && nx >= 0 && nx < n
+            } yield FeatCmd(Cell.tileKey(zDraw, nx, ny),
+              (-dx + 1L) * 3 + (-dy + 1), Array(cell), meta, own = false)
+            Iterator.single(own) ++ nbrs.iterator
+          }
+        } else {
+          // circle mode: receiver-dependent ring radius AND striding.
+          // A record reaches receiver (rx, ry) iff it is within the
+          // receiver's ring r(ry) and passes the receiver's stride rule
+          // (unstrided when the receiver swaps step into innerstep).
+          val out = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
+          def passes(row: Long): Boolean =
+            step <= 1 || strided || circleSwapsAt(p, step, zDraw, row)
+          if (passes(ty))
+            out += FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true)
+          // scan candidate receiver rows; a receiver at row ry reaches
+          // this record iff |ry - ty| <= ring(ry) (ring grows poleward)
+          var dy = -dyMax
+          while (dy <= dyMax) {
+            val ry = ty + dy
+            if (ry >= 0 && ry < n) {
+              val r = circleRing(p, zDraw, ry)
+              if (math.abs(dy) <= r && passes(ry)) {
+                var dx = -r
+                while (dx <= r) {
+                  val rx = tx + dx
+                  if (rx >= 0 && rx < n && (dx != 0 || dy != 0)) {
+                    // receiver probe order: xx ascending outer, yy inner
+                    // (render.c:957-965); sender offset inside that loop
+                    val slot = (r - dx).toLong * (2 * r + 1) + (r - dy)
+                    out += FeatCmd(Cell.tileKey(zDraw, rx.toInt, ry.toInt), slot,
+                      Array(cell), meta, own = false)
+                  }
+                  dx += 1
+                }
+              }
+            }
+            dy += 1
+          }
+          out.iterator
         }
       }
   }
@@ -135,10 +226,13 @@ object Render {
           val ownTx = Cell.tileX(cell0, z)
           val ownTy = Cell.tileY(cell0, z)
           // probe-order slot (z_lookup asc above z; desc at/below z);
-          // inner loop over n ascending (render.c:976-1001)
+          // inner loop over n ascending (render.c:976-1001). Disjoint
+          // Long bit fields: band(<<56) | level(<<40) | n — no collision
+          // across levels for any real vertex count.
+          val nCap = math.min(n.toLong, (1L << 40) - 1)
           val slot =
-            if (c0 > z) 1000 + (c0 - z) * 64 + n
-            else 2000 + (z - c0) * 64 + n
+            if (c0 > z) (1L << 56) | ((c0 - z).toLong << 40) | nCap
+            else (2L << 56) | ((z - c0).toLong << 40) | nCap
           val tiles = scala.collection.mutable.LinkedHashSet.empty[Long]
           if (c0 > z) {
             // whole line inside one z-tile
@@ -253,6 +347,13 @@ object Render {
   def renderPyramid(points: DataFrame, zooms: Seq[Int], mapbits: Int, p: RenderParams): Dataset[TileOut] = {
     val spark = points.sparkSession
     import spark.implicits._
+    if (p.circle > 0) {
+      // circle clouds need receiver-dependent rings and striding — reuse
+      // the single-zoom command builder per zoom (still ONE shuffle: the
+      // unions feed one repartition in processGrouped)
+      val cmds = zooms.map(z => pointCmds(points, z, p)).reduce(_ union _)
+      return processGrouped(cmds)(renderOne(_, _, mapbits, p, requireOwn = true))
+    }
     val zArr = zooms.toArray
     val steps = zArr.map(z => p.pointParams(z)._1.toLong)
     val spills = zArr.map(z => brushSpills(p, z))
@@ -395,6 +496,10 @@ object Render {
                           hotThreshold: Int = 100000, salts: Int = 16): Dataset[TileOut] = {
     val spark = points.sparkSession
     import spark.implicits._
+    // cloud mode carries a dot budget across records (order-dependent),
+    // so salted partial canvases would change the dot stream — take the
+    // unsalted path (clouds self-limit: meta dots cap per record)
+    if (p.circle > 0) return renderPyramid(points, zooms, mapbits, p)
     // hot tiles: sampled own-count per (z,tile) above threshold
     val hasMeta = points.columns.contains("meta")
     val steps = zooms.map(z => z -> p.pointParams(z)._1.toLong).toMap
@@ -418,7 +523,7 @@ object Render {
     }
     // hot path: salt -> partial canvases -> merge -> tone map
     val partials = cmds.filter(c => hotB.value.contains(c.tkey))
-      .groupByKey(c => (c.tkey, (c.vertices(0) ^ c.meta) % salts))
+      .groupByKey(c => (c.tkey, Math.floorMod(c.vertices(0) ^ c.meta, salts.toLong)))
       .mapGroups { (key: (Long, Long), it: Iterator[FeatCmd]) =>
         val tkey = key._1
         val recs = it.toArray
@@ -503,7 +608,7 @@ object Render {
     * (= vertex cells lexicographically, then meta). */
   def sortRecs(recs: Array[FeatCmd]): Unit =
     java.util.Arrays.sort(recs, (a: FeatCmd, b: FeatCmd) => {
-      var c = Integer.compare(a.slot, b.slot)
+      var c = java.lang.Long.compare(a.slot, b.slot)
       if (c != 0) c
       else {
         val n = math.min(a.vertices.length, b.vertices.length)
@@ -554,6 +659,12 @@ object Render {
     var further = ignoreFurther
     val noise = z >= mapbits / 2 - 8
     val noisebits = 32 - mapbits / 2
+    // cloud-mode dot budget carries across records WITHIN one probe slot
+    // (the reference's `for (todo += meta; todo > 0; todo -= innerstep)`
+    // with todo scoped to the process() call, render.c:200+289); a new
+    // slot = a new process() call = a fresh budget
+    var cloudTodo = 0L
+    var cloudSlot = Long.MinValue
 
     def denoise(v: Long, other: Long): Long = {
       // overzoom de-gridding (render.c:198-212): x gets bits of y, y of x
@@ -627,8 +738,9 @@ object Render {
                 seed = seed * 6364136223846793005L + 1442695040888963407L
                 (seed >>> 11).toDouble / (1L << 53).toDouble
               }
-              var todo = r.meta
-              while (todo > 0) {
+              if (r.slot != cloudSlot) { cloudTodo = 0L; cloudSlot = r.slot }
+              cloudTodo += r.meta
+              while (cloudTodo > 0) {
                 val rr = math.sqrt(nextU())
                 val ang = nextU() * 2 * math.Pi
                 val xp = xsc + size * rr * math.cos(ang)
@@ -639,7 +751,7 @@ object Render {
                   Raster.drawBrush(xp, yp, canvas, bright, bb, hue, p.gaussian)
                   if (r.slot == -1) further = true
                 }
-                todo -= innerstep
+                cloudTodo -= innerstep
               }
             }
           } else if (bb <= 1) {
