@@ -103,6 +103,32 @@ final class Canvas(val width: Int, val height: Int) extends Serializable {
   }
 
   def nonZeroPixels: Int = image.count(_ != 0.0)
+
+  /** Extract a sub-window as a fresh canvas (the leaflet-retina path
+    * renders the parent tile at double size and crops each quadrant). */
+  def crop(x0: Int, y0: Int, w: Int, h: Int): Canvas = {
+    val c = new Canvas(w, h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(image, (y0 + y) * width + x0, c.image, y * w, w)
+      y += 1
+    }
+    if (hasHue) {
+      val scx = cx; val scy = cy; val dcx = c.cx; val dcy = c.cy
+      y = 0
+      while (y < h) {
+        System.arraycopy(scx, (y0 + y) * width + x0, dcx, y * w, w)
+        System.arraycopy(scy, (y0 + y) * width + x0, dcy, y * w, w)
+        y += 1
+      }
+    }
+    if (maxY >= minY) {
+      val lo = math.max(0, minY - y0)
+      val hi = math.min(h - 1, maxY - y0)
+      if (lo <= hi) { c.minY = lo; c.maxY = hi }
+    }
+    c
+  }
 }
 
 /** Stateless rasterization kernels drawing into a Canvas. Semantics match

@@ -407,6 +407,46 @@ object Render {
     }
   }
 
+  /** Leaflet-retina tiles (`render -r`, render.c:900-914): tile (z,x,y)
+    * is rendered from its PARENT zoom's records and parameters at double
+    * tilesize, windowed to the requested quadrant — same geographic
+    * content at double dot density. One parent render emits all four
+    * children, so a retina tileset costs one canvas pass per parent.
+    * z = 0 has no parent; the reference renders it normally. */
+  def renderRetinaTiles(points: Option[DataFrame], lines: Option[Dataset[Feature]],
+                        z: Int, mapbits: Int, p: RenderParams,
+                        requireOwn: Boolean = true): Dataset[TileOut] = {
+    require(z > 0, "retina tiles need z > 0 (the reference renders z=0 normally)")
+    val zr = z - 1
+    val p2 = p.copy(tilesize = p.tilesize * 2)
+    val pc = points.map(pointCmds(_, zr, p2))
+    val lc = lines.map(lineCmds(_, zr, mapbits, p2))
+    val cmds = (pc, lc) match {
+      case (Some(a), Some(b)) => a.union(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalArgumentException("no input")
+    }
+    val ts = p.tilesize
+    processGrouped(cmds) { (tkey, recs) =>
+      sortRecs(recs)
+      if (requireOwn && !recs.exists(_.own)) Iterator.empty
+      else {
+        val px = Cell.tileKeyX(tkey)
+        val py = Cell.tileKeyY(tkey)
+        val canvas = renderCanvasFresh(recs, zr, px, py, mapbits, p2, ignoreFurther = false)
+        // quadrants consumed lazily but strictly in sequence, so the
+        // ToneMap thread-local buffer is PNG-encoded before reuse
+        (0 until 4).iterator.map { q =>
+          val qx = q >> 1; val qy = q & 1
+          val sub = canvas.crop(qx * ts, qy * ts, ts, ts)
+          val rgba = ToneMap(sub, p)
+          TileOut(z, 2 * px + qx, 2 * py + qy, Png.encode(rgba, ts, ts))
+        }
+      }
+    }
+  }
+
   /** Vector-tile variant of renderTiles: same join/shuffle shape, but
     * the reducer emits Mapbox-Vector-Tile bytes (S8, vector.cc backend)
     * instead of a rasterized PNG: tile-local integer geometry at extent

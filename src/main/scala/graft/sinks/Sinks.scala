@@ -48,21 +48,149 @@ object Sinks {
     }
   }
 
-  /** S5: mbutil-compatible tileset metadata.json (render.c:395-457). */
-  def writeTilesetMetadata(dir: String, name: String, minzoom: Int, maxzoom: Int): Unit = {
+  /** One dump_out text row (dump.c:70-90): "lat,lon ... [bits:meta ]// hex "
+    * — each field is space-TERMINATED like the reference's printf. */
+  def dumpTextLine(f: Feature, metabits: Int): String = {
+    val sb = new StringBuilder
+    f.vertices.foreach { c =>
+      sb ++= f"${Mercator.tileToLat(Cell.decodeY(c), 32)}%f,${Mercator.tileToLon(Cell.decodeX(c), 32)}%f "
+    }
+    if (metabits != 0) sb ++= s"$metabits:${f.meta} "
+    sb ++= "// "
+    f.vertices.foreach { c =>
+      sb ++= f"${Cell.decodeX(c)}%08x ${Cell.decodeY(c)}%08x "
+    }
+    sb.result()
+  }
+
+  /** One dump_out GeoJSON feature row (dump.c:21-68), byte-compatible
+    * with the reference's printf stream (comma separators are added by
+    * the caller between rows, matching `dump == 2`). */
+  def dumpGeoJsonLine(f: Feature, metabits: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "{ \"type\": \"Feature\", \"properties\": {"
+    if (metabits != 0) sb ++= s""" "meta": ${f.meta} """
+    sb ++= "}, \"geometry\": { "
+    sb ++= (if (f.vertices.length == 1) "\"type\": \"Point\", " else "\"type\": \"LineString\", ")
+    sb ++= "\"coordinates\": [ "
+    f.vertices.foreach { c =>
+      val lon = Mercator.tileToLon(Cell.decodeX(c), 32)
+      val lat = Mercator.tileToLat(Cell.decodeY(c), 32)
+      if (f.vertices.length != 1) sb ++= f"[ $lon%f, $lat%f ] "
+      else sb ++= f"$lon%f, $lat%f "
+    }
+    // LineString pairs are comma-separated in the reference
+    val body = sb.result()
+    val fixed = if (f.vertices.length != 1) {
+      // "] [" between consecutive pairs becomes "], ["
+      body.replace("] [", "], [")
+    } else body
+    fixed + "] } }"
+  }
+
+  /** `enumerate -a` / `-D` (enumerate.c:340-393): dump EVERY record of a
+    * dataset in the reference's k-way merge order — memcmp over the
+    * first (mapbits+metabits+7)/8 packed bytes (gSortBytes), which is a
+    * prefix of every record. Ties across different (n,common) files
+    * follow full-record byte order here (the reference's insert order on
+    * exact prefix ties is read-order dependent). Distributed sort on the
+    * binary key; Spark's BinaryType ordering is unsigned lexicographic,
+    * the same as memcmp. */
+  def enumerateDump(features: Dataset[Feature], encodeZoom: Int, metabits: Int,
+                    geoJson: Boolean): Dataset[String] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val mapbits = 2 * (encodeZoom + 8)
+    features.map { f =>
+      val xs = f.vertices.map(c => Cell.decodeX(c).toInt)
+      val ys = f.vertices.map(c => Cell.decodeY(c).toInt)
+      val common = if (xs.length > 1) BitPack.commonLevels(xs, ys, mapbits) else 0
+      val packed = BitPack.pack(xs, ys, f.meta, metabits, mapbits, metabits, common)
+      val line = if (geoJson) dumpGeoJsonLine(f, metabits) else dumpTextLine(f, metabits)
+      (packed, line)
+    }.toDF("key", "line")
+      .orderBy(col("key"))
+      .select(col("line")).as[String]
+  }
+
+  /** FeatureCollection wrapper for the GeoJSON dump (dump.c:7-19).
+    * The reference emits each row with a trailing newline and a ",\n"
+    * separator line before every non-first row. */
+  def geoJsonCollect(rows: Seq[String]): String =
+    "{\n\"type\": \"FeatureCollection\",\n\"features\": [\n" +
+      (if (rows.nonEmpty) rows.mkString("\n,\n") + "\n" else "") + "]\n}\n"
+
+  /** `render -v`: Mapnik/CartoCSS stylesheet equivalent of the raster
+    * brightness model (render.c:698-783), byte-compatible with the
+    * reference's printf stream. */
+  def mapnikStylesheet(p: graft.core.RenderParams): String = {
+    val sb = new StringBuilder
+    sb ++= "Map {\n"
+    val bgR = (p.bg >> 16) & 0xFF; val bgG = (p.bg >> 8) & 0xFF; val bgB = p.bg & 0xFF
+    sb ++= f"  background-color: rgba($bgR%d,$bgG%d,$bgB%d,${p.transparency / 255.0}%.3f);\n"
+    sb ++= "}\n\n"
+    sb ++= "#points {\n"
+    sb ++= (if (p.invert) "  line-color: #000000;\n" else "  line-color: #FFFFFF;\n")
+    sb ++= "  line-cap: round;\n"
+    // diameter of the circle with area point_size
+    sb ++= f"  line-width: ${2 * math.sqrt(p.pointSize / math.Pi)}%.3f;\n"
+    if (p.color != -1 || p.color2 != -1) {
+      var r1 = (p.color >> 16) & 0xFF; var g1 = (p.color >> 8) & 0xFF; var b1 = p.color & 0xFF
+      var r2 = (p.color2 >> 16) & 0xFF; var g2 = (p.color2 >> 8) & 0xFF; var b2 = p.color2 & 0xFF
+      if (p.color == -1) { r1 = 128; g1 = 128; b1 = 128 }
+      if (p.color2 == -1) { val v = if (p.invert) 0 else 255; r2 = v; g2 = v; b2 = v }
+      sb ++= f"  image-filters: colorize-alpha(#$r1%02X$g1%02X$b1%02X, #$r1%02X$g1%02X$b1%02X, #$r2%02X$g2%02X$b2%02X);\n"
+    }
+    // alpha reaching half brightness in the same number of steps as the
+    // raster model's dot_bright accumulation under the display gamma
+    def alphaAt(bright: Double): Double = {
+      val steps = 1.0 / bright
+      val halfsteps = steps * math.exp(math.log(.5) / p.gamma)
+      1 - math.exp(math.log(.5) / halfsteps)
+    }
+    sb ++= f"  line-opacity: ${alphaAt(p.dotBright / p.pointSize)}%.3f;\n"
+    sb ++= "\n"
+    var i = 0
+    while (i <= p.dotBase) {
+      val a = alphaAt(p.dotBright / p.pointSize * math.exp(math.log(p.dotRamp) * (i - p.dotBase)))
+      sb ++= f"  [zoom >= $i%2d] { line-opacity: $a%7.3f; }\n"
+      i += 1
+    }
+    while (i < 23) {
+      val a = alphaAt(p.dotBright / p.pointSize * math.exp(math.log(p.dotRamp) * (i - p.dotBase)))
+      val w = 2 * math.sqrt(p.pointSize * (1 << (i - p.dotBase)) / math.Pi)
+      sb ++= f"  [zoom >= $i%2d] { line-opacity: $a%7.3f; line-width: $w%7.3f; }\n"
+      i += 1
+    }
+    sb ++= "}\n"
+    sb.result()
+  }
+
+  /** S5: mbutil-compatible tileset metadata.json, byte-compatible with
+    * the reference's prep() (render.c:395-457): name = output dir,
+    * description = source dataset, optional vector_layers block for pbf. */
+  def writeTilesetMetadata(dir: String, name: String, minzoom: Int, maxzoom: Int,
+                           format: String = "png"): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val json =
-      s"""{
-         |  "name": "$name",
-         |  "description": "$name",
-         |  "version": "1",
-         |  "format": "png",
-         |  "type": "overlay",
-         |  "minzoom": $minzoom,
-         |  "maxzoom": $maxzoom,
-         |  "bounds": "-180.0,-85.0511,180.0,85.0511"
-         |}""".stripMargin
-    Files.writeString(Paths.get(dir, "metadata.json"), json)
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    } + "\""
+    val sb = new StringBuilder
+    sb ++= "{\n"
+    sb ++= s""""name": ${q(dir)},\n"""
+    sb ++= s""""description": ${q(name)},\n"""
+    sb ++= "\"version\": 1,\n"
+    sb ++= s""""minzoom": $minzoom,\n"""
+    sb ++= s""""maxzoom": $maxzoom,\n"""
+    sb ++= "\"type\": \"overlay\",\n"
+    if (format == "pbf") {
+      sb ++= "\"json\": \"{"
+      sb ++= s"""\\"vector_layers\\": [ { \\"id\\": \\"points\\", \\"description\\": \\"\\", \\"minzoom\\": $minzoom, \\"maxzoom\\": $maxzoom, \\"fields\\": {\\"meta\\": \\"Number\\" } }, { \\"id\\": \\"lines\\", \\"description\\": \\"\\", \\"minzoom\\": $minzoom, \\"maxzoom\\": $maxzoom, \\"fields\\": {\\"meta\\": \\"Number\\" } } ]"""
+      sb ++= "}\",\n"
+    }
+    sb ++= s""""format": "$format"\n"""
+    sb ++= "}\n"
+    Files.writeString(Paths.get(dir, "metadata.json"), sb.result())
   }
 
   /** min/max zoom gathered during the write pass (an up-front

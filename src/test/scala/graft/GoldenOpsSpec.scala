@@ -105,6 +105,31 @@ class GoldenOpsSpec extends AnyFunSuite {
     cmpDirs("/tmp/ops_mu.dm", "/tmp/ops_mu_ours.dm")
   }
 
+  test("enumerate -a: full text dump line-exact in merge order") {
+    val (rc, out) = RefBinaries.run("enumerate", Seq("-a", "/tmp/ops_ref.dm"))
+    assert(rc == 0)
+    val refLines = new String(out).linesIterator.toSeq
+    val feats = TextSource.read(spark, "/tmp/ops_mixed.txt", 16, 8)
+    val ourLines = Sinks.enumerateDump(feats, 16, 8, geoJson = false).collect().toSeq
+    assert(refLines.size == ourLines.size, s"ref=${refLines.size} ours=${ourLines.size}")
+    val diffs = refLines.zip(ourLines).zipWithIndex.filter { case ((a, b), _) => a != b }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+    assert(refLines.nonEmpty)
+  }
+
+  test("enumerate -D: full GeoJSON dump byte-exact") {
+    val (rc, out) = RefBinaries.run("enumerate", Seq("-D", "/tmp/ops_ref.dm"))
+    assert(rc == 0)
+    val feats = TextSource.read(spark, "/tmp/ops_mixed.txt", 16, 8)
+    val rows = Sinks.enumerateDump(feats, 16, 8, geoJson = true).collect().toSeq
+    val ours = Sinks.geoJsonCollect(rows)
+    val ref = new String(out)
+    assert(ref == ours, {
+      val i = ref.zip(ours).indexWhere(t => t._1 != t._2)
+      s"geojson differs at char $i: ...${ref.slice(math.max(0, i - 40), i + 40)}... vs ...${ours.slice(math.max(0, i - 40), i + 40)}..."
+    })
+  }
+
   test("S6: text dump format matches reference render -d lines") {
     val feats = TextSource.read(spark, "/tmp/ops_a.txt", 16, 8)
     import spark.implicits._

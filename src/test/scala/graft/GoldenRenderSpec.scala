@@ -141,13 +141,66 @@ class GoldenRenderSpec extends AnyFunSuite {
       RenderParams(colorCap = 0.5, colorRampActive = true, colorMeta1 = 0, colorHue1 = 0, colorMeta2 = 255, colorHue2 = 360)),
     ("no saturate (-s)", Seq("-s"), RenderParams(saturate = false)),
     ("meta brush (-x r at z15)", Seq("-x", "r"), RenderParams(metabrush = true)),
-    ("tile size 512 (-T 512)", Seq("-T", "512"), RenderParams(tilesize = 512)))) {
+    ("tile size 512 (-T 512)", Seq("-T", "512"), RenderParams(tilesize = 512)),
+    ("point size 4 (-p 4)", Seq("-p", "4"), RenderParams(pointSize = 4)),
+    ("point size 0.5 (-p 0.5)", Seq("-p", "0.5"), RenderParams(pointSize = 0.5)),
+    ("gaussian brush (-p g2)", Seq("-p", "g2"), RenderParams(pointSize = 2, gaussian = true)),
+    ("gaussian brush (-p g6)", Seq("-p", "g6"), RenderParams(pointSize = 6, gaussian = true)))) {
     test(s"tone-map variant: $name matches reference") {
       val (x, y) = denseTile(14)
       val (psnr, refSup, ourSup) = comparePixels(14, x, y, flags, params)
       assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
       assert(psnr >= 40.0, s"psnr=$psnr refSup=$refSup")
     }
+  }
+
+  test("leaflet retina (-r): tile rendered from parent zoom at 2x density") {
+    val (x, y) = denseTile(14)
+    val (rc, refPng) = RefBinaries.run("render", Seq("-r", refDir, "14", x.toString, y.toString))
+    assert(rc == 0)
+    val (refRgba, rw, rh) = Png.decode(refPng)
+    assert(rw == 256 && rh == 256)
+    val ours = Render.renderRetinaTiles(Some(pointsDf), None, 14, mapbits, RenderParams())
+      .collect().find(t => t.x == x && t.y == y)
+    assert(ours.isDefined, s"no retina tile at 14/$x/$y")
+    val (ourRgba, _, _) = Png.decode(ours.get.png)
+    def support(b: Array[Byte]) = b.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    val (refSup, ourSup) = (support(refRgba), support(ourRgba))
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
+    val psnr = Png.psnr(refRgba, ourRgba)
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  for ((name, flags, params) <- Seq(
+    ("defaults", Nil, RenderParams()),
+    ("colors -c 3366cc -S ffcc00", Seq("-c", "3366cc", "-S", "ffcc00"),
+      RenderParams(color = 0x3366cc, color2 = 0xffcc00)),
+    ("point size -p 3 white bg -w", Seq("-p", "3", "-w"),
+      RenderParams(pointSize = 3, bg = 0xFFFFFF, invert = true)),
+    ("brightness -B 10:0.1:1.3 -G 1 -t 128", Seq("-B", "10:0.1:1.3", "-G", "1", "-t", "128"),
+      RenderParams(dotBase = 10, dotBright = 0.1, dotRamp = 1.3, gamma = 1.0, transparency = 128)))) {
+    test(s"render -v stylesheet ($name) is byte-identical to reference") {
+      val (rc, out) = RefBinaries.run("render", flags :+ "-v")
+      assert(rc == 0)
+      val ours = graft.sinks.Sinks.mapnikStylesheet(params)
+      assert(new String(out) == ours,
+        s"stylesheet differs; first diff at ${new String(out).zip(ours).indexWhere(t => t._1 != t._2)}")
+    }
+  }
+
+  test("tileset metadata.json matches reference prep() byte format") {
+    val (x, y) = denseTile(12)
+    import scala.sys.process._
+    "rm -rf /tmp/refmeta_out".!
+    val (rc, _) = RefBinaries.run("render", Seq("-o", "/tmp/refmeta_out", refDir, "12", x.toString, y.toString))
+    assert(rc == 0)
+    val ref = Files.readString(Paths.get("/tmp/refmeta_out/metadata.json"))
+    val ourDir = "/tmp/refmeta_ours"
+    graft.sinks.Sinks.writeTilesetMetadata(ourDir, refDir, 12, 12)
+    val ours = Files.readString(Paths.get(ourDir, "metadata.json"))
+    // the "name" field embeds each writer's own output dir; compare the rest
+    def strip(s: String) = s.linesIterator.filterNot(_.startsWith("\"name\":")).mkString("\n")
+    assert(strip(ref) == strip(ours), s"metadata differs:\nREF:\n$ref\nOURS:\n$ours")
   }
 
   test("render -d join rows: tile membership identical to reference") {
