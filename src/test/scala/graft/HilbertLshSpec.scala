@@ -99,6 +99,26 @@ class HilbertLshSpec extends AnyFunSuite {
     assert(cands.size < allPairs / 20, s"too many candidates: ${cands.size}")
   }
 
+  test("hot-bucket cap: 10k identical docs yield bounded candidates (star pairs)") {
+    import spark.implicits._
+    // one giant duplicate cluster + some distinct docs: an uncapped band
+    // self-join would emit ~50M pairs for the cluster; the cap emits a
+    // star to the min doc_id
+    val dup = (0 until 10000).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog repeatedly"))
+    val uniq = (0 until 50).map(i => (100000L + i, s"unique document number $i with its own words ${i * 31}"))
+    val docs = (dup ++ uniq).toDF("doc_id", "text")
+    val bands = docs
+      .filter(length(regexp_replace(col("text"), "[^a-z ]", "")) >= 5)
+      .select(col("doc_id"), explode(TextOps.minhashBandKeys(col("text"), 5, 4, 4)).as("band_key"))
+    val pairs = TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
+    val n = pairs.count()
+    // star pairs: 9999 for the cluster (+ a handful among uniq docs)
+    assert(n >= 9999 && n < 9999 + 3000, s"candidate count $n not bounded")
+    // connectivity: every duplicate doc is linked to the representative 0
+    val linked = pairs.filter(col("doc_a") === 0L).count()
+    assert(linked == 9999L, s"star links $linked != 9999")
+  }
+
   test("rhp-LSH ANN recall vs brute force on clustered vectors") {
     import spark.implicits._
     val r = new scala.util.Random(31)

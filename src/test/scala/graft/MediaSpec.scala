@@ -106,12 +106,23 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.forall(_.rgb.length == 8 * 8 * 3))
   }
 
-  test("tileset writer: z/x/y.png layout + metadata.json") {
+  test("tileset writer: z/x/y.png layout + metadata.json, ONE render job") {
     import spark.implicits._
     val geo = ImageTable.generateGeo(spark, 1000).toDF().select(col("cell"), col("meta"))
     val tiles = graft.render.Render.renderTiles(Some(geo), None, 15, 48, graft.core.RenderParams())
     val dir = java.nio.file.Files.createTempDirectory("tileset").toString
-    graft.sinks.Sinks.writeTileset(tiles, dir, "test")
+    // the zoom range for metadata.json must ride along in the write pass
+    // (round-1 collected distinct zooms first = a full second render).
+    // AQE splits one action into shuffle-stage jobs, so compare against
+    // an identical single-action baseline instead of expecting exactly 1.
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val baseline = jobsFor("tileset-baseline") { tiles.count() }
+    val writeJobs = jobsFor("tileset-write-test") { graft.sinks.Sinks.writeTileset(tiles, dir, "test") }
+    assert(writeJobs <= baseline, s"writeTileset ran $writeJobs jobs vs $baseline for one render action")
     val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "metadata.json"))
     assert(meta.contains("\"minzoom\": 15") && meta.contains("\"format\": \"png\""))
     val z15 = new java.io.File(dir, "15")
