@@ -251,6 +251,11 @@ object SparkEntry {
         .filter(col("cos") >= 0.25)
     }),
 
+    // embedding near-dup, the 100 TB path: LSH candidates + exact rerank
+    // (q31 is the exact all-pairs variant, bounded to oracle scale)
+    "q39_neardup_lsh" -> ((s, d) =>
+      Ann.nearDupLsh(emb(s, d).select(col("vec_id"), col("embedding")), minCos = 0.25)),
+
     // hash join + aggregation (lineitem x orders)
     "q33_join_agg" -> ((s, d) => {
       val o = s.read.parquet(s"$d/orders.parquet")
@@ -517,6 +522,19 @@ object SparkEntry {
          | scored AS (SELECT c.qid, c.vec_id, ${cosSql("v.embedding", "q.embedding")} AS cos
          |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)
          | SELECT qid, vec_id, cos, rn FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) r WHERE rn <= 10""".stripMargin.replace("\n", " ")
+    },
+
+    "q39_neardup_lsh" -> {
+      val comp = graft.text.RhpSig.compSql("pp.p", "i")
+      s"""WITH bits AS (SELECT e.vec_id, pp.p,
+         |   CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 63)) AS p) pp),
+         | bands AS (SELECT vec_id, p // 8 AS band, CAST(sum(bit << (p % 8)) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+         | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         | SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+         | FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a JOIN embeddings b ON b.vec_id = c.vec_b
+         | WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25""".stripMargin.replace("\n", " ")
     },
 
     "q31_embed_neardup" ->

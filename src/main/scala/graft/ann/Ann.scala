@@ -53,14 +53,41 @@ object Ann {
     * 8 rows) give 256 possible keys per band — at round-1's 16/4 the
     * 4-bit keys made every bucket hold n/16 of the corpus, i.e.
     * near-all-pairs at scale. */
-  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 64, bands: Int = 8): DataFrame = {
+  /** (band, key) struct array of a vector's LSH band keys. */
+  def rhpBandCols(sig: Column, planes: Int, bands: Int): Column = {
     val rows = planes / bands
     val mask = (1L << rows) - 1
-    def bandCols(sig: Column): Column =
-      array((0 until bands).map(b =>
-        struct(lit(b).as("band"), shiftrightunsigned(sig, b * rows).bitwiseAND(mask).as("key"))): _*)
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), shiftrightunsigned(sig, b * rows).bitwiseAND(mask).as("key"))): _*)
+  }
 
+  /** Exploded (vec_id, embedding, bk) band rows for LSH self/probe joins. */
+  def rhpBands(vecs: DataFrame, planes: Int = 64, bands: Int = 8): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      explode(rhpBandCols(rhpSignature(col("embedding"), planes), planes, bands)).as("bk"))
+
+  /** Embedding near-duplicate pairs at scale: LSH-bucketed candidate
+    * self-join (only same-bucket vectors ever meet — the shuffle key is
+    * the 1-long band key, never an all-pairs cross product) + exact
+    * cosine rerank at `minCos`. Approximate by construction: pairs whose
+    * signatures share no band are not considered (recall rises with
+    * `bands`). This is the 100 TB path; the exact all-pairs q31 variant
+    * is oracle-scale only. */
+  def nearDupLsh(vecs: DataFrame, minCos: Double,
+                 planes: Int = 64, bands: Int = 8): DataFrame = {
+    val b = rhpBands(vecs, planes, bands)
+    val a2 = b.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bk"))
+    val b2 = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bk"))
+    a2.join(b2, Seq("bk")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 64, bands: Int = 8): DataFrame = {
+    def bandCols(sig: Column): Column = rhpBandCols(sig, planes, bands)
     val v = vecs.select(col("vec_id"), col("embedding"),
       explode(bandCols(rhpSignature(col("embedding"), planes))).as("bk"))
     val q = queries.select(col("qid"), col("qvec"),

@@ -142,6 +142,7 @@ class GoldenRenderSpec extends AnyFunSuite {
     ("no saturate (-s)", Seq("-s"), RenderParams(saturate = false)),
     ("meta brush (-x r at z15)", Seq("-x", "r"), RenderParams(metabrush = true)),
     ("tile size 512 (-T 512)", Seq("-T", "512"), RenderParams(tilesize = 512)),
+    ("custom background (-b 113355)", Seq("-b", "113355"), RenderParams(bg = 0x113355)),
     ("point size 4 (-p 4)", Seq("-p", "4"), RenderParams(pointSize = 4)),
     ("point size 0.5 (-p 0.5)", Seq("-p", "0.5"), RenderParams(pointSize = 0.5)),
     ("gaussian brush (-p g2)", Seq("-p", "g2"), RenderParams(pointSize = 2, gaussian = true)),
@@ -152,6 +153,34 @@ class GoldenRenderSpec extends AnyFunSuite {
       assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
       assert(psnr >= 40.0, s"psnr=$psnr refSup=$refSup")
     }
+  }
+
+  test("multi-dataset overlay (render -f): two encoded halves == union render") {
+    // encode the corpus as two half datasets; reference overlays them in
+    // one render (-f), we render the unioned point table — canvas
+    // accumulation is commutative so only FP sum order differs (PSNR)
+    val (ca, cb) = corpus.splitAt(corpus.size / 2)
+    import scala.sys.process._
+    for ((half, tag) <- Seq((ca, "a"), (cb, "b"))) {
+      val txt = half.map { case (lat, lon, m) => f"$lat%.6f,$lon%.6f :$m" }.mkString("\n") + "\n"
+      Files.writeString(Paths.get(s"/tmp/golden_half_$tag.txt"), txt)
+      s"rm -rf /tmp/golden_half_$tag.dm".!
+      assert(RefBinaries.run("encode",
+        Seq("-o", s"/tmp/golden_half_$tag.dm", "-z16", "-m8", s"/tmp/golden_half_$tag.txt"))._1 == 0)
+    }
+    val (x, y) = denseTile(13)
+    val (rc, refPng) = RefBinaries.run("render",
+      Seq("-f", "/tmp/golden_half_b.dm", "/tmp/golden_half_a.dm", "13", x.toString, y.toString))
+    assert(rc == 0)
+    val (refRgba, _, _) = Png.decode(refPng)
+    val ours = ourTile(13, x, y) // pointsDf IS the union of both halves
+    assert(ours.isDefined)
+    val (ourRgba, _, _) = Png.decode(ours.get)
+    def support(b: Array[Byte]) = b.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    val (refSup, ourSup) = (support(refRgba), support(ourRgba))
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 500), s"support ref=$refSup ours=$ourSup")
+    val psnr = Png.psnr(refRgba, ourRgba)
+    assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
   test("leaflet retina (-r): tile rendered from parent zoom at 2x density") {
