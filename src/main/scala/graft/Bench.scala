@@ -60,10 +60,14 @@ object Bench {
         (id, ph, lat, lon, cell, meta)
       }
       .toDF("image_id", "phash", "lat", "lon", "cell", "meta")
+      // pin the narrow index: repartitionByRange samples the child first,
+      // so an uncached geotag map would run twice (sample + shuffle pass)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sortedPath = s"$workDir/sorted"
     idx.repartitionByRange(cpus * 2, col("cell"))
       .sortWithinPartitions(col("cell"), col("meta"))
       .write.mode("overwrite").parquet(sortedPath)
+    idx.unpersist()
     val tEnc = (System.nanoTime() - t0) / 1e9
 
     // --- PIP join: broadcast polygon R-tree over the snapshot

@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.LongType
-import graft.functions.{CellEncodeExpr, CellXExpr, CellYExpr, DotProductExpr}
+import graft.functions.{CellEncodeExpr, CellXExpr, CellYExpr, DotProductExpr,
+  MinhashSigExpr, MinhashBandsExpr, SimhashExpr, RhpSigExpr}
+import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -26,5 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => CellYExpr(Cast(es.head, LongType))))
     e.injectFunction((FunctionIdentifier("dot_ff"), info("dot_ff"),
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
+    // signature kernels: trailing args must be integer literals (they
+    // parameterize the generated kernel, not per-row values)
+    def intLit(e: Expression, what: String): Int = e match {
+      case IntegerLiteral(v) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
+    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (es: Seq[Expression]) => MinhashSigExpr(es(0), intLit(es(1), "shingle"), intLit(es(2), "perms"))))
+    e.injectFunction((FunctionIdentifier("minhash_bands"), info("minhash_bands"),
+      (es: Seq[Expression]) => MinhashBandsExpr(es(0), intLit(es(1), "shingle"),
+        intLit(es(2), "bands"), intLit(es(3), "rows"))))
+    e.injectFunction((FunctionIdentifier("simhash62"), info("simhash62"),
+      (es: Seq[Expression]) => SimhashExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("rhp_sig"), info("rhp_sig"),
+      (es: Seq[Expression]) => RhpSigExpr(es(0), intLit(es(1), "planes"))))
   }
 }

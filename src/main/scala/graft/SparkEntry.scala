@@ -251,6 +251,17 @@ object SparkEntry {
         .filter(col("cos") >= 0.25)
     }),
 
+    // IVF-flat ANN: coarse-quantizer cells (16 deterministic centroids)
+    // -> probe 2 nearest cells per query -> exact cosine rerank
+    "q40_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfTopK(e, qs, cents, k = 10, nprobe = 2).select("qid", "vec_id", "cos", "rn")
+    }),
+
     // embedding near-dup, the 100 TB path: LSH candidates + exact rerank
     // (q31 is the exact all-pairs variant, bounded to oracle scale)
     "q39_neardup_lsh" -> ((s, d) =>
@@ -523,6 +534,23 @@ object SparkEntry {
          |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)
          | SELECT qid, vec_id, cos, rn FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) r WHERE rn <= 10""".stripMargin.replace("\n", " ")
     },
+
+    "q40_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         | asg AS (SELECT vec_id, cell FROM (
+         |   SELECT v.vec_id, c.cid AS cell,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cosSql("v.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |   FROM embeddings v, cents c) a WHERE rn = 1),
+         | probes AS (SELECT qid, cell FROM (
+         |   SELECT q.vec_id AS qid, c.cid AS cell,
+         |     row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |   FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, cents c) b WHERE rn <= 2),
+         | cand AS (SELECT DISTINCT p.qid, a.vec_id FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.qid),
+         | scored AS (SELECT c.qid, c.vec_id, ${cosSql("v.embedding", "q.embedding")} AS cos
+         |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)
+         | SELECT qid, vec_id, cos, rn FROM (
+         |   SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |   FROM scored) r WHERE rn <= 10""".stripMargin.replace("\n", " "),
 
     "q39_neardup_lsh" -> {
       val comp = graft.text.RhpSig.compSql("pp.p", "i")

@@ -85,6 +85,44 @@ object Ann {
       .filter(col("cos") >= minCos)
   }
 
+  /** IVF-flat coarse quantization: assign every vector to its nearest
+    * centroid by cosine (ties by centroid id). Centroids are a small
+    * broadcast table (cid, cvec) — the assignment is a broadcast
+    * nested-loop over K centroids per row, the standard IVF build cost;
+    * the index itself is just an int cell column, so the candidate join
+    * shuffles on a small key, never the embeddings. */
+  def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents.select(col("cid"), col("cvec"))))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cvec")).as("cs"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** IVF-probed ANN top-k: queries probe their `nprobe` nearest
+    * centroid cells; candidates are the vectors assigned to those cells;
+    * exact cosine rerank. Recall < 1 by construction (cells not probed
+    * are never scanned) — the complementary scale path to lshTopK. */
+  def ivfTopK(vecs: DataFrame, queries: DataFrame, cents: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val asg = ivfAssign(vecs, cents)
+    val qScored = queries.select(col("qid"), col("qvec"))
+      .crossJoin(broadcast(cents.select(col("cid"), col("cvec"))))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cs"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val cand = asg.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 64, bands: Int = 8): DataFrame = {
     def bandCols(sig: Column): Column = rhpBandCols(sig, planes, bands)

@@ -35,5 +35,16 @@ package object functions {
     reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(Cast(es.head, LongType)), "built-in")
     reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(Cast(es.head, LongType)), "built-in")
     reg.createOrReplaceTempFunction("dot_ff", es => DotProductExpr(es(0), es(1)), "built-in")
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinhashSigExpr(es(0), intLit(es(1)), intLit(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      es => MinhashBandsExpr(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3))), "built-in")
+    reg.createOrReplaceTempFunction("simhash62", es => SimhashExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rhp_sig", es => RhpSigExpr(es(0), intLit(es(1))), "built-in")
   }
 }

@@ -138,6 +138,27 @@ class HilbertLshSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("IVF ANN recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val r = new scala.util.Random(37)
+    val dim = 32
+    val centers = Array.fill(8)(Array.fill(dim)(r.nextGaussian().toFloat))
+    val vecs = (0 until 600).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + r.nextGaussian().toFloat * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ann.Ann.bruteForceTopK(vecs, qs, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ann.Ann.ivfTopK(vecs, qs, cents, 10, nprobe = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("enumerate -d length rollup matches reference") {
     // reuse the line corpus from GoldenOpsSpec artifacts
     val (rc, out) = RefBinaries.run("enumerate", Seq("-z6", "-d", "/tmp/ops_ref.dm"))

@@ -110,4 +110,16 @@ class PlanSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) == 123456789L && r.getLong(1) == 987654321L)
   }
+
+  test("sql registration: signature kernels usable from spark.sql") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT simhash62('the quick brown fox') AS sh,
+        |  size(minhash_sig('the quick brown fox jumps', 5, 16)) AS nsig,
+        |  size(minhash_bands('the quick brown fox jumps', 5, 4, 4)) AS nbands""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == graft.text.PortableHash.simhash62(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+    assert(r.getInt(1) == 16 && r.getInt(2) == 4)
+  }
 }
