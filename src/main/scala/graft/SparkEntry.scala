@@ -177,6 +177,12 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("toks"),
         length(col("text")).cast("long").as("chars"))),
 
+    // BPE-ish regex pre-tokenization (letter runs / digit runs / single
+    // punctuation) + distinct-token vocabulary size per doc
+    "q41_bpe_tokens" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("bpe_toks"),
+        size(array_distinct(TextOps.bpeTokens(col("text")))).cast("long").as("vocab"))),
+
     "q23_lang_id" -> ((s, d) => {
       val scores = TextOps.langScores(col("text"))
       docs(s, d).select(
@@ -445,6 +451,11 @@ object SparkEntry {
 
     "q22_token_count" ->
       "SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks, len(text) AS chars FROM documents",
+
+    "q41_bpe_tokens" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS bpe_toks,
+         | len(list_distinct(regexp_extract_all(text, '${TextOps.BpePattern}'))) AS vocab
+         | FROM documents""".stripMargin.replace("\n", " "),
 
     "q23_lang_id" -> {
       def occ(w: String) = s"((len(text) - len(replace(text, '$w', ''))) // ${w.length})"

@@ -55,6 +55,19 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming exact dedup: first occurrence of each content digest
+    * passes, duplicates within the watermark horizon drop. State is one
+    * 16-byte md5 per distinct doc and is EVICTED once the watermark
+    * passes (dropDuplicatesWithinWatermark) — bounded state, the only
+    * formulation that survives an unbounded 100 TB ingest stream
+    * (a plain dropDuplicates would accrete state forever). */
+  def streamingDedup(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Run a streaming query over a bounded source synchronously into a
     * memory sink; returns the sink table name. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -39,6 +39,16 @@ object TextOps {
   def tokenCount(c: Column): Column =
     size(filter(split(c, " ", -1), x => x =!= ""))
 
+  /** BPE-ish pre-tokenizer (GPT-2-style split simplified to the subset
+    * Java regex and RE2 interpret identically — no lookaround): runs of
+    * letters, runs of digits, single punctuation marks. */
+  final val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   private val stopwords = Map(
     "en" -> Seq(" the ", " and ", " of "),
     "de" -> Seq(" der ", " und ", " die "),

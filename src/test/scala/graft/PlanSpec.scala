@@ -93,6 +93,27 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.trim.startsWith("*("), "cell_x not under codegen:\n" + plan.take(1500))
   }
 
+  test("ANN plans: broadcast centroids, no cartesian product in LSH paths") {
+    import spark.implicits._
+    val r = new scala.util.Random(5)
+    val vecs = (0 until 300).map(i => (i.toLong, Array.fill(16)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // IVF assignment: the K-centroid loop must be a broadcast join
+    val ivfPlan = formatted(graft.ann.Ann.ivfTopK(vecs, qs, cents, 5))
+    assert(ivfPlan.contains("BroadcastNestedLoopJoin") || ivfPlan.contains("BroadcastExchange"),
+      ivfPlan.take(1500))
+    // LSH near-dup: candidates meet ONLY inside buckets — an equi-join
+    // on the band key, never a cartesian product
+    val lshPlan = formatted(graft.ann.Ann.nearDupLsh(vecs, 0.5))
+    assert(!lshPlan.contains("CartesianProduct"), lshPlan.take(1500))
+    assert(lshPlan.contains("SortMergeJoin") || lshPlan.contains("ShuffledHashJoin")
+      || lshPlan.contains("BroadcastHashJoin"), lshPlan.take(1500))
+  }
+
   test("SparkSessionExtensions applies cleanly (function injection)") {
     // a fresh SparkSession with extensions can't be created in a JVM
     // that already has one (getOrCreate reuses it), so verify the

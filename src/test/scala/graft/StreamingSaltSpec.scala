@@ -44,6 +44,27 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup: duplicates within watermark drop, state bounded") {
+    import spark.implicits._
+    val now = 1700000000000L
+    // 200 docs, every other one a duplicate of doc 0
+    val rows = (0 until 200).map { i =>
+      val text = if (i % 2 == 0) "duplicate payload text" else s"unique text $i"
+      (now + i * 1000L, text)
+    }
+    val df = rows.toDF("ms", "text").select(expr("timestamp_millis(ms)").as("ts"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    val deduped = StreamOps.streamingDedup(stream, watermark = "10 minutes")
+    val q = StreamOps.runToMemory(deduped, "dedup_out")
+    q.stop()
+    val out = spark.sql("SELECT text FROM dedup_out").as[String].collect()
+    // 1 representative of the duplicate + 100 uniques
+    assert(out.length == 101, s"got ${out.length}")
+    assert(out.count(_ == "duplicate payload text") == 1)
+  }
+
   test("stateful sessionization closes sessions on gaps") {
     import spark.implicits._
     val now = 1700000000000L
