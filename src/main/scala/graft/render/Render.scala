@@ -773,11 +773,11 @@ object Render {
               }
             } else if (xsc + size >= 0 && ysc + size >= 0 &&
               xsc - size <= p.tilesize && ysc - size <= p.tilesize) {
-              var seed = graft.tables.ImageTable.splitmix64(xs(0) * 37 + ys(0), 1L)
-              def nextU(): Double = {
-                seed = seed * 6364136223846793005L + 1442695040888963407L
-                (seed >>> 11).toDouble / (1L << 53).toDouble
-              }
+              // srand(x*37 + y) per record (render.c:288), bit-exact
+              // glibc rand() stream — cloud dots land on the reference's
+              // exact positions
+              val rng = new GlibcRand(xs(0) * 37 + ys(0))
+              def nextU(): Double = rng.nextU()
               if (r.slot != cloudSlot) { cloudTodo = 0L; cloudSlot = r.slot }
               cloudTodo += r.meta
               while (cloudTodo > 0) {

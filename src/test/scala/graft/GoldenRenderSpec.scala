@@ -145,6 +145,7 @@ class GoldenRenderSpec extends AnyFunSuite {
     ("custom background (-b 113355)", Seq("-b", "113355"), RenderParams(bg = 0x113355)),
     ("point size 4 (-p 4)", Seq("-p", "4"), RenderParams(pointSize = 4)),
     ("point size 0.5 (-p 0.5)", Seq("-p", "0.5"), RenderParams(pointSize = 0.5)),
+    ("cloud mode (-x c5000f, glibc rand parity)", Seq("-x", "c5000f"), RenderParams(circle = 5000)),
     ("gaussian brush (-p g2)", Seq("-p", "g2"), RenderParams(pointSize = 2, gaussian = true)),
     ("gaussian brush (-p g6)", Seq("-p", "g6"), RenderParams(pointSize = 6, gaussian = true)))) {
     test(s"tone-map variant: $name matches reference") {
@@ -153,6 +154,13 @@ class GoldenRenderSpec extends AnyFunSuite {
       assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
       assert(psnr >= 40.0, s"psnr=$psnr refSup=$refSup")
     }
+  }
+
+  test("cloud mode at z10 (step/innerstep swap + cross-record dot budget) matches reference") {
+    val (x, y) = denseTile(10)
+    val (psnr, refSup, ourSup) = comparePixels(10, x, y, Seq("-x", "c5000f"), RenderParams(circle = 5000))
+    assert(math.abs(refSup - ourSup) <= math.max(16, refSup / 200), s"support ref=$refSup ours=$ourSup")
+    assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
   test("multi-dataset overlay (render -f): two encoded halves == union render") {

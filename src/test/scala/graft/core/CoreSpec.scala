@@ -197,6 +197,18 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("GlibcRand reproduces the host glibc rand() stream bit-for-bit") {
+    // captured from gcc-compiled srand/rand on this host (glibc TYPE_3)
+    val expected = Map(
+      12345L -> Seq(383100999, 858300821, 357768173, 455528251, 133005921, 116285904, 591987137, 102557902),
+      0L -> Seq(1804289383, 846930886, 1681692777, 1714636915, 1957747793, 424238335, 719885386, 1649760492),
+      4294967295L -> Seq(254925627, 1205188300, 366127624, 1401405153, 76053476, 1604170158, 1302235366, 362229243))
+    expected.foreach { case (seed, vals) =>
+      val g = new GlibcRand(seed)
+      vals.foreach(v => assert(g.next() == v, s"seed $seed"))
+    }
+  }
+
   test("png encode/decode roundtrip and psnr") {
     val w = 16; val h = 16
     val rgba = Array.tabulate[Byte](w * h * 4)(i => ((i * 37) & 0xFF).toByte)
