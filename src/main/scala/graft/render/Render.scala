@@ -123,8 +123,13 @@ object Render {
   private def circleSwapsAt(p: RenderParams, step: Int, z: Int, row: Long): Boolean =
     step > 1 && p.cloudSize(z, 0, row.toInt) * p.tilesize > .0625
 
-  /** Point draw commands for zoom zDraw (own tile + spill ring). */
-  private def pointCmds(points: DataFrame, zDraw: Int, p: RenderParams): Dataset[FeatCmd] = {
+  /** Point draw commands for zoom zDraw (own tile + spill ring).
+    * `emitSpill = false` reproduces assemble mode, where the reference
+    * skips the neighbor-probe loop entirely (do_tile render.c:947:
+    * `&& !assemble`) — brush splats and clouds are clipped at tile
+    * windows instead of pulled from neighbors. */
+  private def pointCmds(points: DataFrame, zDraw: Int, p: RenderParams,
+                        emitSpill: Boolean = true): Dataset[FeatCmd] = {
     val spark = points.sparkSession
     import spark.implicits._
     val (step, _, _) = p.pointParams(zDraw)
@@ -135,7 +140,7 @@ object Render {
     val perReceiverStride = circleMode && step > 1
     val sampled = if (step <= 1 || perReceiverStride) points
       else points.filter(col("rank") % step === 0)
-    val spill = brushSpills(p, zDraw)
+    val spill = emitSpill && brushSpills(p, zDraw)
     // widest possible receiver ring at this zoom = ring at the extreme-
     // latitude row (row 0); bounds the per-record row scan
     val dyMax = if (circleMode) circleRing(p, zDraw, 0L) else 0
@@ -175,7 +180,7 @@ object Render {
             out += FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true)
           // scan candidate receiver rows; a receiver at row ry reaches
           // this record iff |ry - ty| <= ring(ry) (ring grows poleward)
-          var dy = -dyMax
+          var dy = if (emitSpill) -dyMax else dyMax + 1
           while (dy <= dyMax) {
             val ry = ty + dy
             if (ry >= 0 && ry < n) {
@@ -307,10 +312,11 @@ object Render {
   def renderTiles(points: Option[DataFrame], lines: Option[Dataset[Feature]],
                   zDraw: Int, mapbits: Int, p: RenderParams,
                   requireOwn: Boolean = true,
-                  only: Option[(Int, Int) => Boolean] = None): Dataset[TileOut] = {
+                  only: Option[(Int, Int) => Boolean] = None,
+                  pointSpill: Boolean = true): Dataset[TileOut] = {
     val spark = points.map(_.sparkSession).orElse(lines.map(_.sparkSession)).get
     import spark.implicits._
-    val pc = points.map(pointCmds(_, zDraw, p))
+    val pc = points.map(pointCmds(_, zDraw, p, emitSpill = pointSpill))
     val lc = lines.map(lineCmds(_, zDraw, mapbits, p))
     val all = (pc, lc) match {
       case (Some(a), Some(b)) => a.union(b)

@@ -231,12 +231,13 @@ object Sinks {
 
   /**
    * Assemble mode (`render -A`, render.c:827-887): render every tile of
-   * a lat/lon bbox at zoom z and stitch into one large RGBA image,
-   * cropped to the bbox at pixel precision. Deviation from the
-   * reference: the crop offset is rounded to whole pixels (the reference
-   * draws at fractional offsets — a <=0.5 px global shift) and brush
-   * spill across subtile borders comes from the neighbor ring rather
-   * than being clipped away. Capped at 10000x10000 like the reference.
+   * a lat/lon bbox at zoom z and stitch into one large RGBA image.
+   * Reference-exact placement: each tile lands at the C-int truncation
+   * of ((x - x1 - fx1) * tilesize) — including the reference's own
+   * first-row/column trunc-toward-zero quirk — and, like the reference
+   * (do_tile render.c:947 `&& !assemble`), neighbor spill probes are
+   * skipped, so brush splats clip at tile windows. Capped at
+   * 10000x10000 like the reference.
    */
   def assemble(points: Option[DataFrame], lines: Option[Dataset[Feature]],
                z: Int, lat1: Double, lon1: Double, lat2: Double, lon2: Double,
@@ -255,12 +256,11 @@ object Sinks {
     val outW = ((x2 - x1 + fx2 - fx1) * ts).toInt
     val outH = ((y2 - y1 + fy2 - fy1) * ts).toInt
     require(outW.toLong * outH <= 10000L * 10000L, "Image too big")
-    val cropX = (fx1 * ts).round.toInt
-    val cropY = (fy1 * ts).round.toInt
 
     val tiles = graft.render.Render.renderTiles(points, lines, z, mapbits, p,
       requireOwn = false,
-      only = Some((tx, ty) => tx >= x1 && tx <= x2 && ty >= y1 && ty <= y2))
+      only = Some((tx, ty) => tx >= x1 && tx <= x2 && ty >= y1 && ty <= y2),
+      pointSpill = false)
       .collect()
     val big = new Array[Byte](outW * outH * 4)
     // background fill for empty regions
@@ -272,8 +272,10 @@ object Sinks {
     }
     tiles.foreach { t =>
       val (rgba, _, _) = graft.core.Png.decode(t.png)
-      val ox = (t.x - x1) * ts - cropX
-      val oy = (t.y - y1) * ts - cropY
+      // C: do_tile(..., int xoff = (x - x1 - fx1) * tilesize, ...) —
+      // trunc toward zero, exactly like the reference's implicit cast
+      val ox = (((t.x - x1) - fx1) * ts).toInt
+      val oy = (((t.y - y1) - fy1) * ts).toInt
       var py = 0
       while (py < ts) {
         val by = oy + py

@@ -240,6 +240,24 @@ class GoldenRenderSpec extends AnyFunSuite {
     assert(strip(ref) == strip(ours), s"metadata differs:\nREF:\n$ref\nOURS:\n$ours")
   }
 
+  test("assemble mode (-A): stitched bbox image matches reference placement") {
+    // bbox around the dense cluster, intentionally NOT tile-aligned so
+    // the fractional-offset truncation path is exercised
+    // "--" stops getopt from parsing the negative longitudes as flags
+    val args = Seq("-A", "--", refDir, "12", "40.62", "-74.13", "40.83", "-73.87")
+    val (rc, refPng) = RefBinaries.run("render", args)
+    assert(rc == 0)
+    val (refRgba, rw, rh) = Png.decode(refPng)
+    val (ourRgba, ow, oh) = graft.sinks.Sinks.assemble(Some(pointsDf), None, 12,
+      40.62, -74.13, 40.83, -73.87, mapbits, RenderParams())
+    assert((ow, oh) == (rw, rh), s"dims ours=${(ow, oh)} ref=${(rw, rh)}")
+    def support(b: Array[Byte]) = b.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    val (refSup, ourSup) = (support(refRgba), support(ourRgba))
+    assert(math.abs(refSup - ourSup) <= math.max(32, refSup / 200), s"support ref=$refSup ours=$ourSup")
+    val psnr = Png.psnr(refRgba, ourRgba)
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
   test("render -d join rows: tile membership identical to reference") {
     val (x, y) = denseTile(12)
     val (rc, out) = RefBinaries.run("render", Seq("-d", refDir, "12", x.toString, y.toString))
