@@ -453,6 +453,83 @@ object Render {
     }
   }
 
+  /** S9 raster-text debug backend (raster.c): every POINT draw position
+    * re-projected to "lat,lon" text, exactly as `render-raster` prints —
+    * the draw loop of renderCanvasInto with emission instead of
+    * rasterization (bb<=1 prints the drawPixel arg xsc-.5; brushes print
+    * the center; raster.c:82-96 re-projects via
+    * bx += x/width*scale with C trunc-toward-zero). Lines are omitted
+    * (the raster backend walks Bresenham pixels; use the PNG path). */
+  def rasterDebugDump(points: DataFrame, zDraw: Int, txSel: Int, tySel: Int,
+                      mapbits: Int, p: RenderParams): Seq[String] = {
+    val want = Cell.tileKey(zDraw, txSel, tySel)
+    val recs = pointCmds(points, zDraw, p).filter(_.tkey == want).collect()
+    sortRecs(recs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (_, brush0, _) = p.pointParams(zDraw)
+    val bPt0 = brush0 * p.mercatorBrushScale(zDraw, tySel) * (p.tilesize / 256.0) * (p.tilesize / 256.0)
+    var further = false
+    var cloudTodo = 0L
+    var cloudSlot = Long.MinValue
+    val noise = zDraw >= mapbits / 2 - 8
+    val noisebits = 32 - mapbits / 2
+    val ts = p.tilesize
+    val scale = 1L << (32 - zDraw)
+    def emit(x: Double, y: Double): Unit = {
+      var bx = (txSel.toLong * scale).toDouble + x / ts * scale
+      var by = (tySel.toLong * scale).toDouble + y / ts * scale
+      out += f"${Mercator.tileToLat(by.toLong, 32)}%.6f,${Mercator.tileToLon(bx.toLong, 32)}%.6f"
+    }
+    recs.foreach { r =>
+      val drawIt = r.slot == -1 || further || p.circle > 0
+      if (drawIt && r.meta <= p.maxmeta && r.vertices.length == 1) {
+        var x = Cell.decodeX(r.vertices(0))
+        var y = Cell.decodeY(r.vertices(0))
+        if (noise) {
+          var xi = x.toInt; var yi = y.toInt
+          var j = 0
+          while (j < noisebits) {
+            xi |= ((y.toInt >>> (2 * noisebits - 1 - j)) & 1) << j
+            yi |= ((x.toInt >>> (2 * noisebits - 1 - j)) & 1) << j
+            j += 1
+          }
+          x = xi.toLong & 0xFFFFFFFFL; y = yi.toLong & 0xFFFFFFFFL
+        }
+        var bb = bPt0
+        if (p.metabrush) bb *= r.meta
+        val xd = Mercator.worldToTileFracX(x, zDraw, txSel)
+        val yd = Mercator.worldToTileFracY(y, zDraw, tySel)
+        var xsc = xd * ts
+        var ysc = yd * ts
+        if (!p.antialias) { xsc = (xd * ts).toInt + .5; ysc = (yd * ts).toInt + .5 }
+        if (p.circle > 0) {
+          val size = p.cloudSize(zDraw, txSel, tySel) * ts
+          val (step0, _, _) = p.pointParams(zDraw)
+          val innerstep = if (step0 > 1 && size > .0625) step0 else 1
+          if (size < .5) {
+            if (bb <= 1) emit(xsc - .5, ysc - .5)
+            else { emit(xsc, ysc); if (r.slot == -1) further = true }
+          } else if (xsc + size >= 0 && ysc + size >= 0 && xsc - size <= ts && ysc - size <= ts) {
+            val rng = new GlibcRand(x * 37 + y)
+            if (r.slot != cloudSlot) { cloudTodo = 0L; cloudSlot = r.slot }
+            cloudTodo += r.meta
+            while (cloudTodo > 0) {
+              val rr = math.sqrt(rng.nextU())
+              val ang = rng.nextU() * 2 * math.Pi
+              val xp = xsc + size * rr * math.cos(ang)
+              val yp = ysc + size * rr * math.sin(ang)
+              if (bb <= 1) emit(xp - .5, yp - .5)
+              else { emit(xp, yp); if (r.slot == -1) further = true }
+              cloudTodo -= innerstep
+            }
+          }
+        } else if (bb <= 1) emit(xsc - .5, ysc - .5)
+        else { emit(xsc, ysc); if (r.slot == -1) further = true }
+      }
+    }
+    out.toSeq
+  }
+
   /** Vector-tile variant of renderTiles: same join/shuffle shape, but
     * the reducer emits Mapbox-Vector-Tile bytes (S8, vector.cc backend)
     * instead of a rasterized PNG: tile-local integer geometry at extent

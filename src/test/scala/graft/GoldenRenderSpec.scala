@@ -258,6 +258,27 @@ class GoldenRenderSpec extends AnyFunSuite {
     assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
+  test("S9 raster-text backend: draw positions match render-raster (brush path)") {
+    val (x, y) = denseTile(15) // brush > 1px: exercises further + neighbor probes
+    val (rc, out) = RefBinaries.run("render-raster", Seq(refDir, "15", x.toString, y.toString))
+    assert(rc == 0)
+    val refLines = new String(out).linesIterator.filter(_.nonEmpty).toSeq.sorted
+    val ours = Render.rasterDebugDump(pointsDf, 15, x, y, mapbits, RenderParams()).sorted
+    assert(refLines.size == ours.size, s"ref=${refLines.size} ours=${ours.size}")
+    val diffs = refLines.zip(ours).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+    assert(refLines.nonEmpty)
+  }
+
+  test("S9 raster-text backend: pixel path at z13 matches render-raster") {
+    val (x, y) = denseTile(13)
+    val (rc, out) = RefBinaries.run("render-raster", Seq(refDir, "13", x.toString, y.toString))
+    assert(rc == 0)
+    val refLines = new String(out).linesIterator.filter(_.nonEmpty).toSeq.sorted
+    val ours = Render.rasterDebugDump(pointsDf, 13, x, y, mapbits, RenderParams()).sorted
+    assert(refLines == ours, s"ref=${refLines.size} ours=${ours.size} firstDiff=${refLines.zip(ours).find(t => t._1 != t._2)}")
+  }
+
   test("render -d join rows: tile membership identical to reference") {
     val (x, y) = denseTile(12)
     val (rc, out) = RefBinaries.run("render", Seq("-d", refDir, "12", x.toString, y.toString))

@@ -23,7 +23,7 @@ object RefBinaries {
         if (Files.isRegularFile(p))
           Files.copy(p, buildDir.resolve(p.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
       }
-      val rc = Process(Seq("make", "encode", "render", "enumerate", "merge"),
+      val rc = Process(Seq("make", "encode", "render", "enumerate", "merge", "render-raster"),
         buildDir.toFile).!(ProcessLogger(_ => (), _ => ()))
       require(rc == 0, "reference make failed")
     }
