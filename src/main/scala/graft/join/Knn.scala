@@ -46,10 +46,14 @@ object Knn {
       (col("y") - col("qy")) * (col("y") - col("qy"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
+    // cache the (tiny, <= |queries|*k rows) top-k candidate set: the
+    // resolved/good/unresolved consumers below would otherwise re-run
+    // the full candidate join + window three times
     val cand = qTiles.join(pts, Seq("tx", "ty"))
       .select(col("qid"), col("qx"), col("qy"), col("id"), d2.as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .cache()
 
     // ring guarantee: everything within guard of the query is in the ring
     val guard = (ring.toLong) << tileShift // min distance to outside the ring
