@@ -51,4 +51,13 @@ object TextSource {
     val mapbits = 2 * (encodeZoom + 8)
     spark.read.textFile(path).flatMap(parseLine(_, mapbits, metabits))
   }
+
+  /** Streaming ingest of the same text format (the reference's
+    * encode-new-files workflow as a Structured Streaming source): new
+    * files landing in `dir` become parsed features incrementally. */
+  def readStream(spark: SparkSession, dir: String, encodeZoom: Int = 16, metabits: Int = 0): Dataset[Feature] = {
+    import spark.implicits._
+    val mapbits = 2 * (encodeZoom + 8)
+    spark.readStream.textFile(dir).flatMap(parseLine(_, mapbits, metabits))
+  }
 }

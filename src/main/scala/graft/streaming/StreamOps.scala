@@ -68,6 +68,101 @@ object StreamOps {
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Incremental tileset maintenance — the reference's "encode new
+    * files, merge, re-render" loop (README.md:97-107) as ONE streaming
+    * query. Per micro-batch: (1) append the new (cell, meta) rows to the
+    * sorted snapshot, (2) compute the tiles the batch touches at each
+    * zoom (plus the spill ring where brushes exceed a pixel), (3)
+    * re-render ONLY those tiles, reading the snapshot through indexed
+    * cell-range scans (Parquet row-group pruning — cost ∝ affected
+    * tiles' data, never the full dataset), (4) overwrite their PNGs.
+    *
+    * Restricted to zooms with step == 1 (z >= dotBase): step-sampled low
+    * zooms depend on a global rank that appending invalidates — at scale
+    * those few shallow tiles are re-rendered wholesale on a slow cadence
+    * instead. Affected-tile re-renders are byte-deterministic (records
+    * re-sort identically), so an incremental tileset equals the batch
+    * render of the full data on every touched tile. */
+  def incrementalTiles(stream: DataFrame, snapshotDir: String, tilesDir: String,
+                       checkpointDir: String, zooms: Seq[Int], mapbits: Int,
+                       p: graft.core.RenderParams): StreamingQuery = {
+    import graft.core.Cell
+    require(zooms.forall(z => p.pointParams(z)._1 <= 1),
+      "incremental maintenance needs step==1 zooms (z >= dotBase)")
+    require(p.circle <= 0, "cloud mode needs latitude-dependent rings; not supported incrementally")
+    val zArr = zooms.toArray
+    val spills = zArr.map(z => graft.render.Render.brushSpills(p, z))
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.select(col("cell"), col("meta")).persist()
+        try {
+          if (b.count() > 0) {
+            b.write.mode("append").parquet(snapshotDir)
+            // tiles to RE-RENDER = touched + 1-tile spill ring (a new
+            // record's brush splats into neighbors); tiles whose DATA a
+            // re-render needs = render set + ITS spill ring (old records
+            // in second-ring tiles splat into re-rendered ring tiles).
+            // Bounded by batch size x zooms x 25.
+            val keyed = b.select("cell").as[Long].distinct()
+              .flatMap { c =>
+                zArr.indices.flatMap { zi =>
+                  val z = zArr(zi)
+                  val tx = Cell.tileX(c, z); val ty = Cell.tileY(c, z)
+                  val n = 1L << z
+                  val rad = if (spills(zi)) 2 else 0
+                  for {
+                    dx <- -rad to rad; dy <- -rad to rad
+                    nx = tx + dx; ny = ty + dy
+                    if nx >= 0 && nx < n && ny >= 0 && ny < n
+                  } yield (Cell.tileKey(z, nx.toInt, ny.toInt),
+                    math.max(math.abs(dx), math.abs(dy)) <= math.min(rad, 1))
+                }
+              }
+              .groupByKey(_._1).agg(max(col("_2")).as[Boolean]).collect()
+            val affected: Set[Long] = keyed.filter(_._2).map(_._1).toSet
+            val dataKeys: Set[Long] = keyed.map(_._1).toSet
+            // one range scan covering every needed tile: the min-zoom
+            // ANCESTOR ranges contain all deeper tiles' records. Sorted
+            // adjacent ranges coalesce (Z-order neighbors fuse), and the
+            // OR combines as a BALANCED tree — a left-deep reduce over
+            // thousands of ranges overflows the analyzer stack.
+            val zmin = zArr.min
+            val raw = dataKeys.map { k =>
+              val dz = Cell.tileKeyZ(k) - zmin
+              Cell.tileKey(zmin, Cell.tileKeyX(k) >> dz, Cell.tileKeyY(k) >> dz)
+            }.map { k =>
+              (Cell.tileRangeLo(zmin, Cell.tileKeyX(k), Cell.tileKeyY(k)),
+                Cell.tileRangeHi(zmin, Cell.tileKeyX(k), Cell.tileKeyY(k)))
+            }.toSeq.sorted
+            val merged = raw.foldLeft(List.empty[(Long, Long)]) {
+              case ((lo0, hi0) :: rest, (lo, hi)) if lo <= hi0 + 1 =>
+                (lo0, math.max(hi0, hi)) :: rest
+              case (acc, r) => r :: acc
+            }.reverse
+            def orTree(cs: IndexedSeq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+              if (cs.length == 1) cs.head
+              else orTree(cs.take(cs.length / 2)) || orTree(cs.drop(cs.length / 2))
+            val cond = orTree(merged.map { case (lo, hi) =>
+              col("cell") >= lo && col("cell") <= hi
+            }.toIndexedSeq)
+            val subset = spark.read.parquet(snapshotDir).filter(cond)
+            val tiles = zArr.map { z =>
+              graft.render.Render.renderTiles(Some(subset), None, z, mapbits, p,
+                requireOwn = true,
+                only = Some((tx, ty) => affected.contains(Cell.tileKey(z, tx, ty))))
+            }.reduce(_ union _)
+            graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run a streaming query over a bounded source synchronously into a
     * memory sink; returns the sink table name. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -105,6 +105,31 @@ class GoldenOpsSpec extends AnyFunSuite {
     cmpDirs("/tmp/ops_mu.dm", "/tmp/ops_mu_ours.dm")
   }
 
+  test("enumerate -b bbox rollup matches reference counts (P3 world-coord filter)") {
+    val (minlat, minlon, maxlat, maxlon) = (-40.0, -90.0, 50.0, 120.0)
+    val (rc, out) = RefBinaries.run("enumerate",
+      Seq("-z8", "-v", "-b", s"$minlat,$minlon,$maxlat,$maxlon", "/tmp/ops_ref.dm"))
+    assert(rc == 0)
+    val refZ8 = new String(out).linesIterator.filter(_.nonEmpty).map { l =>
+      val p = l.trim.split("\\s+")
+      ((p(1).toInt, p(2).toInt, p(3).toInt), p(4).toLong)
+    }.toSeq.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      .filter(_._1._1 == 8).map { case ((_, x, y), c) => ((x, y), c) }
+    // ours: filter first vertices by the same world-coord box, then roll up
+    val left = Mercator.lonToX32(minlon); val right = Mercator.lonToX32(maxlon)
+    val bottom = Mercator.latToY32(minlat); val top = Mercator.latToY32(maxlat)
+    val feats = TextSource.read(spark, "/tmp/ops_mixed.txt", 16, 8)
+    import spark.implicits._
+    val ours = feats
+      .map(f => (Cell.decodeX(f.cell), Cell.decodeY(f.cell)))
+      .filter(p => p._1 >= left && p._1 <= right && p._2 >= top && p._2 <= bottom)
+      .map(p => (p._1 >> 24, p._2 >> 24))
+      .groupByKey(identity).count().collect()
+      .map { case ((x, y), c) => ((x.toInt, y.toInt), c) }.toMap
+    assert(ours == refZ8)
+    assert(ours.nonEmpty)
+  }
+
   test("enumerate -a: full text dump line-exact in merge order") {
     val (rc, out) = RefBinaries.run("enumerate", Seq("-a", "/tmp/ops_ref.dm"))
     assert(rc == 0)

@@ -65,6 +65,69 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(out.count(_ == "duplicate payload text") == 1)
   }
 
+  test("streaming text ingest parses identically to the batch source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txtstream").toString
+    val lines = Seq("40.700000,-74.000000 :7", "invalid", "85.100000,0.0 :1", // lat out of range -> drop
+      "-12.500000,99.250000 8:255", "1.000000,2.000000 3.000000,4.000000 :9")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), lines.mkString("\n"))
+    val batch = graft.sources.TextSource.read(spark, dir, 16, 8).collect()
+      .map(f => (f.cell, f.vertices.toSeq, f.meta)).toSet
+    val stream = graft.sources.TextSource.readStream(spark, dir, 16, 8)
+    val q = StreamOps.runToMemory(stream.toDF(), "txt_out")
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM txt_out").as[graft.encode.Feature].collect()
+      .map(f => (f.cell, f.vertices.toSeq, f.meta)).toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
+  test("incremental tileset maintenance equals the batch render, byte-for-byte") {
+    import spark.implicits._
+    import graft.core.RenderParams
+    val base = java.nio.file.Files.createTempDirectory("inctiles").toString
+    val in = s"$base/in"; val snap = s"$base/snap"
+    val tilesDir = s"$base/tiles"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val all = graft.tables.ImageTable.generateGeo(spark, 3000).toDF()
+      .select(col("cell"), col("meta"))
+    def feed(batch: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = s"$base/stage_$tag"
+      batch.coalesce(1).write.parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(in, s"${tag}_${f.getName}")))
+    }
+    val zooms = Seq(14, 15) // step == 1, z15 exercises brush spill rings
+    val p = RenderParams()
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(in)
+      val q = StreamOps.incrementalTiles(stream, snap, tilesDir, ckpt, zooms, 48, p)
+      q.awaitTermination()
+    }
+    feed(all.filter(pmod(col("cell"), lit(2)) === 0), "b1"); runOnce()
+    feed(all.filter(pmod(col("cell"), lit(2)) === 1), "b2"); runOnce()
+
+    // ground truth: full batch render over the final snapshot
+    val full = spark.read.parquet(snap)
+    val expected = zooms.map(z =>
+      graft.render.Render.renderTiles(Some(full), None, z, 48, p)).reduce(_ union _)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    val onDisk = {
+      val root = new java.io.File(tilesDir)
+      for {
+        zd <- root.listFiles().toSeq if zd.isDirectory
+        xd <- zd.listFiles().toSeq
+        yf <- xd.listFiles().toSeq
+      } yield ((zd.getName.toInt, xd.getName.toInt, yf.getName.stripSuffix(".png").toInt),
+        java.nio.file.Files.readAllBytes(yf.toPath))
+    }.toMap
+    assert(onDisk.keySet == expected.keySet,
+      s"tile sets differ: extra=${onDisk.keySet.diff(expected.keySet).take(5)} missing=${expected.keySet.diff(onDisk.keySet).take(5)}")
+    val bad = expected.collect { case (k, png) if !java.util.Arrays.equals(png, onDisk(k)) => k }
+    assert(bad.isEmpty, s"stale tiles: ${bad.take(5)}")
+    assert(expected.nonEmpty)
+  }
+
   test("stateful sessionization closes sessions on gaps") {
     import spark.implicits._
     val now = 1700000000000L
