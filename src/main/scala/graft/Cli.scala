@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Cell, Mercator, RenderParams}
+import graft.encode.Feature
+import graft.sinks.Sinks
+import graft.sources.{DatamapsSource, TextSource}
+
+/**
+ * Drop-in CLI: the reference's four binaries (`encode`, `render`,
+ * `enumerate`, `merge`) as one Spark entry point with the same flags —
+ * a user of the original tools can switch by prefixing
+ * `sbt "runMain graft.Cli ..."`. Datasets are the reference's own
+ * binary format (read via DatamapsSource, written byte-exactly via
+ * Sinks.writeDatamapsBinary), so pipelines can mix the C tools and this
+ * engine freely. Ordering of enumerate's stdout rows is sorted
+ * (z, tile) rather than the reference's stream-close order; row SETS
+ * are identical.
+ */
+object Cli {
+  private def session(): SparkSession = {
+    val s = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** stop the session only if this invocation created it (in-process
+    * callers — tests, notebooks — keep theirs). */
+  private def withSession[A](f: SparkSession => A): A = {
+    val owned = SparkSession.getActiveSession.isEmpty && SparkSession.getDefaultSession.isEmpty
+    val spark = session()
+    try f(spark) finally if (owned) spark.stop()
+  }
+
+  /** getopt-ish: single-char flags, inline ("-z16") or separate ("-z 16")
+    * args, "--" terminator. */
+  private def parse(args: List[String], takesArg: Set[Char]): (Map[Char, String], List[Char], List[String]) = {
+    var opts = Map.empty[Char, String]
+    var flags = List.empty[Char]
+    var pos = List.empty[String]
+    var rest = args
+    var done = false
+    while (rest.nonEmpty) {
+      val t = rest.head; rest = rest.tail
+      if (done || !t.startsWith("-") || t == "-") pos :+= t
+      else if (t == "--") done = true
+      else {
+        val c = t(1)
+        if (takesArg(c)) {
+          if (t.length > 2) opts += c -> t.substring(2)
+          else { opts += c -> rest.head; rest = rest.tail }
+        } else {
+          // bundled boolean flags: -adg
+          t.drop(1).foreach(f => flags :+= f)
+        }
+      }
+    }
+    (opts, flags, pos)
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "encode" :: rest => encode(rest)
+    case "render" :: rest => render(rest)
+    case "enumerate" :: rest => enumerate(rest)
+    case "merge" :: rest => merge(rest)
+    case _ =>
+      System.err.println("usage: graft.Cli encode|render|enumerate|merge [flags...]")
+      sys.exit(1)
+  }
+
+  private def encode(args: List[String]): Unit = {
+    val (opts, _, pos) = parse(args, Set('o', 'z', 'm'))
+    val out = opts.getOrElse('o', sys.error("encode: -o output required"))
+    val z = opts.get('z').map(_.toInt).getOrElse(16)
+    val m = opts.get('m').map(_.toInt).getOrElse(0)
+    require(!new java.io.File(out).exists(), s"$out exists (the reference encode refuses too)")
+    withSession { spark =>
+      val feats = pos.map(TextSource.read(spark, _, z, m)).reduce(_ union _)
+      Sinks.writeDatamapsBinary(feats, out, z, m)
+    }
+  }
+
+  private def merge(args: List[String]): Unit = {
+    val (opts, flags, pos) = parse(args, Set('o'))
+    val out = opts.getOrElse('o', sys.error("merge: -o output required"))
+    require(!new java.io.File(out).exists(), s"$out exists")
+    withSession { spark =>
+      val meta = DatamapsSource.readMeta(pos.head)
+      val all = pos.map(DatamapsSource.read(spark, _)).reduce(_ union _)
+      val merged = if (flags.contains('u')) all.dropDuplicates("vertices", "meta") else all
+      Sinks.writeDatamapsBinary(merged, out, meta.encodeZoom, meta.metabits)
+    }
+  }
+
+  private def enumerate(args: List[String]): Unit = {
+    val (opts, flags, pos) = parse(args, Set('z', 'Z', 'b'))
+    val dir = pos.head
+    withSession { spark =>
+    import spark.implicits._
+    val meta = DatamapsSource.readMeta(dir)
+    val feats = DatamapsSource.read(spark, dir)
+    val maxz = opts.get('z').map(_.toInt).getOrElse(meta.mapbits / 2 - 8)
+    val minz = opts.get('Z').map(_.toInt).getOrElse(0)
+    if (flags.contains('a') || flags.contains('D')) {
+      val geo = flags.contains('D')
+      val rows = Sinks.enumerateDump(feats, meta.encodeZoom, meta.metabits, geoJson = geo).collect()
+      if (geo) print(Sinks.geoJsonCollect(rows.toSeq))
+      else rows.foreach(println)
+    } else {
+      val verbose = flags.contains('v')
+      val showdist = flags.contains('d')
+      val bounded = opts.get('b').map { b =>
+        val Array(minlat, minlon, maxlat, maxlon) = b.split(",").map(_.toDouble)
+        (Mercator.lonToX32(minlon), Mercator.latToY32(maxlat),
+          Mercator.lonToX32(maxlon), Mercator.latToY32(minlat))
+      }
+      val firsts = feats.map(f => (Cell.decodeX(f.cell), Cell.decodeY(f.cell)))
+        .toDF("x32", "y32")
+      val inb = bounded match {
+        case Some((l, t, r, b)) => query.TileOps.bboxFilter(firsts, l, t, r, b)
+        case None => firsts
+      }
+      val rolled = query.TileOps.enumerateRollup(inb, minz, maxz)
+        .as[(Int, Long, Long, Long, Long, Long)].collect()
+        .sortBy { case (z, tx, ty, _, _, _) => (z, Cell.tileKey(z, tx.toInt, ty.toInt)) }
+      val lens: Map[(Int, Long, Long), Double] =
+        if (!showdist) Map.empty
+        else query.TileOps.enumerateRollupFeatures(feats, minz, maxz)
+          .select(col("z"), col("tx").cast("long"), col("ty").cast("long"), col("len"))
+          .as[(Int, Long, Long, Double)].collect()
+          .map { case (z, tx, ty, len) => ((z, tx, ty), len) }.toMap
+      val present = rolled.map { case (z, tx, ty, _, _, _) => (z, tx, ty) }.toSet
+      rolled.foreach { case (z, tx, ty, cnt, xsum, ysum) =>
+        val sb = new StringBuilder(s"$dir $z $tx $ty")
+        if (verbose)
+          sb ++= f" $cnt%d ${Mercator.tileToLat(ysum / cnt, 32)}%f,${Mercator.tileToLon(xsum / cnt, 32)}%f"
+        if (showdist) sb ++= f" ${lens.getOrElse((z, tx, ty), 0.0)}%f"
+        println(sb.result())
+      }
+      if (flags.contains('s')) {
+        // sibling completion: empty quad-mates of every present tile
+        rolled.iterator.filter(_._1 > 0)
+          .flatMap { case (z, tx, ty, _, _, _) =>
+            for { qx <- 0 to 1; qy <- 0 to 1
+                  sx = tx / 2 * 2 + qx; sy = ty / 2 * 2 + qy
+                  if !present((z, sx, sy)) } yield (z, sx, sy)
+          }.toSeq.distinct.sorted.foreach { case (z, sx, sy) =>
+            val sb = new StringBuilder(s"$dir $z $sx $sy")
+            if (flags.contains('v'))
+              sb ++= f" 0 ${Mercator.tileToLat(sy << (32 - z), 32)}%f,${Mercator.tileToLon(sx << (32 - z), 32)}%f"
+            if (showdist) sb ++= " 0.000000"
+            println(sb.result())
+          }
+      }
+    }
+    }
+  }
+
+  private def render(args: List[String]): Unit = {
+    val (opts, flags, pos) = parse(args,
+      Set('t', 'C', 'c', 'S', 'B', 'O', 'G', 'l', 'L', 'M', 'b', 'f', 'T', 'o', 'x', 'e', 'p'))
+    var p = RenderParams()
+    opts.get('t').foreach(v => p = p.copy(transparency = v.toInt))
+    opts.get('G').foreach(v => p = p.copy(gamma = v.toDouble))
+    opts.get('b').foreach(v => p = p.copy(bg = java.lang.Long.parseLong(v, 16).toInt))
+    opts.get('c').foreach(v => p = p.copy(color = java.lang.Long.parseLong(v, 16).toInt))
+    opts.get('S').foreach(v => p = p.copy(color2 = java.lang.Long.parseLong(v, 16).toInt))
+    opts.get('T').foreach(v => p = p.copy(tilesize = v.toInt))
+    opts.get('e').foreach(v => p = p.copy(exponent = v.toDouble))
+    opts.get('M').foreach(v => p = p.copy(mercatorLat = v.toDouble))
+    opts.get('L').foreach(v => p = p.copy(lineThick = v.toDouble))
+    opts.get('l').foreach(v => p = p.copy(lineRamp = v.toDouble))
+    opts.get('O').foreach(v => p = p.copy(gpsDist = v.toDouble))
+    opts.get('B').foreach { v =>
+      val Array(zb, br, ra) = v.split(":")
+      p = p.copy(dotBase = zb.toInt, dotBright = br.toDouble, dotRamp = ra.toDouble)
+    }
+    opts.get('p').foreach { v =>
+      if (v.startsWith("g")) p = p.copy(pointSize = v.drop(1).toDouble, gaussian = true)
+      else p = p.copy(pointSize = v.toDouble)
+    }
+    opts.get('C').foreach { v =>
+      val Array(m1, h1, m2, h2) = v.split(":").map(_.toDouble)
+      p = p.copy(colorRampActive = true, colorMeta1 = m1.toLong, colorHue1 = h1,
+        colorMeta2 = m2.toLong, colorHue2 = h2)
+    }
+    opts.get('x').foreach {
+      case "b" => p = p.copy(metabright = true)
+      case "r" => p = p.copy(metabrush = true)
+      case "u" => p = p.copy(cie = true)
+      case v if v.startsWith("l") => p = p.copy(maxmeta = v.drop(1).toLong)
+      case v if v.startsWith("s") => p = p.copy(colorCap = v.drop(1).toDouble)
+      case v if v.startsWith("c") =>
+        val num = v.drop(1).dropRight(1).toDouble
+        val unit = v.last
+        p = p.copy(circle = if (unit == 'm') num * 3.28 else num)
+      case v => sys.error(s"render: can't understand -x $v")
+    }
+    if (flags.contains('a')) p = p.copy(antialias = false)
+    if (flags.contains('m')) p = p.copy(mask = true)
+    if (flags.contains('s')) p = p.copy(saturate = false)
+    if (flags.contains('g')) p = p.copy(gps = true)
+    if (flags.contains('w')) p = p.copy(bg = 0xFFFFFF, invert = true)
+
+    if (flags.contains('v')) { print(Sinks.mapnikStylesheet(p)); return }
+
+    withSession { spark =>
+    val extra = opts.get('f').toList
+    val dirs = extra :+ pos.head
+    val metas = dirs.map(DatamapsSource.readMeta)
+    val mapbits = metas.map(_.mapbits).max
+    val feats = dirs.map(DatamapsSource.read(spark, _)).reduce(_ union _)
+    import spark.implicits._
+    // global rank = the reference's file offset (records sort by packed
+    // bytes == (cell, meta)); needed for deterministic step sampling at
+    // zooms below dot_base
+    val points = render_.withGlobalRank(
+      feats.filter((f: Feature) => f.vertices.length == 1)
+        .map(f => (f.cell, f.meta)).toDF("cell", "meta"))
+    val lines = feats.filter((f: Feature) => f.vertices.length > 1)
+
+    if (flags.contains('A')) {
+      val Seq(z, lat1, lon1, lat2, lon2) = pos.tail.take(5)
+      val (rgba, w, h) = Sinks.assemble(Some(points), Some(lines), z.toInt,
+        lat1.toDouble, lon1.toDouble, lat2.toDouble, lon2.toDouble, mapbits, p)
+      System.out.write(graft.core.Png.encode(rgba, w, h)); System.out.flush()
+    } else {
+      val Seq(zs, xs, ys) = pos.tail.take(3)
+      val (z, x, y) = (zs.toInt, xs.toInt, ys.toInt)
+      if (flags.contains('d')) {
+        // text dump of the tile's join rows
+        val lo = Cell.tileRangeLo(z, x, y); val hi = Cell.tileRangeHi(z, x, y)
+        feats.filter((f: Feature) => f.cell >= lo && f.cell <= hi)
+          .collect().foreach(f => println(Sinks.dumpTextLine(f, metas.head.metabits)))
+      } else {
+        val tiles =
+          if (flags.contains('r'))
+            render_.renderRetinaTiles(Some(points), Some(lines), z, mapbits, p, requireOwn = false)
+          else render_.renderTiles(Some(points), Some(lines), z, mapbits, p,
+            requireOwn = false, only = Some((tx, ty) => tx == x && ty == y))
+        val tile = tiles.collect().find(t => t.x == x && t.y == y)
+        tile match {
+          case Some(t) =>
+            opts.get('o') match {
+              case Some(outdir) =>
+                Sinks.writeTileset(spark.createDataset(Seq(t))(
+                  org.apache.spark.sql.Encoders.product[graft.render.TileOut]), outdir, pos.head)
+              case None => System.out.write(t.png); System.out.flush()
+            }
+          case None =>
+            // empty tile: tone-map an untouched canvas (background)
+            val bgPng = graft.core.Png.encode(
+              graft.core.ToneMap(new graft.core.Canvas(p.tilesize, p.tilesize), p),
+              p.tilesize, p.tilesize)
+            opts.get('o') match {
+              case Some(outdir) =>
+                Sinks.writeTileset(spark.createDataset(Seq(graft.render.TileOut(z, x, y, bgPng)))(
+                  org.apache.spark.sql.Encoders.product[graft.render.TileOut]), outdir, pos.head)
+              case None => System.out.write(bgPng); System.out.flush()
+            }
+        }
+      }
+    }
+    }
+  }
+
+  private val render_ = graft.render.Render
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import graft.core.Png
+
+/** Drop-in CLI + binary-format READ interop, golden vs the reference
+  * binaries: datasets built by the C tools load into the engine and the
+  * CLI reproduces each reference command's output. */
+class CliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def writeCorpus(path: String, seed: Int, n: Int): Unit = {
+    val r = new scala.util.Random(seed)
+    def r6(v: Double) = f"$v%.6f".toDouble
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      sb ++= f"${r6(r.nextDouble() * 170 - 85)}%.6f,${r6(r.nextDouble() * 359.9 - 179.95)}%.6f :${r.nextInt(256)}\n"
+    }
+    Files.writeString(Paths.get(path), sb.toString)
+  }
+
+  def cmpDirs(a: String, b: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val fa = Files.list(Paths.get(a)).iterator().asScala.map(_.getFileName.toString).toSet
+    val fb = Files.list(Paths.get(b)).iterator().asScala.map(_.getFileName.toString).toSet
+    assert(fa == fb, s"file sets differ: ${fa.diff(fb)} / ${fb.diff(fa)}")
+    fa.foreach { f =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(a, f)), Files.readAllBytes(Paths.get(b, f))), s"file $f differs")
+    }
+  }
+
+  lazy val setup: (String, String) = {
+    spark // force session before Cli reuses it
+    import scala.sys.process._
+    writeCorpus("/tmp/cli_a.txt", 41, 1200)
+    writeCorpus("/tmp/cli_b.txt", 41, 800) // prefix overlap for -u
+    "rm -rf /tmp/cli_a.dm /tmp/cli_b.dm".!
+    assert(RefBinaries.run("encode", Seq("-o", "/tmp/cli_a.dm", "-z16", "-m8", "/tmp/cli_a.txt"))._1 == 0)
+    assert(RefBinaries.run("encode", Seq("-o", "/tmp/cli_b.dm", "-z16", "-m8", "/tmp/cli_b.txt"))._1 == 0)
+    ("/tmp/cli_a.dm", "/tmp/cli_b.dm")
+  }
+
+  test("DatamapsSource reads reference-encoded datasets byte-faithfully") {
+    val (dmA, _) = setup
+    import spark.implicits._
+    val fromDm = graft.sources.DatamapsSource.read(spark, dmA)
+      .collect().map(f => (f.vertices.toSeq, f.meta)).sortBy(_.toString)
+    val fromTxt = graft.sources.TextSource.read(spark, "/tmp/cli_a.txt", 16, 8)
+      .collect().map(f => (f.vertices.toSeq, f.meta)).sortBy(_.toString)
+    assert(fromDm.length == fromTxt.length && fromDm.sameElements(fromTxt))
+    assert(fromDm.nonEmpty)
+  }
+
+  test("Cli encode reproduces reference encode byte-for-byte") {
+    setup
+    import scala.sys.process._
+    "rm -rf /tmp/cli_a_ours.dm".!
+    Cli.main(Array("encode", "-o", "/tmp/cli_a_ours.dm", "-z16", "-m8", "/tmp/cli_a.txt"))
+    cmpDirs("/tmp/cli_a.dm", "/tmp/cli_a_ours.dm")
+  }
+
+  test("Cli merge (read .dm -> union -> write .dm) matches reference merge and merge -u") {
+    val (dmA, dmB) = setup
+    import scala.sys.process._
+    "rm -rf /tmp/cli_m.dm /tmp/cli_m_ours.dm /tmp/cli_mu.dm /tmp/cli_mu_ours.dm".!
+    assert(RefBinaries.run("merge", Seq("-o", "/tmp/cli_m.dm", dmA, dmB))._1 == 0)
+    assert(RefBinaries.run("merge", Seq("-o", "/tmp/cli_mu.dm", "-u", dmA, dmB))._1 == 0)
+    Cli.main(Array("merge", "-o", "/tmp/cli_m_ours.dm", dmA, dmB))
+    cmpDirs("/tmp/cli_m.dm", "/tmp/cli_m_ours.dm")
+    Cli.main(Array("merge", "-o", "/tmp/cli_mu_ours.dm", "-u", dmA, dmB))
+    cmpDirs("/tmp/cli_mu.dm", "/tmp/cli_mu_ours.dm")
+  }
+
+  test("Cli enumerate -v row set matches reference") {
+    val (dmA, _) = setup
+    val (rc, out) = RefBinaries.run("enumerate", Seq("-z6", "-v", dmA))
+    assert(rc == 0)
+    val ref = new String(out).linesIterator.filter(_.nonEmpty)
+      .map(_.trim.split("\\s+").drop(1).mkString(" ")).toSet // drop fname
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(buf) { Cli.main(Array("enumerate", "-z6", "-v", dmA)) }
+    val ours = new String(buf.toByteArray).linesIterator.filter(_.nonEmpty)
+      .map(_.trim.split("\\s+").drop(1).mkString(" ")).toSet
+    assert(ours == ref, s"diff: extra=${ours.diff(ref).take(3)} missing=${ref.diff(ours).take(3)}")
+    assert(ours.nonEmpty)
+  }
+
+  test("Cli render tile PNG matches reference (PSNR >= 40)") {
+    val (dmA, _) = setup
+    // find a populated z5 tile from the corpus
+    val f = graft.sources.DatamapsSource.read(spark, dmA).head()
+    val x = graft.core.Cell.tileX(f.cell, 5)
+    val y = graft.core.Cell.tileY(f.cell, 5)
+    val (rc, refPng) = RefBinaries.run("render", Seq(dmA, "5", x.toString, y.toString))
+    assert(rc == 0)
+    val buf = new java.io.ByteArrayOutputStream()
+    val oldOut = System.out
+    System.setOut(new java.io.PrintStream(buf))
+    try Cli.main(Array("render", dmA, "5", x.toString, y.toString))
+    finally System.setOut(oldOut)
+    val (refRgba, _, _) = Png.decode(refPng)
+    val (ourRgba, w, h) = Png.decode(buf.toByteArray)
+    assert(w == 256 && h == 256)
+    val psnr = Png.psnr(refRgba, ourRgba)
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+}
