@@ -228,6 +228,21 @@ object Cli {
     } else {
       val Seq(zs, xs, ys) = pos.tail.take(3)
       val (z, x, y) = (zs.toInt, xs.toInt, ys.toInt)
+      // single-tile render: after rank assignment (global!), restrict the
+      // point scan to the target tile's neighbor-ring cell ranges — the
+      // Spark analog of the reference's per-range binary search. Cloud
+      // mode keeps the full scan (rings are latitude-dependent).
+      def ringFiltered(zz: Int, tx: Int, ty: Int) = {
+        val n = 1L << zz
+        val ranges = for {
+          dx <- -1 to 1; dy <- -1 to 1
+          nx = tx + dx; ny = ty + dy
+          if nx >= 0 && nx < n && ny >= 0 && ny < n
+        } yield (Cell.tileRangeLo(zz, nx.toInt, ny.toInt), Cell.tileRangeHi(zz, nx.toInt, ny.toInt))
+        points.filter(ranges.map { case (lo, hi) =>
+          col("cell") >= lo && col("cell") <= hi
+        }.reduce(_ || _))
+      }
       if (flags.contains('d')) {
         // text dump of the tile's join rows
         val lo = Cell.tileRangeLo(z, x, y); val hi = Cell.tileRangeHi(z, x, y)
@@ -236,8 +251,12 @@ object Cli {
       } else {
         val tiles =
           if (flags.contains('r'))
-            render_.renderRetinaTiles(Some(points), Some(lines), z, mapbits, p, requireOwn = false)
-          else render_.renderTiles(Some(points), Some(lines), z, mapbits, p,
+            render_.renderRetinaTiles(
+              Some(if (p.circle > 0) points else ringFiltered(z - 1, x / 2, y / 2)),
+              Some(lines), z, mapbits, p, requireOwn = false)
+          else render_.renderTiles(
+            Some(if (p.circle > 0) points else ringFiltered(z, x, y)),
+            Some(lines), z, mapbits, p,
             requireOwn = false, only = Some((tx, ty) => tx == x && ty == y))
         val tile = tiles.collect().find(t => t.x == x && t.y == y)
         tile match {
