@@ -48,8 +48,10 @@ object Knn {
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
     // cache the (tiny, <= |queries|*k rows) top-k candidate set: the
     // resolved/good/unresolved consumers below would otherwise re-run
-    // the full candidate join + window three times
-    val cand = qTiles.join(pts, Seq("tx", "ty"))
+    // the full candidate join + window three times. The query-tile ring
+    // is broadcast — the (huge) point side never shuffles for the
+    // candidate join; only candidates reach the per-query window.
+    val cand = pts.join(broadcast(qTiles), Seq("tx", "ty"))
       .select(col("qid"), col("qx"), col("qy"), col("id"), d2.as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
