@@ -128,8 +128,21 @@ object Bench {
       name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+    // ANN quality: recall@10 of the approximate paths vs exact brute force
+    // (approximation quality is as load-bearing as speed at 100 TB)
+    val (lshRecall, ivfRecall) = try {
+      import org.apache.spark.sql.Row
+      def pairs(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id").collect()
+          .map { case Row(q: Long, v: Long) => (q, v) }.toSet
+      val exact = pairs("q27_ann_topk")
+      (pairs("q28_ann_lsh").intersect(exact).size.toDouble / exact.size,
+        pairs("q40_ann_ivf").intersect(exact).size.toDouble / exact.size)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8"}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)

@@ -539,7 +539,8 @@ object SparkEntry {
          |   CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
          |  FROM embeddings e, (SELECT unnest(generate_series(0, 63)) AS p) pp),
          | bands AS (SELECT vec_id, p // 8 AS band, CAST(sum(bit << (p % 8)) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
-         | qb AS (SELECT band, key, vec_id AS qid FROM bands WHERE vec_id < 5),
+         | qb AS (SELECT band, xor(key, CASE WHEN fb.f = 0 THEN 0 ELSE (1::BIGINT << (fb.f - 1)) END) AS key, vec_id AS qid
+         |   FROM bands, (SELECT unnest(generate_series(0, 8)) AS f) fb WHERE vec_id < 5),
          | cand AS (SELECT DISTINCT q.qid, v.vec_id FROM bands v JOIN qb q ON v.band = q.band AND v.key = q.key AND v.vec_id <> q.qid),
          | scored AS (SELECT c.qid, c.vec_id, ${cosSql("v.embedding", "q.embedding")} AS cos
          |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)

@@ -125,11 +125,23 @@ object Ann {
 
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 64, bands: Int = 8): DataFrame = {
+    val rows = planes / bands
     def bandCols(sig: Column): Column = rhpBandCols(sig, planes, bands)
     val v = vecs.select(col("vec_id"), col("embedding"),
       explode(bandCols(rhpSignature(col("embedding"), planes))).as("bk"))
+    // query-side MULTI-PROBE: each band key is probed exactly and with
+    // every 1-bit flip — per-band collision probability rises from p^r
+    // to p^r + r*p^(r-1)*(1-p) at a cost of (rows+1)x QUERY band rows
+    // only (the huge vector side is untouched). fb = 0 probes the exact
+    // key; fb = 1..rows flips bit fb-1.
     val q = queries.select(col("qid"), col("qvec"),
       explode(bandCols(rhpSignature(col("qvec"), planes))).as("bk"))
+      .withColumn("fb", explode(sequence(lit(0), lit(rows))))
+      .select(col("qid"), col("qvec"),
+        struct(col("bk.band").as("band"),
+          when(col("fb") === 0, col("bk.key"))
+            .otherwise(col("bk.key").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), fb - 1)")))
+            .as("key")).as("bk"))
 
     val cand = v.join(q, v("bk") === q("bk"))
       .filter(col("vec_id") =!= col("qid"))

@@ -63,6 +63,19 @@ class GoldenOpsSpec extends AnyFunSuite {
     cmpDirs("/tmp/ops_ref.dm", "/tmp/ops_ours.dm")
   }
 
+  for (seed <- Seq(7001, 7002)) {
+    test(s"encode byte-parity holds across corpora (seed $seed, mixed lines)") {
+      import scala.sys.process._
+      writeCorpus(s"/tmp/ops_seed$seed.txt", seed, 1200, lines = true)
+      s"rm -rf /tmp/ops_seed$seed.dm /tmp/ops_seed${seed}_ours.dm".!
+      assert(RefBinaries.run("encode",
+        Seq("-o", s"/tmp/ops_seed$seed.dm", "-z16", "-m8", s"/tmp/ops_seed$seed.txt"))._1 == 0)
+      val feats = TextSource.read(spark, s"/tmp/ops_seed$seed.txt", 16, 8)
+      Sinks.writeDatamapsBinary(feats, s"/tmp/ops_seed${seed}_ours.dm", 16, 8)
+      cmpDirs(s"/tmp/ops_seed$seed.dm", s"/tmp/ops_seed${seed}_ours.dm")
+    }
+  }
+
   test("A3: enumerate tile rollup matches reference counts at z8 (points + line first vertices)") {
     val (rc, out) = RefBinaries.run("enumerate", Seq("-z8", "-v", "/tmp/ops_ref.dm"))
     assert(rc == 0)
