@@ -530,6 +530,41 @@ object Render {
     out.toSeq
   }
 
+  /** Full mixed tileset (points + polylines, every zoom) in ONE job and
+    * ONE shuffle: the per-zoom point commands come from the pyramid
+    * emitter and every zoom's line commands union into the same
+    * repartition — a complete z0..N tileset build is a single pass over
+    * each input regardless of pyramid depth. */
+  def renderPyramidAll(points: Option[DataFrame], lines: Option[Dataset[Feature]],
+                       zooms: Seq[Int], mapbits: Int, p: RenderParams): Dataset[TileOut] = {
+    require(points.nonEmpty || lines.nonEmpty, "no input")
+    val spark = points.map(_.sparkSession).orElse(lines.map(_.sparkSession)).get
+    import spark.implicits._
+    val pc: Option[Dataset[FeatCmd]] = points.map { pts =>
+      if (p.circle > 0) zooms.map(z => pointCmds(pts, z, p)).reduce(_ union _)
+      else {
+        val zArr = zooms.toArray
+        val steps = zArr.map(z => p.pointParams(z)._1.toLong)
+        val spillsArr = zArr.map(z => brushSpills(p, z))
+        val needRank = steps.exists(_ > 1)
+        val hasMeta = pts.columns.contains("meta")
+        val src = pts.select(col("cell"),
+          (if (hasMeta) col("meta") else lit(0L)).as("meta"),
+          (if (needRank) col("rank") else lit(0L)).as("rank")).as[(Long, Long, Long)]
+        pyramidCmds(src, zArr, zArr.zip(steps).toMap, zArr.zip(spillsArr).toMap)
+      }
+    }
+    val lc: Option[Dataset[FeatCmd]] =
+      lines.map(ls => zooms.map(z => lineCmds(ls, z, mapbits, p)).reduce(_ union _))
+    val cmds = (pc, lc) match {
+      case (Some(a), Some(b)) => a.union(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalArgumentException("no input")
+    }
+    processGrouped(cmds)(renderOne(_, _, mapbits, p, requireOwn = true))
+  }
+
   /** Vector-tile variant of renderTiles: same join/shuffle shape, but
     * the reducer emits Mapbox-Vector-Tile bytes (S8, vector.cc backend)
     * instead of a rasterized PNG: tile-local integer geometry at extent

@@ -115,6 +115,25 @@ class GoldenLineSpec extends AnyFunSuite {
     }
   }
 
+  test("renderPyramidAll (mixed, one shuffle) is byte-identical to per-zoom renders") {
+    import spark.implicits._
+    // points from the line corpus's first vertices + the lines themselves
+    val pts = featuresDs.map(f => (f.cell, f.meta)).toDF("cell", "meta")
+    val zooms = 14 to 16 // step == 1 at these zooms: no rank needed
+    val p = RenderParams()
+    val onePass = Render.renderPyramidAll(Some(pts), Some(featuresDs), zooms, mapbits, p)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    val perZoom = zooms.map(z =>
+      Render.renderTiles(Some(pts), Some(featuresDs), z, mapbits, p))
+      .reduce(_ union _)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    assert(onePass.keySet == perZoom.keySet,
+      s"tile sets differ: ${onePass.keySet.diff(perZoom.keySet).take(3)} / ${perZoom.keySet.diff(onePass.keySet).take(3)}")
+    val bad = perZoom.collect { case (k, png) if !java.util.Arrays.equals(png, onePass(k)) => k }
+    assert(bad.isEmpty, s"diffs at ${bad.take(5)}")
+    assert(onePass.nonEmpty)
+  }
+
   test("line dump rows (render -d) match reference incl. clip predicate") {
     refDir
     val (x, y) = denseTile(13)
