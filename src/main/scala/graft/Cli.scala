@@ -103,10 +103,21 @@ object Cli {
     val maxz = opts.get('z').map(_.toInt).getOrElse(meta.mapbits / 2 - 8)
     val minz = opts.get('Z').map(_.toInt).getOrElse(0)
     if (flags.contains('a') || flags.contains('D')) {
+      // stream the (possibly huge) dump through the driver in sorted
+      // partition order — bounded memory, like the reference's pipe
       val geo = flags.contains('D')
-      val rows = Sinks.enumerateDump(feats, meta.encodeZoom, meta.metabits, geoJson = geo).collect()
-      if (geo) print(Sinks.geoJsonCollect(rows.toSeq))
-      else rows.foreach(println)
+      val rows = Sinks.enumerateDump(feats, meta.encodeZoom, meta.metabits, geoJson = geo)
+        .toLocalIterator()
+      if (geo) {
+        print("{\n\"type\": \"FeatureCollection\",\n\"features\": [\n")
+        var first = true
+        rows.forEachRemaining { r =>
+          if (!first) print(",\n")
+          first = false
+          print(r); print("\n")
+        }
+        print("]\n}\n")
+      } else rows.forEachRemaining(println)
     } else {
       val verbose = flags.contains('v')
       val showdist = flags.contains('d')
@@ -121,16 +132,23 @@ object Cli {
         case Some((l, t, r, b)) => query.TileOps.bboxFilter(firsts, l, t, r, b)
         case None => firsts
       }
-      val rolled = query.TileOps.enumerateRollup(inb, minz, maxz)
-        .as[(Int, Long, Long, Long, Long, Long)].collect()
-        .sortBy { case (z, tx, ty, _, _, _) => (z, Cell.tileKey(z, tx.toInt, ty.toInt)) }
+      // tile lists can be pyramid-sized: stream unless sibling
+      // completion needs the full present-set in memory
+      def rolledSorted = query.TileOps.enumerateRollup(inb, minz, maxz)
+        .orderBy(col("z"), col("tx"), col("ty"))
+        .as[(Int, Long, Long, Long, Long, Long)]
+      val needMaterialize = flags.contains('s')
+      val rolledSeq: Seq[(Int, Long, Long, Long, Long, Long)] =
+        if (needMaterialize) rolledSorted.collect().toSeq else Seq.empty
+      val rolled: Iterator[(Int, Long, Long, Long, Long, Long)] =
+        if (needMaterialize) rolledSeq.iterator
+        else { import scala.jdk.CollectionConverters._; rolledSorted.toLocalIterator().asScala }
       val lens: Map[(Int, Long, Long), Double] =
         if (!showdist) Map.empty
         else query.TileOps.enumerateRollupFeatures(feats, minz, maxz)
           .select(col("z"), col("tx").cast("long"), col("ty").cast("long"), col("len"))
           .as[(Int, Long, Long, Double)].collect()
           .map { case (z, tx, ty, len) => ((z, tx, ty), len) }.toMap
-      val present = rolled.map { case (z, tx, ty, _, _, _) => (z, tx, ty) }.toSet
       rolled.foreach { case (z, tx, ty, cnt, xsum, ysum) =>
         val sb = new StringBuilder(s"$dir $z $tx $ty")
         if (verbose)
@@ -140,7 +158,8 @@ object Cli {
       }
       if (flags.contains('s')) {
         // sibling completion: empty quad-mates of every present tile
-        rolled.iterator.filter(_._1 > 0)
+        val present = rolledSeq.map { case (z, tx, ty, _, _, _) => (z, tx, ty) }.toSet
+        rolledSeq.iterator.filter(_._1 > 0)
           .flatMap { case (z, tx, ty, _, _, _) =>
             for { qx <- 0 to 1; qy <- 0 to 1
                   sx = tx / 2 * 2 + qx; sy = ty / 2 * 2 + qy

@@ -92,6 +92,18 @@ class CliSpec extends AnyFunSuite {
     assert(ours.nonEmpty)
   }
 
+  test("Cli enumerate -a / -D streamed dumps byte-match the reference") {
+    val (dmA, _) = setup
+    val (rcA, refA) = RefBinaries.run("enumerate", Seq("-a", dmA)); assert(rcA == 0)
+    val bufA = new java.io.ByteArrayOutputStream()
+    Console.withOut(bufA) { Cli.main(Array("enumerate", "-a", dmA)) }
+    assert(new String(refA) == new String(bufA.toByteArray), "-a dump differs")
+    val (rcD, refD) = RefBinaries.run("enumerate", Seq("-D", dmA)); assert(rcD == 0)
+    val bufD = new java.io.ByteArrayOutputStream()
+    Console.withOut(bufD) { Cli.main(Array("enumerate", "-D", dmA)) }
+    assert(new String(refD) == new String(bufD.toByteArray), "-D dump differs")
+  }
+
   test("Cli render tile PNG matches reference (PSNR >= 40)") {
     val (dmA, _) = setup
     // find a populated z5 tile from the corpus
