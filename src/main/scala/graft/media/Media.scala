@@ -21,10 +21,14 @@ case class ImageFeatures(image_id: String, w: Int, h: Int,
  * fakes (clearly marked).
  */
 object Media {
-  /** Decode one payload. Real decoders: "raw" (interleaved RGB) and
-    * "png" (the engine's own codec). STUB: any other fmt (jpeg/webp —
-    * no codec lib in this container) produces a deterministic fake
-    * raster from the byte hash so the pipeline shape stays testable. */
+  /** Decode one payload. Real decoders: "raw" (interleaved RGB), "png"
+    * (the engine's own codec), and "jpeg"/"jpg"/"gif"/"bmp" via the
+    * JDK's built-in ImageIO readers (in-memory cache only — the
+    * thread-local-reuse PNG hot path stays on our own codec; ImageIO is
+    * fine on this colder batch-decode path). STUB: webp/undecodable
+    * payloads fall back to a deterministic fake raster from the byte
+    * hash so the pipeline shape stays testable (no webp codec in this
+    * container). */
   def decode(id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String): DecodedImage = fmt match {
     case "raw" =>
       require(bytes.length == w * h * 3, s"raw payload size mismatch for $id")
@@ -38,18 +42,46 @@ object Media {
         i += 1; p += 4
       }
       DecodedImage(id, dw, dh, rgb)
-    case _ =>
-      // STUB decode (no jpeg/webp codec in-container): deterministic
-      // fake pixels from a hash of the payload
-      var s = java.util.Arrays.hashCode(bytes).toLong
-      val rgb = new Array[Byte](w * h * 3)
-      var i = 0
-      while (i < rgb.length) {
-        s = s * 6364136223846793005L + 1442695040888963407L
-        rgb(i) = (s >>> 56).toByte
-        i += 1
+    case "jpeg" | "jpg" | "gif" | "bmp" =>
+      javax.imageio.ImageIO.setUseCache(false) // never touch disk
+      val bi =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (bi == null) stubDecode(id, bytes, w, h) // corrupt/unreadable payload
+      else {
+        val dw = bi.getWidth; val dh = bi.getHeight
+        val rgb = new Array[Byte](dw * dh * 3)
+        val row = new Array[Int](dw)
+        var y = 0
+        while (y < dh) {
+          bi.getRGB(0, y, dw, 1, row, 0, dw)
+          var x = 0
+          while (x < dw) {
+            val px = row(x); val o = (y * dw + x) * 3
+            rgb(o) = ((px >> 16) & 0xFF).toByte
+            rgb(o + 1) = ((px >> 8) & 0xFF).toByte
+            rgb(o + 2) = (px & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(id, dw, dh, rgb)
       }
-      DecodedImage(id, w, h, rgb)
+    case _ => stubDecode(id, bytes, w, h)
+  }
+
+  /** STUB decode (no codec for this fmt in-container): deterministic
+    * fake pixels from a hash of the payload. */
+  private def stubDecode(id: String, bytes: Array[Byte], w: Int, h: Int): DecodedImage = {
+    var s = java.util.Arrays.hashCode(bytes).toLong
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < rgb.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      rgb(i) = (s >>> 56).toByte
+      i += 1
+    }
+    DecodedImage(id, w, h, rgb)
   }
 
   /** Nearest-neighbor resize (real implementation, no codec needed). */

@@ -59,6 +59,34 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("real JPEG decode via JDK ImageIO (distributed feature extraction)") {
+    import spark.implicits._
+    // author real JPEGs with the JDK encoder: solid-color images whose
+    // channel means survive lossy compression within a few counts
+    def jpegBytes(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = (r << 16) | (g << 8) | b
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpeg", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      ("j1", jpegBytes(200, 40, 90, 32, 24), 32, 24, "jpeg"),
+      ("j2", jpegBytes(10, 180, 250, 48, 48), 48, 48, "jpeg"))
+    val df = rows.toDF("image_id", "bytes", "w", "h", "fmt")
+    val feats = graft.media.Media.extractFeatures(df).collect().sortBy(_.image_id)
+    assert(feats.map(f => (f.w, f.h)).toSeq == Seq((32, 24), (48, 48)))
+    val j1 = feats(0); val j2 = feats(1)
+    assert(math.abs(j1.mean_r - 200) < 8 && math.abs(j1.mean_g - 40) < 8 && math.abs(j1.mean_b - 90) < 8,
+      s"j1 means ${(j1.mean_r, j1.mean_g, j1.mean_b)}")
+    assert(math.abs(j2.mean_r - 10) < 8 && math.abs(j2.mean_g - 180) < 8 && math.abs(j2.mean_b - 250) < 8,
+      s"j2 means ${(j2.mean_r, j2.mean_g, j2.mean_b)}")
+    // corrupt jpeg payload falls back to the deterministic stub
+    val bad = graft.media.Media.decode("x", Array[Byte](1, 2, 3), 4, 4, "jpeg")
+    assert(bad.w == 4 && bad.h == 4 && bad.rgb.length == 48)
+  }
+
   test("stubbed decode for unavailable codecs is deterministic") {
     val a = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
     val b = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
