@@ -140,19 +140,64 @@ object Media {
 
   // ---------- audio / video payload plumbing ----------
 
-  /** Decoded audio: mono PCM samples. STUB decode (no audio codec lib
-    * in this container): deterministic fake samples from the byte hash;
-    * the schema/batching plumbing is real. */
+  /** Decoded audio: mono PCM samples. REAL decode for RIFF/WAV PCM16
+    * payloads (pure-JVM header parse — detected by magic bytes);
+    * anything else is the documented deterministic STUB (no compressed-
+    * audio codec lib in this container). */
   case class DecodedAudio(media_id: String, sampleRate: Int, samples: Array[Float])
 
   def decodeAudio(id: String, bytes: Array[Byte], sampleRate: Int, nSamples: Int): DecodedAudio = {
-    var s = java.util.Arrays.hashCode(bytes).toLong
-    val out = new Array[Float](nSamples)
-    var i = 0
-    while (i < nSamples) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      out(i) = ((s >>> 40).toInt / 8388608.0f) - 1.0f
-      i += 1
+    if (bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      decodeWav(id, bytes)
+    } else {
+      var s = java.util.Arrays.hashCode(bytes).toLong
+      val out = new Array[Float](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((s >>> 40).toInt / 8388608.0f) - 1.0f
+        i += 1
+      }
+      DecodedAudio(id, sampleRate, out)
+    }
+  }
+
+  /** RIFF/WAVE PCM16 parser: walks chunks to fmt + data; multi-channel
+    * input downmixes to mono by averaging. */
+  private def decodeWav(id: String, b: Array[Byte]): DecodedAudio = {
+    def u16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    var off = 12
+    var sampleRate = 0; var channels = 1; var bits = 16
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
+      val tag = new String(b, off, 4, "US-ASCII")
+      val len = u32(off + 4).toInt
+      if (tag == "fmt ") {
+        require(u16(off + 8) == 1, s"$id: only PCM wav supported")
+        channels = u16(off + 10)
+        sampleRate = u32(off + 12).toInt
+        bits = u16(off + 22)
+        require(bits == 16, s"$id: only 16-bit PCM wav supported")
+      } else if (tag == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0 && sampleRate > 0, s"$id: malformed wav")
+    val frames = dataLen / (2 * channels)
+    val out = new Array[Float](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0f
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + (f * channels + c) * 2
+        acc += (u16(o).toShort / 32768.0f)
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
     }
     DecodedAudio(id, sampleRate, out)
   }

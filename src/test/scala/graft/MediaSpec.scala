@@ -87,6 +87,29 @@ class MediaSpec extends AnyFunSuite {
     assert(bad.w == 4 && bad.h == 4 && bad.rgb.length == 48)
   }
 
+  test("real WAV PCM16 decode: sine wave features recovered exactly") {
+    // author a real RIFF/WAVE via the JDK sound API, decode with ours
+    val sr = 8000; val n = 4000; val freq = 440.0
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * freq * i / sr) * 30000).toShort
+      pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val dec = graft.media.Media.decodeAudio("w1", wav, 0, 0) // params ignored for real wav
+    assert(dec.sampleRate == sr && dec.samples.length == n)
+    val f = graft.media.Media.audioFeatures(dec)
+    // sine RMS = amplitude/sqrt(2); zero crossings = 2*freq*duration
+    assert(math.abs(f.rms - 30000.0 / 32768 / math.sqrt(2)) < 0.01, s"rms=${f.rms}")
+    assert(math.abs(f.zeroCrossings - 2 * freq * n / sr) <= 2, s"zc=${f.zeroCrossings}")
+    assert(math.abs(f.durSec - 0.5) < 1e-9)
+  }
+
   test("stubbed decode for unavailable codecs is deterministic") {
     val a = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
     val b = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
