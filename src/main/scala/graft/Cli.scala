@@ -64,9 +64,64 @@ object Cli {
     case "render" :: rest => render(rest)
     case "enumerate" :: rest => enumerate(rest)
     case "merge" :: rest => merge(rest)
+    case "convert" :: rest => convert(rest)
+    case "tileset" :: rest => tileset(rest)
     case _ =>
-      System.err.println("usage: graft.Cli encode|render|enumerate|merge [flags...]")
+      System.err.println(
+        "usage: graft.Cli encode|render|enumerate|merge [reference flags...]\n" +
+          "       graft.Cli convert -o <parquet-dir> <dataset.dm>   (migrate to a sorted snapshot)\n" +
+          "       graft.Cli tileset -o <tiles-dir> -z <min..max> [render flags] <dataset.dm>\n" +
+          "         (whole pyramid in ONE Spark job — replaces the reference's enumerate|xargs render loop)")
       sys.exit(1)
+  }
+
+  /** Migration path for reference users: one-shot convert a .dm dataset
+    * into the engine's cell-sorted parquet snapshot (range-partitioned,
+    * Parquet min/max prunable — every TileOps/render query runs on it). */
+  private def convert(args: List[String]): Unit = {
+    val (opts, _, pos) = parse(args, Set('o'))
+    val out = opts.getOrElse('o', sys.error("convert: -o output required"))
+    withSession { spark =>
+      import spark.implicits._
+      val feats = DatamapsSource.read(spark, pos.head)
+      val parts = spark.sparkContext.defaultParallelism * 2
+      feats.map(f => (f.cell, f.vertices, f.meta)).toDF("cell", "vertices", "meta")
+        .repartitionByRange(parts, col("cell"))
+        .sortWithinPartitions(col("cell"), col("meta"))
+        .write.mode("error").parquet(out)
+    }
+  }
+
+  /** Whole-tileset build: points + polylines, every zoom in [min..max],
+    * ONE shuffle (renderPyramidAll) -> z/x/y.png + metadata.json. */
+  private def tileset(args: List[String]): Unit = {
+    val (opts, flags, pos) = parse(args, Set('o', 'z', 'T', 'G', 'b', 'c', 'S', 'B', 'C', 'p'))
+    val out = opts.getOrElse('o', sys.error("tileset: -o output required"))
+    val zr = opts.getOrElse('z', "0..8").split("\\.\\.").map(_.toInt)
+    val zooms = zr(0) to zr(zr.length - 1)
+    var p = RenderParams()
+    opts.get('G').foreach(v => p = p.copy(gamma = v.toDouble))
+    opts.get('T').foreach(v => p = p.copy(tilesize = v.toInt))
+    opts.get('b').foreach(v => p = p.copy(bg = java.lang.Long.parseLong(v, 16).toInt))
+    opts.get('c').foreach(v => p = p.copy(color = java.lang.Long.parseLong(v, 16).toInt))
+    opts.get('S').foreach(v => p = p.copy(color2 = java.lang.Long.parseLong(v, 16).toInt))
+    opts.get('p').foreach { v =>
+      if (v.startsWith("g")) p = p.copy(pointSize = v.drop(1).toDouble, gaussian = true)
+      else p = p.copy(pointSize = v.toDouble)
+    }
+    if (flags.contains('w')) p = p.copy(bg = 0xFFFFFF, invert = true)
+    withSession { spark =>
+      import spark.implicits._
+      val feats = DatamapsSource.read(spark, pos.head)
+      val mapbits = DatamapsSource.readMeta(pos.head).mapbits
+      val points = render_.withGlobalRank(
+        feats.filter((f: Feature) => f.vertices.length == 1)
+          .map(f => (f.cell, f.meta)).toDF("cell", "meta"))
+      val lines = feats.filter((f: Feature) => f.vertices.length > 1)
+      val tiles = render_.renderPyramidAll(Some(points), Some(lines), zooms, mapbits, p)
+      Sinks.writeTileset(tiles, out, pos.head)
+      points.unpersist()
+    }
   }
 
   private def encode(args: List[String]): Unit = {

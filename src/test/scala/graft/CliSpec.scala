@@ -104,6 +104,39 @@ class CliSpec extends AnyFunSuite {
     assert(new String(refD) == new String(bufD.toByteArray), "-D dump differs")
   }
 
+  test("Cli convert: .dm -> sorted parquet snapshot with prunable range scans") {
+    val (dmA, _) = setup
+    import scala.sys.process._
+    "rm -rf /tmp/cli_conv".!
+    Cli.main(Array("convert", "-o", "/tmp/cli_conv", dmA))
+    val snap = spark.read.parquet("/tmp/cli_conv")
+    val nDm = graft.sources.DatamapsSource.read(spark, dmA).count()
+    assert(snap.count() == nDm && nDm > 0)
+    // a tile range scan over the snapshot equals the feature filter
+    val f = graft.sources.DatamapsSource.read(spark, dmA).head()
+    val (z, x, y) = (6, graft.core.Cell.tileX(f.cell, 6), graft.core.Cell.tileY(f.cell, 6))
+    val scanned = graft.query.TileOps.tileRangeScan(snap, z, x, y).count()
+    val lo = graft.core.Cell.tileRangeLo(z, x, y); val hi = graft.core.Cell.tileRangeHi(z, x, y)
+    val expected = graft.sources.DatamapsSource.read(spark, dmA)
+      .filter(ff => ff.cell >= lo && ff.cell <= hi).count()
+    assert(scanned == expected && scanned > 0)
+  }
+
+  test("Cli tileset: one-job pyramid build writes z/x/y.png + metadata") {
+    val (dmA, _) = setup
+    import scala.sys.process._
+    "rm -rf /tmp/cli_tiles".!
+    Cli.main(Array("tileset", "-o", "/tmp/cli_tiles", "-z", "3..5", dmA))
+    val root = new java.io.File("/tmp/cli_tiles")
+    val zs = root.listFiles().filter(_.isDirectory).map(_.getName.toInt).sorted
+    assert(zs.toSeq == Seq(3, 4, 5), s"zoom dirs: ${zs.toSeq}")
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get("/tmp/cli_tiles/metadata.json"))
+    assert(meta.contains("\"minzoom\": 3") && meta.contains("\"maxzoom\": 5"))
+    val png = new java.io.File(root, "4").listFiles().head.listFiles().head
+    val (rgba, w, h) = Png.decode(java.nio.file.Files.readAllBytes(png.toPath))
+    assert(w == 256 && h == 256 && rgba.length == w * h * 4)
+  }
+
   test("Cli render tile PNG matches reference (PSNR >= 40)") {
     val (dmA, _) = setup
     // find a populated z5 tile from the corpus
