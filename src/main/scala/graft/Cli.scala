@@ -17,6 +17,13 @@ import graft.sources.{DatamapsSource, TextSource}
  * engine freely. Ordering of enumerate's stdout rows is sorted
  * (z, tile) rather than the reference's stream-close order; row SETS
  * are identical.
+ *
+ * Scale note: .dm OUTPUT (encode/merge -o) streams through the driver by
+ * design — the format is one sorted file per (n,common), so ANY writer
+ * serializes per file (the reference is fully single-threaded). It is
+ * the interop sink; the scale path is `convert`, which lands the
+ * dataset in the range-partitioned parquet snapshot all engine queries
+ * and tileset builds run on.
  */
 object Cli {
   private def session(): SparkSession = {
