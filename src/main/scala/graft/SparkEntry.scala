@@ -47,13 +47,11 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  // DuckDB: elementwise dot product with the same left-to-right fold as
-  // the engine's functions.aggregate (bitwise-identical doubles).
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)), (x, y) -> x + y)"
-
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+  // DuckDB: elementwise dot/cosine with the same left-to-right fold as
+  // the engine's codegen kernels (bitwise-identical doubles); single
+  // source in graft.oracle.VecSql.
+  private def dotSql(a: String, b: String): String = graft.oracle.VecSql.dotSql(a, b)
+  private def cosSql(a: String, b: String): String = graft.oracle.VecSql.cosSql(a, b)
 
   // ---------- flagship ----------
 
@@ -257,15 +255,16 @@ object SparkEntry {
         .filter(col("cos") >= 0.25)
     }),
 
-    // IVF-flat ANN: coarse-quantizer cells (16 deterministic centroids)
-    // -> probe 2 nearest cells per query -> exact cosine rerank
+    // IVF-flat ANN: deterministic Lloyd k-means coarse quantizer (16
+    // centroids, 3 iterations, exact quantized-mean arithmetic the
+    // oracle replicates) -> probe 2 nearest cells per query (map-side
+    // kernel) -> broadcast candidate join -> exact cosine rerank
     "q40_ann_ivf" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (cids, cvecs) = Ann.kmeansCentroids(e, k = 16, iters = 3)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.ivfTopK(e, qs, cents, k = 10, nprobe = 2).select("qid", "vec_id", "cos", "rn")
+      Ann.ivfTopK(e, qs, cids, cvecs, k = 10, nprobe = 2).select("qid", "vec_id", "cos", "rn")
     }),
 
     // embedding near-dup, the 100 TB path: LSH candidates + exact rerank
@@ -535,12 +534,15 @@ object SparkEntry {
 
     "q28_ann_lsh" -> {
       val comp = graft.text.RhpSig.compSql("pp.p", "i")
+      // query-side multi-probe masks (exact + <=2 bit flips per band
+      // key) — the same Ann.probeMasks list the engine explodes
+      val masks = Ann.probeMasks(rows = 8, maxFlips = 2).mkString(", ")
       s"""WITH bits AS (SELECT e.vec_id, pp.p,
          |   CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
          |  FROM embeddings e, (SELECT unnest(generate_series(0, 63)) AS p) pp),
          | bands AS (SELECT vec_id, p // 8 AS band, CAST(sum(bit << (p % 8)) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
-         | qb AS (SELECT band, xor(key, CASE WHEN fb.f = 0 THEN 0 ELSE (1::BIGINT << (fb.f - 1)) END) AS key, vec_id AS qid
-         |   FROM bands, (SELECT unnest(generate_series(0, 8)) AS f) fb WHERE vec_id < 5),
+         | qb AS (SELECT band, xor(key, fb.mk) AS key, vec_id AS qid
+         |   FROM bands, (SELECT unnest([$masks]) AS mk) fb WHERE vec_id < 5),
          | cand AS (SELECT DISTINCT q.qid, v.vec_id FROM bands v JOIN qb q ON v.band = q.band AND v.key = q.key AND v.vec_id <> q.qid),
          | scored AS (SELECT c.qid, c.vec_id, ${cosSql("v.embedding", "q.embedding")} AS cos
          |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)
@@ -548,7 +550,7 @@ object SparkEntry {
     },
 
     "q40_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      s"""WITH ${graft.oracle.VecSql.kmeansCentsCte(k = 16, iters = 3)},
          | asg AS (SELECT vec_id, cell FROM (
          |   SELECT v.vec_id, c.cid AS cell,
          |     row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cosSql("v.embedding", "c.cvec")} DESC, c.cid) AS rn

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
 /**
  * Similarity search over an embedding column (array<float>) — the
  * training-pipeline ANN operators. Brute-force cosine top-k is the
- * exact baseline; random-hyperplane LSH bucketing is the scale path
- * (candidates only meet inside a bucket — the shuffle is on a small
- * signature, never an all-pairs cross product).
+ * exact baseline; random-hyperplane LSH bucketing and IVF coarse
+ * quantization are the scale paths (candidates only meet inside a
+ * bucket/cell — the shuffle is on a small key, never an all-pairs
+ * cross product, and never carries the embedding arrays).
  */
 object Ann {
-  /** Sequential-fold dot product of two float arrays (cast to double
-    * elementwise, summed left-to-right — the same order DuckDB's list
-    * functions use, so results are bit-identical). Native codegen'd
-    * expression (the HOF fold is interpreted and dominates ANN time). */
+  /** Sequential-fold dot product of two float/double arrays (elements
+    * widened to double, summed left-to-right — the same order DuckDB's
+    * list functions use, so results are bit-identical). Native
+    * codegen'd expression (the HOF fold is interpreted and dominates
+    * ANN time). */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge.{column, expression}
     column(graft.functions.DotProductExpr(expression(a), expression(b)))
@@ -46,14 +48,10 @@ object Ann {
     column(graft.functions.RhpSigExpr(expression(v), planes))
   }
 
-  /** LSH-bucketed ANN: bucket = signature band; candidates share a
-    * band; exact cosine rerank inside buckets; top-k per query.
-    * Recall < 1 by construction (approximate); `bands`/`rowsPerBand`
-    * trade recall vs candidate count. Defaults (64 planes, 8 bands of
-    * 8 rows) give 256 possible keys per band — at round-1's 16/4 the
-    * 4-bit keys made every bucket hold n/16 of the corpus, i.e.
-    * near-all-pairs at scale. */
-  /** (band, key) struct array of a vector's LSH band keys. */
+  /** (band, key) struct array of a vector's LSH band keys. Defaults
+    * (64 planes, 8 bands of 8 rows) give 256 possible keys per band —
+    * at round-1's 16/4 the 4-bit keys made every bucket hold n/16 of
+    * the corpus, i.e. near-all-pairs at scale. */
   def rhpBandCols(sig: Column, planes: Int, bands: Int): Column = {
     val rows = planes / bands
     val mask = (1L << rows) - 1
@@ -61,94 +59,194 @@ object Ann {
       struct(lit(b).as("band"), shiftrightunsigned(sig, b * rows).bitwiseAND(mask).as("key"))): _*)
   }
 
-  /** Exploded (vec_id, embedding, bk) band rows for LSH self/probe joins. */
+  /** Exploded (vec_id, bk) band rows for LSH self/probe joins — ids and
+    * band keys ONLY: the embedding arrays never ride the band shuffle. */
   def rhpBands(vecs: DataFrame, planes: Int = 64, bands: Int = 8): DataFrame =
-    vecs.select(col("vec_id"), col("embedding"),
+    vecs.select(col("vec_id"),
       explode(rhpBandCols(rhpSignature(col("embedding"), planes), planes, bands)).as("bk"))
 
   /** Embedding near-duplicate pairs at scale: LSH-bucketed candidate
-    * self-join (only same-bucket vectors ever meet — the shuffle key is
-    * the 1-long band key, never an all-pairs cross product) + exact
-    * cosine rerank at `minCos`. Approximate by construction: pairs whose
-    * signatures share no band are not considered (recall rises with
-    * `bands`). This is the 100 TB path; the exact all-pairs q31 variant
-    * is oracle-scale only. */
+    * self-join + exact cosine rerank at `minCos`. The 100 TB shuffle
+    * shape: the band self-join carries (vec_id, bk) ONLY — ~16 bytes/
+    * band-row, never the float arrays; the distinct candidate pairs
+    * (ids only) then hash-join the embeddings back once per side for
+    * the rerank. Approximate by construction: pairs whose signatures
+    * share no band are not considered (recall rises with `bands`).
+    * The exact all-pairs q31 variant is oracle-scale only. */
   def nearDupLsh(vecs: DataFrame, minCos: Double,
                  planes: Int = 64, bands: Int = 8): DataFrame = {
     val b = rhpBands(vecs, planes, bands)
-    val a2 = b.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bk"))
-    val b2 = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bk"))
-    a2.join(b2, Seq("bk")).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+    val a2 = b.select(col("vec_id").as("vec_a"), col("bk"))
+    val b2 = b.select(col("vec_id").as("vec_b"), col("bk"))
+    val pairs = a2.join(b2, Seq("bk")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val ea = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
+  // ---------- IVF-flat ----------
+
+  /** Collect a small (cid, cvec) centroid table to driver arrays sorted
+    * by cid ascending (the kernel's tie order). cvec may be
+    * array<float> or array<double> (floats widen exactly). */
+  def collectCentroids(cents: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = cents.select(col("cid").cast("long"), col("cvec")).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        (r.getLong(0), v)
+      }.sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Map-side nearest-centroid assignment (exact cosine, tie to the
+    * smaller cid): a zero-shuffle codegen kernel over the embedding
+    * column — the 100 TB replacement for crossJoin+Window argmax. */
+  def nearestCentroid(v: Column, cids: Array[Long], cvecs: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.NearestCentroidExpr(
+      expression(v), cids.toSeq, cvecs.map(_.toSeq).toSeq))
+  }
+
+  /** Map-side n-nearest-centroid probe list in (cos desc, cid asc)
+    * order. */
+  def nearestCentroids(v: Column, cids: Array[Long], cvecs: Array[Array[Double]], n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.NearestCentroidsExpr(
+      expression(v), cids.toSeq, cvecs.map(_.toSeq).toSeq, n))
+  }
+
   /** IVF-flat coarse quantization: assign every vector to its nearest
-    * centroid by cosine (ties by centroid id). Centroids are a small
-    * broadcast table (cid, cvec) — the assignment is a broadcast
-    * nested-loop over K centroids per row, the standard IVF build cost;
-    * the index itself is just an int cell column, so the candidate join
-    * shuffles on a small key, never the embeddings. */
+    * centroid by cosine (ties by centroid id). Map-only — the centroid
+    * set rides inside the codegen'd expression; no shuffle, no window. */
+  def ivfAssign(vecs: DataFrame, cids: Array[Long], cvecs: Array[Array[Double]]): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      nearestCentroid(col("embedding"), cids, cvecs).as("cell"))
+
   def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents.select(col("cid"), col("cvec"))))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("cvec")).as("cs"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val (cids, cvecs) = collectCentroids(cents)
+    ivfAssign(vecs, cids, cvecs)
   }
 
   /** IVF-probed ANN top-k: queries probe their `nprobe` nearest
-    * centroid cells; candidates are the vectors assigned to those cells;
-    * exact cosine rerank. Recall < 1 by construction (cells not probed
-    * are never scanned) — the complementary scale path to lshTopK. */
-  def ivfTopK(vecs: DataFrame, queries: DataFrame, cents: DataFrame,
-              k: Int, nprobe: Int = 2): DataFrame = {
-    val asg = ivfAssign(vecs, cents)
-    val qScored = queries.select(col("qid"), col("qvec"))
-      .crossJoin(broadcast(cents.select(col("cid"), col("cvec"))))
-      .select(col("qid"), col("qvec"), col("cid"),
-        cosine(col("qvec"), col("cvec")).as("cs"))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe).select(col("qid"), col("qvec"), col("cid").as("cell"))
-    val cand = asg.join(probes, Seq("cell"))
+    * centroid cells (map-side kernel); candidates are the vectors
+    * assigned to those cells via a BROADCAST join on the cell id (the
+    * big vector side never shuffles — with K centroids a hash exchange
+    * would collapse into <=K partitions); exact cosine rerank. Each
+    * vector lives in exactly one cell and probe cells are distinct per
+    * query, so candidate pairs are unique by construction (no distinct
+    * pass). Recall < 1 by construction (cells not probed are never
+    * scanned) — the complementary scale path to lshTopK. */
+  def ivfTopK(vecs: DataFrame, queries: DataFrame,
+              cids: Array[Long], cvecs: Array[Array[Double]],
+              k: Int, nprobe: Int): DataFrame = {
+    val asg = ivfAssign(vecs, cids, cvecs)
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(nearestCentroids(col("qvec"), cids, cvecs, nprobe)).as("cell"))
+    val cand = asg.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 64, bands: Int = 8): DataFrame = {
-    val rows = planes / bands
-    def bandCols(sig: Column): Column = rhpBandCols(sig, planes, bands)
-    val v = vecs.select(col("vec_id"), col("embedding"),
-      explode(bandCols(rhpSignature(col("embedding"), planes))).as("bk"))
-    // query-side MULTI-PROBE: each band key is probed exactly and with
-    // every 1-bit flip — per-band collision probability rises from p^r
-    // to p^r + r*p^(r-1)*(1-p) at a cost of (rows+1)x QUERY band rows
-    // only (the huge vector side is untouched). fb = 0 probes the exact
-    // key; fb = 1..rows flips bit fb-1.
-    val q = queries.select(col("qid"), col("qvec"),
-      explode(bandCols(rhpSignature(col("qvec"), planes))).as("bk"))
-      .withColumn("fb", explode(sequence(lit(0), lit(rows))))
-      .select(col("qid"), col("qvec"),
-        struct(col("bk.band").as("band"),
-          when(col("fb") === 0, col("bk.key"))
-            .otherwise(col("bk.key").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), fb - 1)")))
-            .as("key")).as("bk"))
+  def ivfTopK(vecs: DataFrame, queries: DataFrame, cents: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val (cids, cvecs) = collectCentroids(cents)
+    ivfTopK(vecs, queries, cids, cvecs, k, nprobe)
+  }
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer: init =
+    * the k lowest-vec_id embeddings; each iteration assigns via the
+    * map-side kernel and recomputes centroids as QUANTIZED means —
+    * per-component sums of floor(v * quant + 0.5) as exact integers
+    * (order-independent, so the result is deterministic under any
+    * partitioning) divided by (count * quant). Empty clusters keep
+    * their previous centroid. The DuckDB oracle
+    * (graft.oracle.VecSql.kmeansCentsCte) replicates the identical
+    * integer/double arithmetic, so centroids match bit-for-bit.
+    *
+    * Scale shape: assignment is map-only; the per-iteration aggregate
+    * shuffles only k*dim partial sums per partition (posexplode feeds a
+    * partial-aggregating groupBy); the k x dim result is collected to
+    * the driver (bounded, independent of n). */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
+                      quant: Long = 1L << 20): (Array[Long], Array[Array[Double]]) = {
+    val init = vecs.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k).collect()
+    val cids = init.map(_.getLong(0))
+    var cvecs = init.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val qd = quant.toDouble
+    var it = 0
+    while (it < iters) {
+      val asg = ivfAssign(vecs, cids, cvecs)
+      val sums = asg.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("v").cast("double") * qd + lit(0.5))).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cvecs = cids.zip(cvecs).map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { r =>
+              arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * quant).toDouble
+            }
+            arr
+          case None => old
+        }
+      }
+      it += 1
+    }
+    (cids, cvecs)
+  }
+
+  // ---------- LSH top-k ----------
+
+  /** Query-side multi-probe masks: the exact key plus every <=maxFlips
+    * bit flip of an LSH band key. Cost rides on the QUERY band rows
+    * only — the huge vector side is untouched. */
+  def probeMasks(rows: Int, maxFlips: Int): Seq[Long] = {
+    val one = (0 until rows).map(i => 1L << i)
+    val two = for { i <- 0 until rows; j <- i + 1 until rows } yield (1L << i) | (1L << j)
+    Seq(0L) ++ (if (maxFlips >= 1) one else Nil) ++ (if (maxFlips >= 2) two else Nil)
+  }
+
+  /** LSH-bucketed ANN top-k: bucket = signature band; candidates share
+    * a (possibly multi-probed) band key; exact cosine rerank inside
+    * buckets. The band join carries ids and keys only — embeddings are
+    * hash-joined back for the rerank, like nearDupLsh. Per-band
+    * collision probability rises from p^r to sum_{f<=maxFlips}
+    * C(r,f) p^(r-f) (1-p)^f at a cost of (1 + r + C(r,2))x QUERY band
+    * rows only. Recall < 1 by construction; IVF is the high-recall
+    * path. */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 64, bands: Int = 8, maxFlips: Int = 2): DataFrame = {
+    val rows = planes / bands
+    val v = rhpBands(vecs, planes, bands)
+    val masks = probeMasks(rows, maxFlips)
+    val q = queries.select(col("qid"),
+      explode(rhpBandCols(rhpSignature(col("qvec"), planes), planes, bands)).as("bk"))
+      .withColumn("mk", explode(array(masks.map(lit): _*)))
+      .select(col("qid"),
+        struct(col("bk.band").as("band"),
+          col("bk.key").bitwiseXOR(col("mk")).as("key")).as("bk"))
     val cand = v.join(q, v("bk") === q("bk"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"))
+      .select(col("qid"), col("vec_id"))
       .dropDuplicates("qid", "vec_id")
+    val ev = vecs.select(col("vec_id"), col("embedding"))
+    val eq = queries.select(col("qid"), col("qvec"))
+    val scored = cand.join(ev, Seq("vec_id")).join(broadcast(eq), Seq("qid"))
       .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 }

@@ -50,38 +50,55 @@ case class CellYExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Native float-array dot product accumulated in doubles left-to-right —
+/** Native array dot product accumulated in doubles left-to-right —
   * bitwise identical to the sequential fold the DuckDB oracle uses, but
   * codegen'd (the higher-order-function fold is interpreted and ~50x
-  * slower on the ANN hot path). */
+  * slower on the ANN hot path). Each side may be array<float> or
+  * array<double> (floats widen exactly; the element-type dispatch is
+  * static, resolved at codegen from the child schema). */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_ff"
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_ff needs array<float|double>, got $other")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val lf = isFloatArr(left)
+    val rf = isFloatArr(right)
     var sum = 0.0
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
-      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      sum += xv * yv
       i += 1
     }
     sum
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloatArr(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloatArr(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double sum = 0.0;
          |for (int i = 0; i < n; i++) {
-         |  sum += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |  sum += ((double) $a.$lGet(i)) * ((double) $b.$rGet(i));
          |}
          |${ev.value} = sum;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

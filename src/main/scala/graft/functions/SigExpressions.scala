@@ -64,3 +64,105 @@ case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Shared scoring loop for the IVF coarse quantizer: rank the (small,
+ * broadcast-as-expression-constant) centroid set against one float
+ * embedding by exact cosine. The FP op sequence is IDENTICAL to the
+ * DuckDB oracle's `cos DESC, cid ASC` window (sequential left-to-right
+ * dot folds, cos = dot / sqrt(nn * cc)), so assignments and probes
+ * match bit-for-bit. NaN follows SQL descending-sort order (NaN
+ * largest): comparisons use java.lang.Double.compare.
+ */
+private[functions] object CentroidKernel {
+  /** indices of the `n` best centroids in (cos desc, cid asc) order.
+    * `cids` must be ascending; selection is repeated strict-argmax so
+    * equal-cos ties resolve to the smaller cid, exactly like
+    * row_number() OVER (ORDER BY cos DESC, cid). */
+  def rank(v: org.apache.spark.sql.catalyst.util.ArrayData,
+           cvecs: Array[Array[Double]], selfDots: Array[Double], n: Int): Array[Int] = {
+    val dim = v.numElements()
+    var nn = 0.0
+    var i = 0
+    while (i < dim) { val f = v.getFloat(i).toDouble; nn += f * f; i += 1 }
+    val kk = cvecs.length
+    val cos = new Array[Double](kk)
+    var c = 0
+    while (c < kk) {
+      val cv = cvecs(c)
+      val m = math.min(dim, cv.length)
+      var s = 0.0
+      i = 0
+      while (i < m) { s += v.getFloat(i).toDouble * cv(i); i += 1 }
+      cos(c) = s / math.sqrt(nn * selfDots(c))
+      c += 1
+    }
+    val used = new Array[Boolean](kk)
+    val out = new Array[Int](math.min(n, kk))
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      c = 0
+      while (c < kk) {
+        if (!used(c) && (best < 0 || java.lang.Double.compare(cos(c), cos(best)) > 0)) best = c
+        c += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    out
+  }
+
+  def selfDot(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+}
+
+/** Map-side IVF assignment: nearest centroid (by exact cosine, tie to
+  * the smaller cid) of a float-array embedding — replaces the
+  * crossJoin + Window argmax with a zero-shuffle codegen'd kernel.
+  * `cids` must be sorted ascending. */
+case class NearestCentroidExpr(child: Expression, cids: Seq[Long], cvecs: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+  @transient private lazy val cv: Array[Array[Double]] = cvecs.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Long] = cids.toArray
+  @transient private lazy val sd: Array[Double] = cv.map(CentroidKernel.selfDot)
+  def assign(v: org.apache.spark.sql.catalyst.util.ArrayData): Long =
+    ids(CentroidKernel.rank(v, cv, sd, 1)(0))
+  override protected def nullSafeEval(v: Any): Any =
+    assign(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroidExpr].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.assign($v)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Map-side IVF probe list: the `n` nearest centroid ids in
+  * (cos desc, cid asc) order — the query-side multi-probe without a
+  * crossJoin or Window. `cids` must be sorted ascending. */
+case class NearestCentroidsExpr(child: Expression, cids: Seq[Long], cvecs: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  @transient private lazy val cv: Array[Array[Double]] = cvecs.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Long] = cids.toArray
+  @transient private lazy val sd: Array[Double] = cv.map(CentroidKernel.selfDot)
+  def probe(v: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CentroidKernel.rank(v, cv, sd, n).map(ids))
+  override protected def nullSafeEval(v: Any): Any =
+    probe(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroidsExpr].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.probe($v)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -114,6 +114,83 @@ class PlanSpec extends AnyFunSuite {
       || lshPlan.contains("BroadcastHashJoin"), lshPlan.take(1500))
   }
 
+  /** all physical nodes including those under adaptive wrappers. */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => Seq(s.plan)
+      case b: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec => Seq(b.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  // parquet-backed embeddings: a local relation constant-folds into a
+  // LocalTableScan, hiding the real scan/exchange shapes
+  lazy val vecsPath: String = {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val p = java.nio.file.Files.createTempDirectory("plan").toString + "/vecs"
+    (0 until 300).map(i => (i.toLong, Array.fill(16)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(p)
+    p
+  }
+
+  test("nearDupLsh: the band exchange carries no embedding arrays (ids+keys only)") {
+    val vecs = spark.read.parquet(vecsPath)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps the plan before EnsureRequirements inserts exchanges;
+    // disable it so executedPlan holds the real exchange nodes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ann.Ann.nearDupLsh(vecs, 0.5)
+      val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val bandEx = exchanges.filter(_.output.exists(_.name == "bk"))
+      assert(bandEx.nonEmpty, "expected a shuffle on the band key")
+      bandEx.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          "band exchange carries an array column: " + e.output.map(a => s"${a.name}:${a.dataType}").mkString(", "))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("ivf assignment is map-only (no window, no exchange) and the probe join broadcasts") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val vecs = spark.read.parquet(vecsPath)
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (cids, cvecs) = graft.ann.Ann.collectCentroids(cents)
+    // assignment: zero shuffles, zero windows — the kernel rides the scan
+    val asgPlan = graft.ann.Ann.ivfAssign(vecs, cids, cvecs).queryExecution.executedPlan.toString()
+    assert(asgPlan.contains("nearest_centroid"), asgPlan.take(1200))
+    assert(!asgPlan.contains("Window") && !asgPlan.contains("Exchange"), asgPlan.take(1200))
+    // candidate join: probes broadcast; the vector side never hashes
+    // into a <=K-key exchange
+    val top = graft.ann.Ann.ivfTopK(vecs, qs, cids, cvecs, 5, 2)
+    val topPlan = formatted(top)
+    assert(topPlan.contains("BroadcastHashJoin"), topPlan.take(2000))
+    val exchanges = allNodes(top.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only shuffles allowed are the final top-k window's (qid) and
+    // the scored-candidate aggregation — never a hash on the K-valued
+    // cell key, which would collapse the vector table into <=K partitions
+    val cellEx = exchanges.filter(_.outputPartitioning.toString.contains("cell"))
+    assert(cellEx.isEmpty, "vector table shuffled on the K-valued cell key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("SparkSessionExtensions applies cleanly (function injection)") {
     // a fresh SparkSession with extensions can't be created in a JVM
     // that already has one (getOrCreate reuses it), so verify the
