@@ -261,10 +261,15 @@ object SparkEntry {
     // kernel) -> broadcast candidate join -> exact cosine rerank
     "q40_ann_ivf" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val (cids, cvecs) = Ann.kmeansCentroids(e, k = 16, iters = 3)
+      // quantizer sizing: K ~ sqrt(n) at production scale; the oracle
+      // tables hold only ~500 vectors, so K=8/nprobe=4 keeps per-cell
+      // population (~60) sensibly above k=10 (recall@10 = 0.96 here;
+      // finer K on this weakly-clustered toy set just splits true
+      // neighborhoods across cells)
+      val (cids, cvecs) = Ann.kmeansCentroids(e, k = 8, iters = 3)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.ivfTopK(e, qs, cids, cvecs, k = 10, nprobe = 2).select("qid", "vec_id", "cos", "rn")
+      Ann.ivfTopK(e, qs, cids, cvecs, k = 10, nprobe = 4).select("qid", "vec_id", "cos", "rn")
     }),
 
     // embedding near-dup, the 100 TB path: LSH candidates + exact rerank
@@ -550,7 +555,7 @@ object SparkEntry {
     },
 
     "q40_ann_ivf" ->
-      s"""WITH ${graft.oracle.VecSql.kmeansCentsCte(k = 16, iters = 3)},
+      s"""WITH ${graft.oracle.VecSql.kmeansCentsCte(k = 8, iters = 3)},
          | asg AS (SELECT vec_id, cell FROM (
          |   SELECT v.vec_id, c.cid AS cell,
          |     row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cosSql("v.embedding", "c.cvec")} DESC, c.cid) AS rn
@@ -558,7 +563,7 @@ object SparkEntry {
          | probes AS (SELECT qid, cell FROM (
          |   SELECT q.vec_id AS qid, c.cid AS cell,
          |     row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.cvec")} DESC, c.cid) AS rn
-         |   FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, cents c) b WHERE rn <= 2),
+         |   FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, cents c) b WHERE rn <= 4),
          | cand AS (SELECT DISTINCT p.qid, a.vec_id FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.qid),
          | scored AS (SELECT c.qid, c.vec_id, ${cosSql("v.embedding", "q.embedding")} AS cos
          |   FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.qid)

@@ -147,16 +147,17 @@ class HilbertLshSpec extends AnyFunSuite {
       val c = centers(i % 8)
       (i.toLong, c.map(v => v + r.nextGaussian().toFloat * 0.15f))
     }.toDF("vec_id", "embedding")
-    val cents = vecs.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (cids, cvecs) = graft.ann.Ann.kmeansCentroids(vecs, k = 16, iters = 3)
     val qs = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = graft.ann.Ann.bruteForceTopK(vecs, qs, 10)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
-    val approx = graft.ann.Ann.ivfTopK(vecs, qs, cents, 10, nprobe = 3)
+    val approx = graft.ann.Ann.ivfTopK(vecs, qs, cids, cvecs, 10, nprobe = 3)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.7, s"recall=$recall")
+    // Lloyd centroids recover the true clusters; on clustered data the
+    // production IVF path must be near-exact
+    assert(recall >= 0.95, s"recall=$recall")
   }
 
   test("enumerate -d length rollup matches reference") {
