@@ -338,8 +338,12 @@ object SparkEntry {
         .groupBy("has_big").agg(count(lit(1)).as("cnt"))
     }),
 
-    // line-tile enumeration (pyramid join membership; engine-only —
-    // rasterization semantics not SQL-expressible; golden-tested in sbt)
+    // line→tile enumeration (the pyramid-join membership that drives
+    // rendering): per-tile polyline counts from the engine's lineCmds
+    // cover — common-prefix single-tile fast path + margin-padded
+    // column walk with antimeridian unwrapping. The DuckDB oracle
+    // replicates the cover arithmetic exactly (the MVT/PNG byte
+    // encodings stay golden-tested against the reference binaries).
     "q38_line_tiles" -> ((s, d) => {
       import s.implicits._
       // polylines: per order, vertices stepped off the order's base point
@@ -347,17 +351,19 @@ object SparkEntry {
       val p = points(s, d).select(col("l_orderkey"), col("l_linenumber"), col("x32"), col("y32"))
         .as[(Long, Int, Long, Long)]
       val lines = p.groupByKey(_._1).mapGroups { (k, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val bx = rows(0)._3; val by = rows(0)._4
+        val rows = it.toArray
+        // deterministic base: (l_orderkey, l_linenumber) is NOT unique
+        // in the synthetic table, and groupByKey iteration order is
+        // shuffle-dependent — pick the base by a total order
+        val base = rows.minBy(r => (r._2, r._4))
+        val bx = base._3; val by = base._4
         val vs = rows.indices.map { i =>
           graft.core.Cell.truncate(graft.core.Cell.encode(
             (bx + i * 65536L) & 0xFFFFFFFFL, (by + i * 32768L) & 0xFFFFFFFFL), 48)
         }.toArray
         graft.encode.Feature(vs(0), vs, k % 256)
       }.filter(f => f.vertices.length >= 2)
-      graft.render.Render.renderVectorTiles(None, Some(lines), 10, 48,
-        graft.core.RenderParams(), requireOwn = false)
-        .toDF().select(col("z"), col("x"), col("y"), length(col("png")).as("mvt_bytes"))
+      graft.render.Render.lineTileCover(lines, 10, 48, graft.core.RenderParams())
     }),
 
     "q32_tpch_q1" -> ((s, d) => li(s, d)
@@ -637,6 +643,73 @@ object SparkEntry {
          | SELECT o_orderkey, 0 AS has_big FROM orders
          |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 25)
          |) t GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    // line→tile cover replica: same vertex synthesis (65536/32768 steps
+    // off the base point, 24-bit truncation), common-level computation
+    // (bit-smear leading-zero count), antimeridian segment unwrapping,
+    // and margin-padded column walk as Render.lineCmds — constants
+    // derived by the SAME expressions as RenderParams (margin =
+    // ceil((1+lineThick) * 2^(32-z) / tilesize)); the per-column
+    // y-interval interpolation uses the identical double op sequence,
+    // so the tile sets match exactly.
+    "q38_line_tiles" -> {
+      val z = 10
+      val p = graft.core.RenderParams()
+      val w = (1L << (32 - z)).toDouble
+      val margin = ((1.0 + p.lineThick) * w / p.tilesize).ceil.toLong
+      val nT = 1L << z
+      val sh = 32 - z
+      s"""WITH ord AS (SELECT l_orderkey,
+         |   row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, y32) - 1 AS i,
+         |   count(*) OVER (PARTITION BY l_orderkey) AS n,
+         |   first_value(x32) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, y32) AS bx,
+         |   first_value(y32) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, y32) AS by
+         |  FROM $pointsSql p),
+         | verts AS (SELECT l_orderkey, i, n,
+         |   ((bx + i * 65536) & 4294967040) AS vx,
+         |   ((by + i * 32768) & 4294967040) AS vy FROM ord WHERE n >= 2),
+         | v0 AS (SELECT l_orderkey, vx AS vx0, vy AS vy0 FROM verts WHERE i = 0),
+         | df AS (SELECT v.l_orderkey, bit_or(xor(v.vx, v0.vx0) | xor(v.vy, v0.vy0)) AS d
+         |   FROM verts v JOIN v0 USING (l_orderkey) GROUP BY 1),
+         | lvl AS (SELECT l_orderkey, least(${48 / 2}, 32 - bit_count(s4 | (s4 >> 16))) AS c0
+         |   FROM (SELECT l_orderkey, s3 | (s3 >> 8) AS s4 FROM (SELECT l_orderkey, s2 | (s2 >> 4) AS s3
+         |     FROM (SELECT l_orderkey, s1 | (s1 >> 2) AS s2 FROM (SELECT l_orderkey, d | (d >> 1) AS s1 FROM df) a) b) c) e),
+         | lines AS (SELECT v0.l_orderkey, v0.vx0, v0.vy0, lvl.c0 FROM v0 JOIN lvl USING (l_orderkey)),
+         | segs AS (SELECT a.l_orderkey, a.vx AS x0, a.vy AS y0, b.vx AS x1, b.vy AS y1
+         |   FROM verts a JOIN verts b ON b.l_orderkey = a.l_orderkey AND b.i = a.i + 1),
+         | segv AS (SELECT s.l_orderkey, s.y0, s.y1,
+         |   CASE WHEN abs(s.x1 - s.x0) < 2147483648 THEN s.x0
+         |        WHEN s.x1 > s.x0 THEN (CASE WHEN vv.v = 0 THEN s.x0 ELSE s.x0 + 4294967296 END)
+         |        ELSE (CASE WHEN vv.v = 0 THEN s.x0 ELSE s.x0 - 4294967296 END) END AS xa,
+         |   CASE WHEN abs(s.x1 - s.x0) < 2147483648 THEN s.x1
+         |        WHEN s.x1 > s.x0 THEN (CASE WHEN vv.v = 0 THEN s.x1 - 4294967296 ELSE s.x1 END)
+         |        ELSE (CASE WHEN vv.v = 0 THEN s.x1 + 4294967296 ELSE s.x1 END) END AS xb
+         |   FROM segs s, (VALUES (0), (1)) vv(v)
+         |   WHERE vv.v = 0 OR abs(s.x1 - s.x0) >= 2147483648),
+         | cols AS (SELECT l_orderkey, y0, y1, xa, xb,
+         |   unnest(generate_series(CAST(floor((least(xa, xb) - $margin) / $w) AS BIGINT),
+         |                          CAST(floor((greatest(xa, xb) + $margin) / $w) AS BIGINT))) AS tx
+         |   FROM segv),
+         | yint AS (SELECT l_orderkey, tx,
+         |   CASE WHEN xb = xa THEN least(y0::DOUBLE, y1::DOUBLE) ELSE least(u0, u1) END AS y0c,
+         |   CASE WHEN xb = xa THEN greatest(y0::DOUBLE, y1::DOUBLE) ELSE greatest(u0, u1) END AS y1c
+         |   FROM (SELECT *,
+         |     y0::DOUBLE + (y1::DOUBLE - y0::DOUBLE) * greatest(0.0, least(1.0, ((tx * $w - $margin.0) - xa) / ((xb - xa)::DOUBLE))) AS u0,
+         |     y0::DOUBLE + (y1::DOUBLE - y0::DOUBLE) * greatest(0.0, least(1.0, (((tx + 1) * $w + $margin.0) - xa) / ((xb - xa)::DOUBLE))) AS u1
+         |    FROM cols) t),
+         | walk AS (SELECT l_orderkey, ((tx % $nT) + $nT) % $nT AS txw,
+         |   unnest(generate_series(
+         |     greatest(0, CAST(trunc(y0c - $margin.0) AS BIGINT)) >> $sh,
+         |     least(4294967295, CAST(trunc(y1c + $margin.0) AS BIGINT)) >> $sh)) AS ty
+         |   FROM yint),
+         | cov AS (
+         |   SELECT l_orderkey, (vx0 >> $sh) AS x, (vy0 >> $sh) AS y FROM lines WHERE c0 > $z
+         |   UNION
+         |   SELECT DISTINCT w.l_orderkey, w.txw AS x, w.ty AS y
+         |   FROM walk w JOIN lines l USING (l_orderkey)
+         |   WHERE l.c0 <= $z AND (l.c0 = 0 OR ((w.txw >> ($z - l.c0)) = (l.vx0 >> (32 - l.c0)) AND (w.ty >> ($z - l.c0)) = (l.vy0 >> (32 - l.c0)))))
+         | SELECT CAST($z AS BIGINT) AS z, x, y, count(*) AS nlines FROM cov GROUP BY 2, 3""".stripMargin.replace("\n", " ")
+    },
 
     "q32_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -565,6 +565,25 @@ object Render {
     processGrouped(cmds)(renderOne(_, _, mapbits, p, requireOwn = true))
   }
 
+  /** Tile membership of polylines at zoom zDraw — the line→tile
+    * enumeration that drives the pyramid join (reference do_tile
+    * render.c:969-1002 inverted), as (z, x, y, nlines) rows. This is
+    * the SQL-checkable slice of renderVectorTiles: the same lineCmds
+    * cover (common-prefix single-tile case, margin-padded column walk
+    * with antimeridian unwrapping), minus the byte encoding. One
+    * shuffle on the tile key; counts combine map-side. */
+  def lineTileCover(lines: Dataset[Feature], zDraw: Int, mapbits: Int, p: RenderParams): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lineCmds(lines, zDraw, mapbits, p)
+      .groupByKey(_.tkey)
+      .count()
+      .map { case (tkey, n) =>
+        (Cell.tileKeyZ(tkey).toLong, Cell.tileKeyX(tkey).toLong, Cell.tileKeyY(tkey).toLong, n)
+      }
+      .toDF("z", "x", "y", "nlines")
+  }
+
   /** Vector-tile variant of renderTiles: same join/shuffle shape, but
     * the reducer emits Mapbox-Vector-Tile bytes (S8, vector.cc backend)
     * instead of a rasterized PNG: tile-local integer geometry at extent
