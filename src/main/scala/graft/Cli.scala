@@ -41,9 +41,15 @@ object Cli {
   }
 
   /** getopt-ish: single-char flags, inline ("-z16") or separate ("-z 16")
-    * args, "--" terminator. */
-  private def parse(args: List[String], takesArg: Set[Char]): (Map[Char, String], List[Char], List[String]) = {
+    * args, "--" terminator. `multi` keeps EVERY occurrence of a
+    * value-taking flag in order (the reference's getopt loop sees each
+    * one: repeated -f accumulates files, render.c:622; repeated -x
+    * accumulates modes); `opts` is the last-wins view for flags that
+    * only make sense once. */
+  private def parse(args: List[String], takesArg: Set[Char])
+      : (Map[Char, String], List[Char], List[String], Map[Char, List[String]]) = {
     var opts = Map.empty[Char, String]
+    var multi = Map.empty[Char, List[String]]
     var flags = List.empty[Char]
     var pos = List.empty[String]
     var rest = args
@@ -55,15 +61,16 @@ object Cli {
       else {
         val c = t(1)
         if (takesArg(c)) {
-          if (t.length > 2) opts += c -> t.substring(2)
-          else { opts += c -> rest.head; rest = rest.tail }
+          val v = if (t.length > 2) t.substring(2) else { val h = rest.head; rest = rest.tail; h }
+          opts += c -> v
+          multi += c -> (multi.getOrElse(c, Nil) :+ v)
         } else {
           // bundled boolean flags: -adg
           t.drop(1).foreach(f => flags :+= f)
         }
       }
     }
-    (opts, flags, pos)
+    (opts, flags, pos, multi)
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -86,7 +93,7 @@ object Cli {
     * into the engine's cell-sorted parquet snapshot (range-partitioned,
     * Parquet min/max prunable — every TileOps/render query runs on it). */
   private def convert(args: List[String]): Unit = {
-    val (opts, _, pos) = parse(args, Set('o'))
+    val (opts, _, pos, _) = parse(args, Set('o'))
     val out = opts.getOrElse('o', sys.error("convert: -o output required"))
     withSession { spark =>
       import spark.implicits._
@@ -102,7 +109,7 @@ object Cli {
   /** Whole-tileset build: points + polylines, every zoom in [min..max],
     * ONE shuffle (renderPyramidAll) -> z/x/y.png + metadata.json. */
   private def tileset(args: List[String]): Unit = {
-    val (opts, flags, pos) = parse(args, Set('o', 'z', 'T', 'G', 'b', 'c', 'S', 'B', 'C', 'p'))
+    val (opts, flags, pos, _) = parse(args, Set('o', 'z', 'T', 'G', 'b', 'c', 'S', 'B', 'C', 'p'))
     val out = opts.getOrElse('o', sys.error("tileset: -o output required"))
     val zr = opts.getOrElse('z', "0..8").split("\\.\\.").map(_.toInt)
     val zooms = zr(0) to zr(zr.length - 1)
@@ -115,6 +122,15 @@ object Cli {
     opts.get('p').foreach { v =>
       if (v.startsWith("g")) p = p.copy(pointSize = v.drop(1).toDouble, gaussian = true)
       else p = p.copy(pointSize = v.toDouble)
+    }
+    opts.get('B').foreach { v =>
+      val Array(zb, br, ra) = v.split(":")
+      p = p.copy(dotBase = zb.toInt, dotBright = br.toDouble, dotRamp = ra.toDouble)
+    }
+    opts.get('C').foreach { v =>
+      val Array(m1, h1, m2, h2) = v.split(":").map(_.toDouble)
+      p = p.copy(colorRampActive = true, colorMeta1 = m1.toLong, colorHue1 = h1,
+        colorMeta2 = m2.toLong, colorHue2 = h2)
     }
     if (flags.contains('w')) p = p.copy(bg = 0xFFFFFF, invert = true)
     withSession { spark =>
@@ -132,7 +148,7 @@ object Cli {
   }
 
   private def encode(args: List[String]): Unit = {
-    val (opts, _, pos) = parse(args, Set('o', 'z', 'm'))
+    val (opts, _, pos, _) = parse(args, Set('o', 'z', 'm'))
     val out = opts.getOrElse('o', sys.error("encode: -o output required"))
     val z = opts.get('z').map(_.toInt).getOrElse(16)
     val m = opts.get('m').map(_.toInt).getOrElse(0)
@@ -144,11 +160,19 @@ object Cli {
   }
 
   private def merge(args: List[String]): Unit = {
-    val (opts, flags, pos) = parse(args, Set('o'))
+    val (opts, flags, pos, _) = parse(args, Set('o'))
     val out = opts.getOrElse('o', sys.error("merge: -o output required"))
     require(!new java.io.File(out).exists(), s"$out exists")
     withSession { spark =>
-      val meta = DatamapsSource.readMeta(pos.head)
+      // the reference refuses mismatched encodings (merge.c:79-87) —
+      // silently re-encoding at the first file's parameters would be lossy
+      val metas = pos.map(DatamapsSource.readMeta)
+      val meta = metas.head
+      metas.zip(pos).tail.foreach { case (m, f) =>
+        require(m.mapbits == meta.mapbits && m.metabits == meta.metabits,
+          s"merge: mismatched encoding of ${pos.head} (-z ${meta.encodeZoom} -m ${meta.metabits}) " +
+            s"and $f (-z ${m.encodeZoom} -m ${m.metabits})")
+      }
       val all = pos.map(DatamapsSource.read(spark, _)).reduce(_ union _)
       val merged = if (flags.contains('u')) all.dropDuplicates("vertices", "meta") else all
       Sinks.writeDatamapsBinary(merged, out, meta.encodeZoom, meta.metabits)
@@ -156,7 +180,7 @@ object Cli {
   }
 
   private def enumerate(args: List[String]): Unit = {
-    val (opts, flags, pos) = parse(args, Set('z', 'Z', 'b'))
+    val (opts, flags, pos, _) = parse(args, Set('z', 'Z', 'b'))
     val dir = pos.head
     withSession { spark =>
     import spark.implicits._
@@ -195,34 +219,40 @@ object Cli {
         case None => firsts
       }
       // tile lists can be pyramid-sized: stream unless sibling
-      // completion needs the full present-set in memory
-      def rolledSorted = query.TileOps.enumerateRollup(inb, minz, maxz)
-        .orderBy(col("z"), col("tx"), col("ty"))
-        .as[(Int, Long, Long, Long, Long, Long)]
+      // completion needs the full present-set in memory. The -d length
+      // stat joins in distributively (no pyramid-sized driver map).
+      def rolledSorted = {
+        val base = query.TileOps.enumerateRollup(inb, minz, maxz)
+        val withLen =
+          if (!showdist) base.withColumn("len", lit(0.0))
+          else base.join(
+            query.TileOps.enumerateRollupFeatures(feats, minz, maxz)
+              .select(col("z"), col("tx").cast("long"), col("ty").cast("long"), col("len")),
+            Seq("z", "tx", "ty"), "left")
+            .na.fill(0.0, Seq("len"))
+        withLen
+          .select(col("z"), col("tx"), col("ty"), col("cnt"), col("xsum"), col("ysum"), col("len"))
+          .orderBy(col("z"), col("tx"), col("ty"))
+          .as[(Int, Long, Long, Long, Long, Long, Double)]
+      }
       val needMaterialize = flags.contains('s')
-      val rolledSeq: Seq[(Int, Long, Long, Long, Long, Long)] =
+      val rolledSeq: Seq[(Int, Long, Long, Long, Long, Long, Double)] =
         if (needMaterialize) rolledSorted.collect().toSeq else Seq.empty
-      val rolled: Iterator[(Int, Long, Long, Long, Long, Long)] =
+      val rolled: Iterator[(Int, Long, Long, Long, Long, Long, Double)] =
         if (needMaterialize) rolledSeq.iterator
         else { import scala.jdk.CollectionConverters._; rolledSorted.toLocalIterator().asScala }
-      val lens: Map[(Int, Long, Long), Double] =
-        if (!showdist) Map.empty
-        else query.TileOps.enumerateRollupFeatures(feats, minz, maxz)
-          .select(col("z"), col("tx").cast("long"), col("ty").cast("long"), col("len"))
-          .as[(Int, Long, Long, Double)].collect()
-          .map { case (z, tx, ty, len) => ((z, tx, ty), len) }.toMap
-      rolled.foreach { case (z, tx, ty, cnt, xsum, ysum) =>
+      rolled.foreach { case (z, tx, ty, cnt, xsum, ysum, len) =>
         val sb = new StringBuilder(s"$dir $z $tx $ty")
         if (verbose)
           sb ++= f" $cnt%d ${Mercator.tileToLat(ysum / cnt, 32)}%f,${Mercator.tileToLon(xsum / cnt, 32)}%f"
-        if (showdist) sb ++= f" ${lens.getOrElse((z, tx, ty), 0.0)}%f"
+        if (showdist) sb ++= f" $len%f"
         println(sb.result())
       }
       if (flags.contains('s')) {
         // sibling completion: empty quad-mates of every present tile
-        val present = rolledSeq.map { case (z, tx, ty, _, _, _) => (z, tx, ty) }.toSet
+        val present = rolledSeq.map { case (z, tx, ty, _, _, _, _) => (z, tx, ty) }.toSet
         rolledSeq.iterator.filter(_._1 > 0)
-          .flatMap { case (z, tx, ty, _, _, _) =>
+          .flatMap { case (z, tx, ty, _, _, _, _) =>
             for { qx <- 0 to 1; qy <- 0 to 1
                   sx = tx / 2 * 2 + qx; sy = ty / 2 * 2 + qy
                   if !present((z, sx, sy)) } yield (z, sx, sy)
@@ -239,7 +269,7 @@ object Cli {
   }
 
   private def render(args: List[String]): Unit = {
-    val (opts, flags, pos) = parse(args,
+    val (opts, flags, pos, multi) = parse(args,
       Set('t', 'C', 'c', 'S', 'B', 'O', 'G', 'l', 'L', 'M', 'b', 'f', 'T', 'o', 'x', 'e', 'p'))
     var p = RenderParams()
     opts.get('t').foreach(v => p = p.copy(transparency = v.toInt))
@@ -266,7 +296,7 @@ object Cli {
       p = p.copy(colorRampActive = true, colorMeta1 = m1.toLong, colorHue1 = h1,
         colorMeta2 = m2.toLong, colorHue2 = h2)
     }
-    opts.get('x').foreach {
+    multi.getOrElse('x', Nil).foreach {
       case "b" => p = p.copy(metabright = true)
       case "r" => p = p.copy(metabrush = true)
       case "u" => p = p.copy(cie = true)
@@ -287,11 +317,13 @@ object Cli {
     if (flags.contains('v')) { print(Sinks.mapnikStylesheet(p)); return }
 
     withSession { spark =>
-    val extra = opts.get('f').toList
-    val dirs = extra :+ pos.head
+    // reference file order: every -f first, the positional dataset last
+    // (render.c:622 files[nfiles++], then :797)
+    val dirs = multi.getOrElse('f', Nil) :+ pos.head
     val metas = dirs.map(DatamapsSource.readMeta)
     val mapbits = metas.map(_.mapbits).max
-    val feats = dirs.map(DatamapsSource.read(spark, _)).reduce(_ union _)
+    val featsByDir = dirs.map(DatamapsSource.read(spark, _))
+    val feats = featsByDir.reduce(_ union _)
     import spark.implicits._
     // global rank = the reference's file offset (records sort by packed
     // bytes == (cell, meta)); needed for deterministic step sampling at
@@ -324,11 +356,24 @@ object Cli {
           col("cell") >= lo && col("cell") <= hi
         }.reduce(_ || _))
       }
-      if (flags.contains('d')) {
-        // text dump of the tile's join rows
-        val lo = Cell.tileRangeLo(z, x, y); val hi = Cell.tileRangeHi(z, x, y)
-        feats.filter((f: Feature) => f.cell >= lo && f.cell <= hi)
-          .collect().foreach(f => println(Sinks.dumpTextLine(f, metas.head.metabits)))
+      if (flags.contains('d') || flags.contains('D')) {
+        // dump of the tile's join rows: text (-d, dump==1) or GeoJSON
+        // FeatureCollection (-D, dump==2, dump.c:7-68). File-major like
+        // the reference (render.c:915-916 loops files, each via do_tile).
+        val geo = flags.contains('D')
+        if (geo) print("{\n\"type\": \"FeatureCollection\",\n\"features\": [\n")
+        var first = true
+        dirs.indices.foreach { i =>
+          val m = metas(i)
+          dumpTileFeatures(featsByDir(i), z, x, y, m.mapbits, m.metabits, p.maxmeta).foreach { f =>
+            if (geo) {
+              if (!first) print(",\n")
+              first = false
+              print(Sinks.dumpGeoJsonLine(f, m.metabits)); print("\n")
+            } else println(Sinks.dumpTextLine(f, m.metabits))
+          }
+        }
+        if (geo) print("]\n}\n")
       } else {
         val tiles =
           if (flags.contains('r'))
@@ -363,6 +408,54 @@ object Cli {
       }
     }
     }
+  }
+
+  /** The tile's dump rows in the reference's exact emission order
+    * (render.c do_tile, dump mode): the points file first, then line
+    * files (n, z_lookup) for z_lookup ascending z+1..mapbits/2
+    * (render.c:976-985), then z_lookup descending z..0 (render.c:990-
+    * 1004), n ascending inside each z_lookup; within a file, records in
+    * memcmp order of their packed bytes. Membership = first-vertex
+    * prefix match at min(z, common) plus the dump clip predicate
+    * (render.c:244-262) and the maxmeta ceiling (render.c:198). The
+    * filter runs distributed; only one tile's rows reach the driver. */
+  private def dumpTileFeatures(feats: org.apache.spark.sql.Dataset[Feature],
+                               z: Int, x: Int, y: Int,
+                               mapbits: Int, metabits: Int, maxmeta: Long): Seq[Feature] = {
+    val half = mapbits / 2
+    val lo = Cell.tileRangeLo(z, x, y); val hi = Cell.tileRangeHi(z, x, y)
+    val matched = feats.filter { (f: Feature) =>
+      if (f.meta > maxmeta) false
+      else if (f.vertices.length == 1) f.cell >= lo && f.cell <= hi
+      else {
+        val xs = f.vertices.map(Cell.decodeX)
+        val ys = f.vertices.map(Cell.decodeY)
+        val c0 = graft.core.BitPack.commonLevels(xs.map(_.toInt), ys.map(_.toInt), mapbits)
+        val m = math.min(z, c0)
+        val keyOk = (m == 0) ||
+          ((xs(0) >>> (32 - m)) == (x.toLong >>> (z - m)) && (ys(0) >>> (32 - m)) == (y.toLong >>> (z - m)))
+        keyOk && {
+          val xd = xs.map(Mercator.worldToTileFracX(_, z, x))
+          val yd = ys.map(Mercator.worldToTileFracY(_, z, y))
+          (1 until xs.length).exists(k =>
+            graft.core.Clip.accepts(xd(k - 1), yd(k - 1), xd(k), yd(k), 0, 0, 1, 1))
+        }
+      }
+    }.collect().toSeq
+    implicit val memcmp: Ordering[Array[Byte]] =
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+    matched.map { f =>
+      val xs = f.vertices.map(c => Cell.decodeX(c).toInt)
+      val ys = f.vertices.map(c => Cell.decodeY(c).toInt)
+      val n = xs.length
+      val c0 = if (n == 1) 0 else graft.core.BitPack.commonLevels(xs, ys, mapbits)
+      val fileRank =
+        if (n == 1) 0
+        else if (c0 > z) c0 - z // deeper z_lookups, ascending
+        else (half - z) + 1 + (z - c0) // then z_lookup z..0 descending
+      val packed = graft.core.BitPack.pack(xs, ys, f.meta, metabits, mapbits, metabits, c0)
+      ((fileRank, n, packed), f)
+    }.sortBy(_._1).map(_._2)
   }
 
   private val render_ = graft.render.Render

@@ -46,16 +46,24 @@ object Knn {
       (col("y") - col("qy")) * (col("y") - col("qy"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
-    // cache the (tiny, <= |queries|*k rows) top-k candidate set: the
-    // resolved/good/unresolved consumers below would otherwise re-run
-    // the full candidate join + window three times. The query-tile ring
-    // is broadcast — the (huge) point side never shuffles for the
-    // candidate join; only candidates reach the per-query window.
-    val cand = pts.join(broadcast(qTiles), Seq("tx", "ty"))
+    // Broadcast the query-tile ring only while it plausibly fits in an
+    // executor (rows ~ |queries| * (2r+1)^2); past that, fall back to a
+    // shuffle hash join — still no cross product, just hashed on tile id.
+    val ringRows = queries.count() * (2L * ring + 1) * (2L * ring + 1)
+    val qSide = if (ringRows <= 4_000_000L) broadcast(qTiles) else qTiles
+    // Eagerly localCheckpoint the (tiny, <= |queries|*k rows) top-k
+    // candidate set: the resolved/good/unresolved consumers below would
+    // otherwise re-run the full candidate join + window three times, and
+    // unlike cache() the blocks are lineage-free and reclaimed by the
+    // ContextCleaner as soon as the result Dataset is dropped — no
+    // unpersist obligation leaks to the caller. The (huge) point side
+    // never shuffles for the broadcast candidate join; only candidates
+    // reach the per-query window.
+    val cand = pts.join(qSide, Seq("tx", "ty"))
       .select(col("qid"), col("qx"), col("qy"), col("id"), d2.as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .cache()
+      .localCheckpoint(true)
 
     // ring guarantee: everything within guard of the query is in the ring
     val guard = (ring.toLong) << tileShift // min distance to outside the ring

@@ -137,6 +137,54 @@ class CliSpec extends AnyFunSuite {
     assert(w == 256 && h == 256 && rgba.length == w * h * 4)
   }
 
+  test("Cli render -d / -D tile dumps byte-match the reference") {
+    val (dmA, _) = setup
+    val f = graft.sources.DatamapsSource.read(spark, dmA).head()
+    val x = graft.core.Cell.tileX(f.cell, 4)
+    val y = graft.core.Cell.tileY(f.cell, 4)
+    for (flag <- Seq("-d", "-D")) {
+      val (rc, ref) = RefBinaries.run("render", Seq(flag, dmA, "4", x.toString, y.toString))
+      assert(rc == 0)
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(buf) { Cli.main(Array("render", flag, dmA, "4", x.toString, y.toString)) }
+      assert(new String(ref) == new String(buf.toByteArray), s"render $flag dump differs")
+      assert(ref.nonEmpty)
+    }
+  }
+
+  test("Cli render repeated -f overlays every dataset (reference parity)") {
+    val (dmA, dmB) = setup
+    val f = graft.sources.DatamapsSource.read(spark, dmA).head()
+    val x = graft.core.Cell.tileX(f.cell, 3)
+    val y = graft.core.Cell.tileY(f.cell, 3)
+    // corpus B is a prefix of A, so dropping -f b would change the tile;
+    // render a twice via -f to make a drop unmistakable
+    val args = Seq("-f", dmB, "-f", dmA, dmA, "3", x.toString, y.toString)
+    val (rc, refPng) = RefBinaries.run("render", args)
+    assert(rc == 0)
+    val buf = new java.io.ByteArrayOutputStream()
+    val oldOut = System.out
+    System.setOut(new java.io.PrintStream(buf))
+    try Cli.main(("render" +: args).toArray)
+    finally System.setOut(oldOut)
+    val (refRgba, _, _) = Png.decode(refPng)
+    val (ourRgba, w, h) = Png.decode(buf.toByteArray)
+    assert(w == 256 && h == 256)
+    val psnr = Png.psnr(refRgba, ourRgba)
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
+  test("Cli merge refuses mismatched encodings like the reference") {
+    val (dmA, _) = setup
+    import scala.sys.process._
+    "rm -rf /tmp/cli_z14.dm /tmp/cli_mm.dm".!
+    assert(RefBinaries.run("encode", Seq("-o", "/tmp/cli_z14.dm", "-z14", "-m8", "/tmp/cli_b.txt"))._1 == 0)
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array("merge", "-o", "/tmp/cli_mm.dm", dmA, "/tmp/cli_z14.dm"))
+    }
+    assert(e.getMessage.contains("mismatched encoding"))
+  }
+
   test("Cli render tile PNG matches reference (PSNR >= 40)") {
     val (dmA, _) = setup
     // find a populated z5 tile from the corpus
