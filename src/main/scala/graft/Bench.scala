@@ -80,14 +80,18 @@ object Bench {
     val pipHits = graft.join.PipJoin.join(spark, pts, polys).count()
     val tPip = (System.nanoTime() - t1) / 1e9
 
-    // --- rasterize: tile pyramid over the sorted snapshot
+    // --- rasterize: tile pyramid over the RANKED snapshot. The rank
+    // pass lands in storage (writeRankedSnapshot) instead of an executor
+    // cache — the 10^12-row shape: rank once, render forever from a
+    // pruned parquet scan, no per-session 24 B/row persist.
     val t2 = System.nanoTime()
-    val ranked = graft.render.Render.withGlobalRank(
-      table.select(col("cell"), col("meta")))
+    val rankedPath = s"$workDir/ranked"
+    graft.render.Render.writeRankedSnapshot(
+      table.select(col("cell"), col("meta")), rankedPath)
     val tiles = graft.render.Render
-      .renderPyramid(ranked, zooms, 48, graft.core.RenderParams())
+      .renderPyramid(graft.render.Render.readRankedSnapshot(spark, rankedPath),
+        zooms, 48, graft.core.RenderParams())
       .count()
-    ranked.unpersist()
     val tRen = (System.nanoTime() - t2) / 1e9
     require(pipHits > 0, "pip join produced no rows")
     (tiles, tEnc, tPip, tRen)

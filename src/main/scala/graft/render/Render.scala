@@ -86,6 +86,25 @@ object Render {
     ranked
   }
 
+  /** Rank once, persist to storage: write the narrow (cell, meta, rank)
+    * projection as a parquet snapshot. At 10^12 rows this replaces
+    * withGlobalRank's per-session ~24 B/row executor persist — renders
+    * read the ranked table back with an ordinary pruned parquet scan
+    * (`readRankedSnapshot`), and the rank values are frozen at write
+    * time, so every later session (and every re-render) sees the same
+    * deterministic step sample without re-sorting the corpus. */
+  def writeRankedSnapshot(points: DataFrame, dir: String): Unit = {
+    val ranked = withGlobalRank(points)
+    try ranked.write.mode("overwrite").parquet(dir)
+    finally ranked.unpersist()
+  }
+
+  /** Read a snapshot written by writeRankedSnapshot. Ranks are stored
+    * values — no shuffle, no cache pin; tile range filters push down to
+    * the (cell-clustered) parquet row groups. */
+  def readRankedSnapshot(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Does a point rendered at zDraw use a brush larger than one pixel
     * anywhere (then splats may spill into adjacent tiles and the
     * receiver must probe its ring)? render.c:128-139 + 151-160. Spill

@@ -171,6 +171,30 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(lit > 50, s"only $lit lit pixels")
   }
 
+  test("ranked-snapshot render path is byte-identical to the in-memory rank path") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val pts = (0 until 20000).map { _ =>
+      (graft.core.Cell.encode(
+        graft.core.Mercator.lonToX32(r.nextDouble() * 300 - 150).toInt,
+        graft.core.Mercator.latToY32(r.nextDouble() * 140 - 70).toInt), r.nextInt(256).toLong)
+    }.toDF("cell", "meta")
+    val p = graft.core.RenderParams()
+    val ranked = graft.render.Render.withGlobalRank(pts)
+    val mem = graft.render.Render.renderPyramid(ranked, 0 to 6, 48, p)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    ranked.unpersist()
+    import scala.sys.process._
+    "rm -rf /tmp/ranked_snap".!
+    graft.render.Render.writeRankedSnapshot(pts, "/tmp/ranked_snap")
+    val snap = graft.render.Render.renderPyramid(
+      graft.render.Render.readRankedSnapshot(spark, "/tmp/ranked_snap"), 0 to 6, 48, p)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    assert(mem.keySet == snap.keySet)
+    mem.foreach { case (k, png) => assert(java.util.Arrays.equals(png, snap(k)), s"tile $k differs") }
+    assert(mem.nonEmpty)
+  }
+
   test("salted hot-tile render equals unsalted output (same tiles, pixels within tolerance)") {
     import spark.implicits._
     // heavily skewed: 30k points in one z10 tile + scatter
