@@ -124,15 +124,18 @@ object Render {
     * probes above=below=(int)(cloudsize(receiver)+1) tiles
     * (do_tile render.c:947-956), with cloudsize divided by cos(lat) of
     * the RECEIVING tile row (render.c:60-72) — so high-latitude tiles
-    * probe a wider ring. Safety cap keeps a degenerate huge circle from
-    * emitting unbounded commands (beyond it, clouds lose cross-tile
-    * dots, matching the round-1 documented deviation but 8x further
-    * out). */
-  private final val MaxCloudRing = 64
+    * probe a wider ring. UNCAPPED up to the world width: a ring of 2^z
+    * tiles already reaches every tile (receiver coords clamp to the
+    * world), so no cloud ever loses cross-tile dots — the emission side
+    * streams lazily (pointCmds), and the mercator amplification is
+    * bounded anyway (1/cos(85°) ≈ 11.5x the equator ring). */
   private def circleRing(p: RenderParams, z: Int, row: Long): Int = {
     val n = 1L << z
     if (row < 0 || row >= n) 0
-    else math.min(MaxCloudRing, (p.cloudSize(z, 0, row.toInt) + 1).toInt)
+    else {
+      val s = p.cloudSize(z, 0, row.toInt) + 1
+      if (s >= n.toDouble) math.min(n, Int.MaxValue.toLong).toInt else s.toInt
+    }
   }
 
   /** Does the receiver at (z, row) swap step into innerstep?
@@ -192,36 +195,39 @@ object Render {
           // A record reaches receiver (rx, ry) iff it is within the
           // receiver's ring r(ry) and passes the receiver's stride rule
           // (unstrided when the receiver swaps step into innerstep).
-          val out = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
+          // Emission is a LAZY iterator — a degenerate giant cloud
+          // streams its (2r+1)^2 commands through the shuffle writer
+          // instead of buffering them in task memory, so the ring needs
+          // no safety cap.
           def passes(row: Long): Boolean =
             step <= 1 || strided || circleSwapsAt(p, step, zDraw, row)
-          if (passes(ty))
-            out += FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true)
+          val own =
+            if (passes(ty))
+              Iterator.single(FeatCmd(Cell.tileKey(zDraw, tx, ty), -1, Array(cell), meta, own = true))
+            else Iterator.empty
           // scan candidate receiver rows; a receiver at row ry reaches
           // this record iff |ry - ty| <= ring(ry) (ring grows poleward)
-          var dy = if (emitSpill) -dyMax else dyMax + 1
-          while (dy <= dyMax) {
+          val dyLo = if (emitSpill) -dyMax else dyMax + 1
+          val spillIt = (dyLo to dyMax).iterator.flatMap { dy =>
             val ry = ty + dy
-            if (ry >= 0 && ry < n) {
+            if (ry < 0 || ry >= n) Iterator.empty
+            else {
               val r = circleRing(p, zDraw, ry)
               if (math.abs(dy) <= r && passes(ry)) {
-                var dx = -r
-                while (dx <= r) {
+                (-r to r).iterator.flatMap { dx =>
                   val rx = tx + dx
                   if (rx >= 0 && rx < n && (dx != 0 || dy != 0)) {
                     // receiver probe order: xx ascending outer, yy inner
                     // (render.c:957-965); sender offset inside that loop
                     val slot = (r - dx).toLong * (2 * r + 1) + (r - dy)
-                    out += FeatCmd(Cell.tileKey(zDraw, rx.toInt, ry.toInt), slot,
-                      Array(cell), meta, own = false)
-                  }
-                  dx += 1
+                    Iterator.single(FeatCmd(Cell.tileKey(zDraw, rx.toInt, ry.toInt), slot,
+                      Array(cell), meta, own = false))
+                  } else Iterator.empty
                 }
-              }
+              } else Iterator.empty
             }
-            dy += 1
           }
-          out.iterator
+          own ++ spillIt
         }
       }
   }

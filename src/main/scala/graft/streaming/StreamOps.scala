@@ -77,23 +77,27 @@ object StreamOps {
     * cell-range scans (Parquet row-group pruning — cost ∝ affected
     * tiles' data, never the full dataset), (4) overwrite their PNGs.
     *
-    * Restricted to zooms with step == 1 (z >= dotBase): step-sampled low
-    * zooms depend on a global rank that appending invalidates — at scale
-    * those few shallow tiles are re-rendered wholesale on a slow cadence
-    * instead. Affected-tile re-renders are byte-deterministic (records
-    * re-sort identically), so an incremental tileset equals the batch
-    * render of the full data on every touched tile. */
+    * Zooms with step > 1 (z < dotBase) cannot re-render incrementally:
+    * their step sampling depends on a global rank that every append
+    * invalidates. They are instead re-rendered WHOLESALE on a batch
+    * cadence (`lowZoomEvery`, default every 4th batch) inside the same
+    * foreachBatch — cheap, because a low zoom has few tiles and the
+    * rank pass is over the narrow projection only. Between refreshes the
+    * low zooms lag by at most lowZoomEvery-1 batches; callers that need
+    * them exact after the stream drains call `refreshLowZooms` once.
+    * Step==1 tiles are byte-deterministic per batch (records re-sort
+    * identically), so an incremental tileset equals the batch render of
+    * the full data on every touched tile. */
   def incrementalTiles(stream: DataFrame, snapshotDir: String, tilesDir: String,
                        checkpointDir: String, zooms: Seq[Int], mapbits: Int,
-                       p: graft.core.RenderParams): StreamingQuery = {
+                       p: graft.core.RenderParams, lowZoomEvery: Int = 4): StreamingQuery = {
     import graft.core.Cell
-    require(zooms.forall(z => p.pointParams(z)._1 <= 1),
-      "incremental maintenance needs step==1 zooms (z >= dotBase)")
     require(p.circle <= 0, "cloud mode needs latitude-dependent rings; not supported incrementally")
-    val zArr = zooms.toArray
+    val lowZooms = zooms.filter(z => p.pointParams(z)._1 > 1)
+    val zArr = zooms.filter(z => p.pointParams(z)._1 <= 1).toArray
     val spills = zArr.map(z => graft.render.Render.brushSpills(p, z))
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val b = batch.select(col("cell"), col("meta")).persist()
@@ -148,12 +152,19 @@ object StreamOps {
               col("cell") >= lo && col("cell") <= hi
             }.toIndexedSeq)
             val subset = spark.read.parquet(snapshotDir).filter(cond)
-            val tiles = zArr.map { z =>
-              graft.render.Render.renderTiles(Some(subset), None, z, mapbits, p,
-                requireOwn = true,
-                only = Some((tx, ty) => affected.contains(Cell.tileKey(z, tx, ty))))
-            }.reduce(_ union _)
-            graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
+            if (zArr.nonEmpty) {
+              val tiles = zArr.map { z =>
+                graft.render.Render.renderTiles(Some(subset), None, z, mapbits, p,
+                  requireOwn = true,
+                  only = Some((tx, ty) => affected.contains(Cell.tileKey(z, tx, ty))))
+              }.reduce(_ union _)
+              graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
+            }
+            // wholesale low-zoom cadence: every lowZoomEvery-th batch,
+            // re-rank the (narrow) snapshot and re-render the few
+            // step-sampled shallow zooms in full
+            if (lowZooms.nonEmpty && batchId % lowZoomEvery == (lowZoomEvery - 1))
+              refreshLowZooms(spark, snapshotDir, tilesDir, lowZooms, mapbits, p)
           }
         } finally b.unpersist()
         ()
@@ -161,6 +172,21 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Wholesale re-render of the step-sampled low zooms from the current
+    * snapshot: fresh global rank over the narrow (cell, meta) projection,
+    * then the one-shuffle pyramid over just those zooms. Used on the
+    * incremental cadence and as the caller's finalizer after a bounded
+    * stream drains. */
+  def refreshLowZooms(spark: SparkSession, snapshotDir: String, tilesDir: String,
+                      zooms: Seq[Int], mapbits: Int, p: graft.core.RenderParams): Unit = {
+    val ranked = graft.render.Render.withGlobalRank(
+      spark.read.parquet(snapshotDir).select(col("cell"), col("meta")))
+    try {
+      val tiles = graft.render.Render.renderPyramid(ranked, zooms, mapbits, p)
+      graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
+    } finally ranked.unpersist()
   }
 
   /** Run a streaming query over a bounded source synchronously into a

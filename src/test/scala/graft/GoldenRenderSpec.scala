@@ -163,6 +163,53 @@ class GoldenRenderSpec extends AnyFunSuite {
     assert(psnr >= 40.0, s"psnr=$psnr")
   }
 
+  test("giant cloud (-x c, ring > 64 tiles at polar latitude) reaches far receivers") {
+    // a degenerate cloud whose receiver ring exceeds the former 64-tile
+    // emission cap: at lat 84.3 / z13, circle=110000f gives ~69 tiles of
+    // cloud radius. The receiver 66 tiles east must still draw its dots.
+    // 16-bit metas make the dot budget (todo += meta) big enough that the
+    // far tile's slice of the uniform scatter is populated.
+    val rnd = new scala.util.Random(77)
+    def r6(v: Double): Double = f"$v%.6f".toDouble
+    val pts = (0 until 30).map { _ =>
+      (r6(84.30 + rnd.nextDouble() * 0.02), r6(-40.0 + rnd.nextDouble() * 0.5),
+        (50000 + rnd.nextInt(15000)).toLong)
+    }
+    val txt = pts.map { case (lat, lon, m) => f"$lat%.6f,$lon%.6f :$m" }.mkString("\n") + "\n"
+    Files.writeString(Paths.get("/tmp/polar_pts.txt"), txt)
+    import scala.sys.process._
+    "rm -rf /tmp/polar.dm".!
+    assert(RefBinaries.run("encode", Seq("-o", "/tmp/polar.dm", "-z16", "-m16", "/tmp/polar_pts.txt"))._1 == 0)
+    val params = RenderParams(circle = 110000)
+    val z = 13
+    val c0 = Cell.encode(Mercator.lonToX32(pts.head._2).toInt, Mercator.latToY32(pts.head._1).toInt)
+    val (ptx, pty) = (Cell.tileX(c0, z), Cell.tileY(c0, z))
+    val ringHere = (params.cloudSize(z, 0, pty) + 1).toInt
+    assert(ringHere > 64, s"ring=$ringHere not extreme enough for the test")
+    val (tx, ty) = (ptx + 66, pty)
+    val (rc, refPng) = RefBinaries.run("render",
+      Seq("-x", "c110000f", "/tmp/polar.dm", z.toString, tx.toString, ty.toString))
+    assert(rc == 0)
+    import spark.implicits._
+    val cells = pts.filter { case (lat, lon, _) => Mercator.valid(lat, lon) }
+      .map { case (lat, lon, m) =>
+        (Cell.truncate(Cell.encode(Mercator.lonToX32(lon).toInt, Mercator.latToY32(lat).toInt), mapbits), m)
+      }.sortBy(identity)
+    val df = cells.zipWithIndex.map { case ((c, m), i) => (c, m, i.toLong) }.toDF("cell", "meta", "rank")
+    val our = Render.renderTiles(Some(df), None, z, mapbits, params,
+      requireOwn = false, only = Some((x, y) => x == tx && y == ty))
+      .collect().find(t => t.x == tx && t.y == ty)
+    assert(our.isDefined, "far receiver rendered no tile — ring truncated")
+    val (refRgba, _, _) = Png.decode(refPng)
+    val (ourRgba, _, _) = Png.decode(our.get.png)
+    def support(b: Array[Byte]) = b.grouped(4).count(px => px(0) != 0 || px(1) != 0 || px(2) != 0)
+    val (rs, os) = (support(refRgba), support(ourRgba))
+    assert(rs > 0, "reference drew nothing at the far receiver — setup wrong")
+    assert(math.abs(rs - os) <= math.max(16, rs / 200), s"support ref=$rs ours=$os")
+    val psnr = Png.psnr(refRgba, ourRgba)
+    assert(psnr >= 40.0, s"psnr=$psnr")
+  }
+
   test("multi-dataset overlay (render -f): two encoded halves == union render") {
     // encode the corpus as two half datasets; reference overlays them in
     // one render (-f), we render the unioned point table — canvas

@@ -97,21 +97,28 @@ class StreamingSaltSpec extends AnyFunSuite {
         .foreach(f => java.nio.file.Files.copy(f.toPath,
           java.nio.file.Paths.get(in, s"${tag}_${f.getName}")))
     }
-    val zooms = Seq(14, 15) // step == 1, z15 exercises brush spill rings
+    // z6 is step-sampled (step > 1): maintained by the wholesale
+    // low-zoom cadence, here every 2nd batch so the final batch refreshes
+    val zooms = Seq(6, 14, 15) // z15 exercises brush spill rings
     val p = RenderParams()
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(all.schema).parquet(in)
-      val q = StreamOps.incrementalTiles(stream, snap, tilesDir, ckpt, zooms, 48, p)
+      val q = StreamOps.incrementalTiles(stream, snap, tilesDir, ckpt, zooms, 48, p,
+        lowZoomEvery = 2)
       q.awaitTermination()
     }
     feed(all.filter(pmod(col("cell"), lit(2)) === 0), "b1"); runOnce()
     feed(all.filter(pmod(col("cell"), lit(2)) === 1), "b2"); runOnce()
 
-    // ground truth: full batch render over the final snapshot
+    // ground truth: full batch render over the final snapshot — ranked
+    // pyramid for the step-sampled zoom, direct tile render for step==1
     val full = spark.read.parquet(snap)
-    val expected = zooms.map(z =>
-      graft.render.Render.renderTiles(Some(full), None, z, 48, p)).reduce(_ union _)
+    val ranked = graft.render.Render.withGlobalRank(full.select(col("cell"), col("meta")))
+    val expected = (Seq(14, 15).map(z =>
+      graft.render.Render.renderTiles(Some(full), None, z, 48, p)) :+
+      graft.render.Render.renderPyramid(ranked, Seq(6), 48, p)).reduce(_ union _)
       .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    ranked.unpersist()
     val onDisk = {
       val root = new java.io.File(tilesDir)
       for {
