@@ -161,7 +161,30 @@ class HilbertLshSpec extends AnyFunSuite {
   }
 
   test("enumerate -d length rollup matches reference") {
-    // reuse the line corpus from GoldenOpsSpec artifacts
+    // regenerate GoldenOpsSpec's mixed point/line corpus if absent so the
+    // test is self-sufficient under any suite ordering (same seed/shape
+    // as GoldenOpsSpec.writeCorpus(99, 3000, lines=true))
+    if (!new java.io.File("/tmp/ops_ref.dm/meta").exists()) {
+      val r = new scala.util.Random(99)
+      def r6(v: Double) = f"$v%.6f".toDouble
+      val sb = new StringBuilder
+      (0 until 3000).foreach { _ =>
+        if (r.nextBoolean()) {
+          sb ++= f"${r6(r.nextDouble() * 170 - 85)}%.6f,${r6(r.nextDouble() * 359.9 - 179.95)}%.6f :${r.nextInt(256)}\n"
+        } else {
+          val la = r.nextDouble() * 170 - 85
+          val lo = r.nextDouble() * 359.9 - 179.95
+          val pts = (0 until 2 + r.nextInt(3)).map { _ =>
+            f"${r6(la + (r.nextDouble() - .5) * .02)}%.6f,${r6(lo + (r.nextDouble() - .5) * .02)}%.6f"
+          }
+          sb ++= pts.mkString(" ") + f" :${r.nextInt(256)}\n"
+        }
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/ops_mixed.txt"), sb.toString)
+      import scala.sys.process._
+      "rm -rf /tmp/ops_ref.dm".!
+      assert(RefBinaries.run("encode", Seq("-o", "/tmp/ops_ref.dm", "-z16", "-m8", "/tmp/ops_mixed.txt"))._1 == 0)
+    }
     val (rc, out) = RefBinaries.run("enumerate", Seq("-z6", "-d", "/tmp/ops_ref.dm"))
     if (rc == 0 && new String(out).nonEmpty) {
       import spark.implicits._
