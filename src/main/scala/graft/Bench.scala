@@ -36,15 +36,18 @@ object Bench {
     new java.io.File(imgPath).listFiles().foreach { f =>
       if (f.getName.endsWith(".parquet")) java.nio.file.Files.readAllBytes(f.toPath)
     }
-    // JIT/codegen warmup on a small sample (untimed)
+    // JIT/codegen warmup on a small sample (untimed) — the same
+    // snapshot-write + snapshot-read render path the timed section uses
     locally {
       val warm = graft.tables.ImageTable.generateGeo(spark, 5000, partitions = cpus)
         .toDF().select(col("cell"), col("meta"))
         .repartitionByRange(cpus, col("cell"))
         .sortWithinPartitions(col("cell"), col("meta"))
-      val ranked = graft.render.Render.withGlobalRank(warm)
-      graft.render.Render.renderPyramid(ranked, 0 to 6, 48, graft.core.RenderParams()).count()
-      ranked.unpersist()
+      val warmPath = s"$workDir/warm_ranked"
+      graft.render.Render.writeRankedSnapshot(warm, warmPath)
+      graft.render.Render.renderPyramid(
+        graft.render.Render.readRankedSnapshot(spark, warmPath),
+        0 to 6, 48, graft.core.RenderParams()).count()
     }
 
     // --- encode: geotag -> cell -> range partition -> sorted snapshot.

@@ -46,22 +46,36 @@ object Render {
     * which MEMORY_AND_DISK spills per-executor; at that scale prefer
     * writing the ranked snapshot to storage once and reading it back. */
   def withGlobalRank(points: DataFrame): DataFrame = {
-    // Re-establish a total global order here: a parquet read does NOT
-    // preserve partition order (Spark packs splits by size), so ranks
-    // must come from a fresh range shuffle whose partition index IS the
-    // range order. Ties (equal cell+meta) may order differently across
-    // parallelism levels, but the sampled multiset is invariant.
+    val (ranked0, frozen) = rankedOnFrozen(points)
+    val ranked = ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the ranked cache while `frozen` is still pinned (the
+    // rank values are only valid on the frozen physical partitioning —
+    // a recompute could re-sample different range boundaries), then
+    // release the intermediate so long-running sessions don't leak it.
+    ranked.count()
+    frozen.unpersist()
+    ranked
+  }
+
+  /** Shared rank computation: re-establish a total global order here —
+    * a parquet read does NOT preserve partition order (Spark packs
+    * splits by size), so ranks must come from a fresh range shuffle
+    * whose partition index IS the range order. Ties (equal cell+meta)
+    * may order differently across parallelism levels, but the sampled
+    * multiset is invariant. Returns the lazily-ranked DF plus the
+    * frozen cache handle the caller must consume-then-unpersist: the
+    * cache pins the physical partitioning between the count pass and
+    * the rank pass (the two jobs must see identical partitions).
+    * rank = partitionOffset + local index, computed entirely with
+    * codegen'd expressions: monotonically_increasing_id() packs
+    * (partitionId << 33) | localIndex deterministically on the frozen
+    * partitioning — no Row-object conversion on the (wide) scan. */
+  private def rankedOnFrozen(points: DataFrame): (DataFrame, DataFrame) = {
     val spark = points.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, points.rdd.getNumPartitions)
     val sorted = points
       .repartitionByRange(parts, col("cell"), col("meta"))
       .sortWithinPartitions(col("cell"), col("meta"))
-    // cache to freeze the physical partitioning between the count pass
-    // and the rank pass (the two jobs must see identical partitions).
-    // rank = partitionOffset + local index, computed entirely with
-    // codegen'd expressions: monotonically_increasing_id() packs
-    // (partitionId << 33) | localIndex deterministically on the frozen
-    // partitioning — no Row-object conversion on the (wide) scan.
     val frozen = sorted.cache()
     val withMid = frozen.withColumn("_mid", monotonically_increasing_id())
     val counts = withMid
@@ -76,14 +90,7 @@ object Render {
         element_at(offsetMap, shiftrightunsigned(col("_mid"), 33)) +
           col("_mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("_mid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the ranked cache while `frozen` is still pinned (the
-    // rank values are only valid on the frozen physical partitioning —
-    // a recompute could re-sample different range boundaries), then
-    // release the intermediate so long-running sessions don't leak it.
-    ranked.count()
-    frozen.unpersist()
-    ranked
+    (ranked, frozen)
   }
 
   /** Rank once, persist to storage: write the narrow (cell, meta, rank)
@@ -94,9 +101,12 @@ object Render {
     * time, so every later session (and every re-render) sees the same
     * deterministic step sample without re-sorting the corpus. */
   def writeRankedSnapshot(points: DataFrame, dir: String): Unit = {
-    val ranked = withGlobalRank(points)
+    // write straight off the frozen partitioning — no intermediate
+    // executor persist of the ranked rows, and no extra materialization
+    // pass (the write IS the materialization)
+    val (ranked, frozen) = rankedOnFrozen(points)
     try ranked.write.mode("overwrite").parquet(dir)
-    finally ranked.unpersist()
+    finally frozen.unpersist()
   }
 
   /** Read a snapshot written by writeRankedSnapshot. Ranks are stored
