@@ -318,13 +318,53 @@ object Cli {
 
     withSession { spark =>
     // reference file order: every -f first, the positional dataset last
-    // (render.c:622 files[nfiles++], then :797)
+    // (render.c:622 files[nfiles++], then :797). DOCUMENTED DEVIATION:
+    // the reference draws file 0 fully, then file 1 (file-major FP
+    // accumulation); the union render interleaves records of equal
+    // (slot, cell) across files, so multi-file sums fold in a different
+    // FP order — canvas accumulation is commutative, so the output is
+    // ulp-equivalent (golden multi-f test: PSNR >= 40), not bit-equal.
     val dirs = multi.getOrElse('f', Nil) :+ pos.head
     val metas = dirs.map(DatamapsSource.readMeta)
     val mapbits = metas.map(_.mapbits).max
     val featsByDir = dirs.map(DatamapsSource.read(spark, _))
     val feats = featsByDir.reduce(_ union _)
     import spark.implicits._
+
+    if (flags.contains('d') || flags.contains('D')) {
+      // dump modes need no rank/canvas: text (-d, dump==1) or GeoJSON
+      // FeatureCollection (-D, dump==2, dump.c:7-68). Single tile dumps
+      // file-major (render.c:915-916); -A dumps every bbox tile x-major
+      // with the file loop INSIDE (render.c:873-880).
+      val geo = flags.contains('D')
+      if (geo) print("{\n\"type\": \"FeatureCollection\",\n\"features\": [\n")
+      var first = true
+      def emit(i: Int, z: Int, x: Int, y: Int): Unit = {
+        val m = metas(i)
+        dumpTileFeatures(featsByDir(i), z, x, y, m.mapbits, m.metabits, p.maxmeta).foreach { f =>
+          if (geo) {
+            if (!first) print(",\n")
+            first = false
+            print(Sinks.dumpGeoJsonLine(f, m.metabits)); print("\n")
+          } else println(Sinks.dumpTextLine(f, m.metabits))
+        }
+      }
+      if (flags.contains('A')) {
+        val Seq(zs, lat1, lon1, lat2, lon2) = pos.tail.take(5)
+        val z = zs.toInt
+        val wxs = Seq(Mercator.lonToX32(lon1.toDouble), Mercator.lonToX32(lon2.toDouble)).sorted
+        val wys = Seq(Mercator.latToY32(lat1.toDouble), Mercator.latToY32(lat2.toDouble)).sorted
+        val (x1, x2) = ((wxs(0) >> (32 - z)).toInt, (wxs(1) >> (32 - z)).toInt)
+        val (y1, y2) = ((wys(0) >> (32 - z)).toInt, (wys(1) >> (32 - z)).toInt)
+        for (x <- x1 to x2; y <- y1 to y2; i <- dirs.indices) emit(i, z, x, y)
+      } else {
+        val Seq(zs, xs, ys) = pos.tail.take(3)
+        for (i <- dirs.indices) emit(i, zs.toInt, xs.toInt, ys.toInt)
+      }
+      if (geo) print("]\n}\n")
+      return
+    }
+
     // global rank = the reference's file offset (records sort by packed
     // bytes == (cell, meta)); needed for deterministic step sampling at
     // zooms below dot_base
@@ -356,25 +396,7 @@ object Cli {
           col("cell") >= lo && col("cell") <= hi
         }.reduce(_ || _))
       }
-      if (flags.contains('d') || flags.contains('D')) {
-        // dump of the tile's join rows: text (-d, dump==1) or GeoJSON
-        // FeatureCollection (-D, dump==2, dump.c:7-68). File-major like
-        // the reference (render.c:915-916 loops files, each via do_tile).
-        val geo = flags.contains('D')
-        if (geo) print("{\n\"type\": \"FeatureCollection\",\n\"features\": [\n")
-        var first = true
-        dirs.indices.foreach { i =>
-          val m = metas(i)
-          dumpTileFeatures(featsByDir(i), z, x, y, m.mapbits, m.metabits, p.maxmeta).foreach { f =>
-            if (geo) {
-              if (!first) print(",\n")
-              first = false
-              print(Sinks.dumpGeoJsonLine(f, m.metabits)); print("\n")
-            } else println(Sinks.dumpTextLine(f, m.metabits))
-          }
-        }
-        if (geo) print("]\n}\n")
-      } else {
+      locally {
         val tiles =
           if (flags.contains('r'))
             render_.renderRetinaTiles(

@@ -152,6 +152,60 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("Cli render -A -d / -A -D bbox dumps (reference segfaults here)") {
+    // The reference CRASHES on -A + dump: render.c:866-880 leaves gc NULL
+    // when dump != 0 but still calls setClip(gc, ...) per tile, and
+    // setClip (graphics.c:519-524) dereferences gc unconditionally. So
+    // there is no reference output to golden against; instead we check
+    // our -A dump equals the concatenation of our own single-tile dumps
+    // (each byte-exact vs the reference, see the test above) in the
+    // reference's intended x-major, y-inner, file-inner order.
+    val (dmA, _) = setup
+    // getopt (and our parse) would eat a leading-minus coordinate as a
+    // flag, so pick a feature deep in the positive quadrant
+    val f = graft.sources.DatamapsSource.read(spark, dmA).collect().find { f =>
+      val lon = graft.core.Mercator.tileToLon(graft.core.Cell.decodeX(f.cell), 32)
+      val lat = graft.core.Mercator.tileToLat(graft.core.Cell.decodeY(f.cell), 32)
+      lon > 20 && lon < 160 && lat > 20 && lat < 70
+    }.get
+    val z = 5
+    val cx = graft.core.Cell.decodeX(f.cell); val cy = graft.core.Cell.decodeY(f.cell)
+    // a bbox spanning ~2x2 tiles around the feature
+    val lat1 = graft.core.Mercator.tileToLat(cy, 32) - 4.0
+    val lat2 = graft.core.Mercator.tileToLat(cy, 32) + 4.0
+    val lon1 = graft.core.Mercator.tileToLon(cx, 32) - 6.0
+    val lon2 = graft.core.Mercator.tileToLon(cx, 32) + 6.0
+    val bbox = Seq(f"$lat1%.6f", f"$lon1%.6f", f"$lat2%.6f", f"$lon2%.6f")
+    // document the reference bug this path fixes
+    val (refRc, _) = RefBinaries.run("render", Seq("-d", "-A", dmA, z.toString) ++ bbox)
+    assert(refRc != 0, "reference no longer crashes on -A dump; golden-compare instead")
+
+    def run(args: Seq[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(buf) { Cli.main(("render" +: args).toArray) }
+      new String(buf.toByteArray)
+    }
+    // tile cover exactly as render.c:830-856 derives it
+    val wxs = Seq(graft.core.Mercator.lonToX32(lon1), graft.core.Mercator.lonToX32(lon2)).sorted
+    val wys = Seq(graft.core.Mercator.latToY32(lat1), graft.core.Mercator.latToY32(lat2)).sorted
+    val (x1, x2) = ((wxs(0) >> (32 - z)).toInt, (wxs(1) >> (32 - z)).toInt)
+    val (y1, y2) = ((wys(0) >> (32 - z)).toInt, (wys(1) >> (32 - z)).toInt)
+    val tiles = for (x <- x1 to x2; y <- y1 to y2) yield (x, y)
+    assert(tiles.size >= 4, s"bbox should span multiple tiles, got $tiles")
+
+    val aDump = run(Seq("-d", "-A", dmA, z.toString) ++ bbox)
+    val perTile = tiles.map { case (x, y) => run(Seq("-d", dmA, z.toString, x.toString, y.toString)) }.mkString
+    assert(aDump == perTile, "-A -d differs from concatenated single-tile dumps")
+    assert(aDump.nonEmpty)
+
+    def features(fc: String): Seq[String] =
+      fc.linesIterator.filter(_.startsWith("{ \"type\": \"Feature\"")).map(_.stripSuffix(",")).toSeq
+    val aGeo = run(Seq("-D", "-A", dmA, z.toString) ++ bbox)
+    val perTileGeo = tiles.flatMap { case (x, y) => features(run(Seq("-D", dmA, z.toString, x.toString, y.toString))) }
+    assert(aGeo.startsWith("{\n\"type\": \"FeatureCollection\",") && aGeo.endsWith("]\n}\n"))
+    assert(features(aGeo) == perTileGeo, "-A -D features differ from concatenated single-tile dumps")
+  }
+
   test("Cli render repeated -f overlays every dataset (reference parity)") {
     val (dmA, dmB) = setup
     val f = graft.sources.DatamapsSource.read(spark, dmA).head()
