@@ -56,21 +56,21 @@ object Bench {
     // payload bytes are never read (Parquet column pruning) and never
     // shuffle; consumers join payloads back by image_id when needed.
     val t0 = System.nanoTime()
-    val idx = spark.read.parquet(imgPath).select("image_id", "phash")
-      .as[(String, Long)]
-      .map { case (id, ph) =>
-        val (lat, lon, cell, meta) = graft.tables.ImageTable.geotagPhash(ph)
-        (id, ph, lat, lon, cell, meta)
-      }
-      .toDF("image_id", "phash", "lat", "lon", "cell", "meta")
-      // pin the narrow index: repartitionByRange samples the child first,
-      // so an uncached geotag map would run twice (sample + shuffle pass)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // geotag as native codegen expressions (GeotagLat/Lon/CellExpr):
+    // the whole encode is one WholeStageCodegen project over a 2-column
+    // pruned scan — no typed-map ser/de, and the repartitionByRange
+    // sampling pass recomputes the cheap projection instead of forcing a
+    // persist of the index (impossible at 10^12 rows anyway).
+    val idx = spark.read.parquet(imgPath).select(
+      col("image_id"), col("phash"),
+      graft.functions.geotag_lat(col("phash")).as("lat"),
+      graft.functions.geotag_lon(col("phash")).as("lon"),
+      graft.functions.geotag_cell(col("phash")).as("cell"),
+      col("phash").bitwiseAND(lit(0xFFL)).as("meta"))
     val sortedPath = s"$workDir/sorted"
     idx.repartitionByRange(cpus * 2, col("cell"))
       .sortWithinPartitions(col("cell"), col("meta"))
       .write.mode("overwrite").parquet(sortedPath)
-    idx.unpersist()
     val tEnc = (System.nanoTime() - t0) / 1e9
 
     // --- PIP join: broadcast polygon R-tree over the snapshot

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /**
  * Native Catalyst expressions for the engine's cell-id codec so the
@@ -26,6 +26,44 @@ case class CellEncodeExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** phash -> deterministic geotag columns (ImageTable's formula). Static
+  * calls keep the image-index encode a single WholeStageCodegen project:
+  * no typed-map object ser/de on the 10^12-row ingest path, and the
+  * repartitionByRange sampling pass can recompute the projection for
+  * pennies instead of forcing a persist of the whole index. */
+case class GeotagLatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "geotag_lat"
+  override protected def nullSafeEval(p: Any): Any =
+    graft.tables.ImageTable.geotagLat(p.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.tables.ImageTable.geotagLat($p)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class GeotagLonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "geotag_lon"
+  override protected def nullSafeEval(p: Any): Any =
+    graft.tables.ImageTable.geotagLon(p.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.tables.ImageTable.geotagLon($p)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class GeotagCellExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "geotag_cell"
+  override protected def nullSafeEval(p: Any): Any =
+    graft.tables.ImageTable.geotagCell(p.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.tables.ImageTable.geotagCell($p)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class CellXExpr(child: Expression) extends UnaryExpression {

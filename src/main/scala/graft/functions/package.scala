@@ -17,6 +17,11 @@ package object functions {
   /** cell id -> world y. */
   def cell_y(c: Column): Column = column(CellYExpr(expression(c)))
 
+  /** phash -> deterministic geotag (codegen'd; ImageTable's formula). */
+  def geotag_lat(p: Column): Column = column(GeotagLatExpr(expression(p)))
+  def geotag_lon(p: Column): Column = column(GeotagLonExpr(expression(p)))
+  def geotag_cell(p: Column): Column = column(GeotagCellExpr(expression(p)))
+
   /** tile x at zoom z containing the cell. */
   def tile_x(c: Column, z: Int): Column =
     if (z == 0) lit(0L) else shiftrightunsigned(cell_x(c), 32 - z)

@@ -86,25 +86,34 @@ object ImageTable {
     * exercise salting / AQE skew handling. Returns (lat, lon, cell, meta).
     * Pure function of phash: the spatial index never needs the payload
     * column (Parquet prunes `bytes` at scan). */
-  def geotagPhash(phash: Long): (Double, Double, Long, Long) = {
-    val u1 = ((phash >>> 32).toDouble / 4294967296.0)
-    val u2 = ((phash & 0xFFFFFFFFL).toDouble / 4294967296.0)
+  def geotagPhash(phash: Long): (Double, Double, Long, Long) =
+    (geotagLat(phash), geotagLon(phash), geotagCell(phash), phash & 0xFF)
+
+  private val hotLat = Array(40.7128, 51.5074, 35.6762, -33.8688)
+  private val hotLon = Array(-74.0060, -0.1278, 139.6503, 151.2093)
+
+  /** Scalar geotag kernels — static-forwarder-friendly so the codegen'd
+    * GeotagLat/Lon/CellExpr can call them from generated Java (same
+    * pattern as graft.core.Cell.encode in CellEncodeExpr). */
+  def geotagLat(phash: Long): Double = {
     val h2 = splitmix64(phash, 7L)
-    val (lat, lon) =
-      if ((h2 & 0xFF) < 77) { // ~30%: city hotspots
-        val hotspots = Array((40.7128, -74.0060), (51.5074, -0.1278),
-          (35.6762, 139.6503), (-33.8688, 151.2093))
-        val (clat, clon) = hotspots(((h2 >>> 8) & 3L).toInt)
-        val jlat = (((h2 >>> 16) & 0xFFFF).toDouble / 65536.0 - 0.5) * 0.02
-        val jlon = (((h2 >>> 32) & 0xFFFF).toDouble / 65536.0 - 0.5) * 0.02
-        (clat + jlat, clon + jlon)
-      } else {
-        (-85.0 + 170.0 * u1, -179.99 + 359.98 * u2)
-      }
-    val x = Mercator.lonToX32(lon)
-    val y = Mercator.latToY32(lat)
-    (lat, lon, graft.core.Cell.encode(x, y), phash & 0xFF)
+    if ((h2 & 0xFF) < 77) { // ~30%: city hotspots
+      val clat = hotLat(((h2 >>> 8) & 3L).toInt)
+      clat + (((h2 >>> 16) & 0xFFFF).toDouble / 65536.0 - 0.5) * 0.02
+    } else -85.0 + 170.0 * ((phash >>> 32).toDouble / 4294967296.0)
   }
+
+  def geotagLon(phash: Long): Double = {
+    val h2 = splitmix64(phash, 7L)
+    if ((h2 & 0xFF) < 77) {
+      val clon = hotLon(((h2 >>> 8) & 3L).toInt)
+      clon + (((h2 >>> 32) & 0xFFFF).toDouble / 65536.0 - 0.5) * 0.02
+    } else -179.99 + 359.98 * ((phash & 0xFFFFFFFFL).toDouble / 4294967296.0)
+  }
+
+  def geotagCell(phash: Long): Long =
+    graft.core.Cell.encode(
+      Mercator.lonToX32(geotagLon(phash)), Mercator.latToY32(geotagLat(phash)))
 
   def geotag(r: ImageRow): GeoImageRow = {
     val (lat, lon, cell, meta) = geotagPhash(r.phash)

@@ -202,6 +202,33 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("geotag expressions match the scalar formula and stay codegen (no object ser/de)") {
+    val df = spark.read.parquet(sortedPath).select(
+      col("phash"),
+      graft.functions.geotag_lat(col("phash")).as("lat"),
+      graft.functions.geotag_lon(col("phash")).as("lon"),
+      graft.functions.geotag_cell(col("phash")).as("cell"))
+    assert(df.count() == 5000)
+    df.collect().foreach { r =>
+      val ph = r.getLong(0)
+      val (lat, lon, cell, _) = graft.tables.ImageTable.geotagPhash(ph)
+      assert(r.getDouble(1) == lat && r.getDouble(2) == lon && r.getLong(3) == cell, s"phash $ph")
+    }
+    // the bench encode projection: single codegen stage, no typed-map
+    // SerializeFromObject/MapElements nodes
+    val enc = spark.read.parquet(sortedPath).select(
+      col("image_id"), col("phash"),
+      graft.functions.geotag_lat(col("phash")).as("lat"),
+      graft.functions.geotag_lon(col("phash")).as("lon"),
+      graft.functions.geotag_cell(col("phash")).as("cell"),
+      col("phash").bitwiseAND(lit(0xFFL)).as("meta"))
+    val plan = enc.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapElements"), plan.take(1500))
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen span
+    val projLine = plan.split("\n").find(_.contains("geotag_cell")).getOrElse("")
+    assert(projLine.trim.startsWith("*("), "geotag not under codegen:\n" + plan.take(1500))
+  }
+
   test("sql registration: cell functions usable from spark.sql") {
     graft.functions.registerAll(spark)
     val r = spark.sql("SELECT cell_x(cell_encode(123456789, 987654321)) AS x, cell_y(cell_encode(123456789, 987654321)) AS y")
