@@ -44,6 +44,33 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** DuckDB CTE chain producing the same capped MinHash LSH candidate
+    * pairs as [[minhashPairs]] (single source for q28/q42 oracles);
+    * ends with `pairs(doc_a, doc_b)`, possibly with duplicates. */
+  private def minhashPairsCtes: String = {
+    import graft.text.PortableHash
+    val keys = (0 until 4).map(b => PortableHash.bandKeySql("sig", b, 4)).mkString("[", ", ", "]")
+    s"""cl AS (SELECT doc_id, ${PortableHash.cleanSql("text")} AS clean FROM documents),
+       | hs AS (SELECT doc_id, list_transform(list_transform(generate_series(1, len(clean) - 4), i -> substr(clean, i, 5)), s -> ${PortableHash.polySql("s", 31)}) AS hh FROM cl WHERE len(clean) >= 5),
+       | sig AS (SELECT doc_id, ${PortableHash.minhashSigSql("hh", 16)} AS sig FROM hs),
+       | bands AS (SELECT doc_id, unnest($keys) AS band_key FROM sig),
+       | st AS (SELECT doc_id, band_key, count(*) OVER (PARTITION BY band_key) AS bcnt, min(doc_id) OVER (PARTITION BY band_key) AS bmin FROM bands),
+       | pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM st a JOIN st b ON a.band_key = b.band_key AND a.doc_id < b.doc_id WHERE a.bcnt <= 64
+       |  UNION ALL
+       |  SELECT bmin AS doc_a, doc_id AS doc_b FROM st WHERE bcnt > 64 AND doc_id <> bmin)""".stripMargin.replace("\n", " ")
+  }
+
+  /** MinHash LSH candidate pairs (shared by q28_minhash_lsh and the
+    * q42 cluster rollup). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val eligible = docs(s, d)
+      .filter(length(regexp_replace(col("text"), "[^a-z ]", "")) >= 5)
+    val bands = eligible.select(col("doc_id"),
+      explode(TextOps.minhashBandKeys(col("text"), 5, 4, 4)).as("band_key"))
+    TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
+  }
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -197,12 +224,18 @@ object SparkEntry {
     // near-dup candidate pairs: portable minhash (PortableHash — same
     // integer arithmetic as the DuckDB oracle), fused sig+band kernel,
     // hot-bucket cap so a duplicate cluster can't go quadratic
-    "q28_minhash_lsh" -> ((s, d) => {
-      val eligible = docs(s, d)
-        .filter(length(regexp_replace(col("text"), "[^a-z ]", "")) >= 5)
-      val bands = eligible.select(col("doc_id"),
-        explode(TextOps.minhashBandKeys(col("text"), 5, 4, 4)).as("band_key"))
-      TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
+    "q28_minhash_lsh" -> ((s, d) => minhashPairs(s, d)),
+
+    // duplicate clusters: connected components (large-star/small-star)
+    // over the near-dup pair graph; rep = component min, singletons map
+    // to themselves — "keep one per cluster" is filter(doc_id === rep)
+    "q42_dup_clusters" -> ((s, d) => {
+      val labels = graft.ops.Components.connectedComponents(
+        minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .withColumnRenamed("node", "doc_id")
+      docs(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
     }),
 
     "q29_simhash" -> ((s, d) => docs(s, d)
@@ -520,20 +553,21 @@ object SparkEntry {
     // same integer signature arithmetic (PortableHash/RhpSig generate
     // both the JVM kernels and this SQL), so buckets, candidate pairs
     // and top-k rerank match bit-for-bit.
-    "q28_minhash_lsh" -> {
-      import graft.text.PortableHash
-      val keys = (0 until 4).map(b => PortableHash.bandKeySql("sig", b, 4)).mkString("[", ", ", "]")
-      s"""WITH cl AS (SELECT doc_id, ${PortableHash.cleanSql("text")} AS clean FROM documents),
-         | hs AS (SELECT doc_id, list_transform(list_transform(generate_series(1, len(clean) - 4), i -> substr(clean, i, 5)), s -> ${PortableHash.polySql("s", 31)}) AS hh FROM cl WHERE len(clean) >= 5),
-         | sig AS (SELECT doc_id, ${PortableHash.minhashSigSql("hh", 16)} AS sig FROM hs),
-         | bands AS (SELECT doc_id, unnest($keys) AS band_key FROM sig),
-         | st AS (SELECT doc_id, band_key, count(*) OVER (PARTITION BY band_key) AS bcnt, min(doc_id) OVER (PARTITION BY band_key) AS bmin FROM bands),
-         | pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM st a JOIN st b ON a.band_key = b.band_key AND a.doc_id < b.doc_id WHERE a.bcnt <= 64
-         |  UNION ALL
-         |  SELECT bmin AS doc_a, doc_id AS doc_b FROM st WHERE bcnt > 64 AND doc_id <> bmin)
-         | SELECT DISTINCT doc_a, doc_b FROM pairs""".stripMargin.replace("\n", " ")
-    },
+    "q28_minhash_lsh" ->
+      s"WITH $minhashPairsCtes SELECT DISTINCT doc_a, doc_b FROM pairs",
+
+    // connected components of the pair graph by transitive min-label
+    // reachability (the recursive-CTE fixpoint equals the engine's
+    // large-star/small-star fixpoint: both converge to component minima)
+    "q42_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         | pr AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         | edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+         | reach(node, rep) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.eb FROM reach r JOIN edges e ON e.ea = r.rep)
+         | SELECT node AS doc_id, min(rep) AS rep FROM reach GROUP BY node""".stripMargin.replace("\n", " "),
 
     "q29_simhash" -> {
       import graft.text.PortableHash

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Connected components (large-star/small-star): correctness vs a
+  * driver-side union-find on random graphs, plus the adversarial
+  * shapes — long chains (worst case for naive min-propagation) and
+  * star-heavy duplicate clusters. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ufComponents(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("random graphs match driver-side union-find") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 5).foreach { trial =>
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == ufComponents(n, edges), s"trial $trial")
+    }
+  }
+
+  test("a 500-node chain collapses to one component (log-round convergence)") {
+    val edges = (0L until 499L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.size == 500 && got.values.forall(_ == 0L))
+  }
+
+  test("duplicate-cluster stars and singleton isolation") {
+    // three stars with hubs 0, 1000, 2000; hub 0's spokes include 1000's
+    // hub id? no — disjoint: membership must not bleed across stars
+    val edges = (1L to 50L).map(i => (0L, i)) ++
+      (1L to 50L).map(i => (1000L, 1000L + i)) ++
+      Seq((2000L, 2001L))
+    val got = run(edges)
+    assert((0L to 50L).forall(got(_) == 0L))
+    assert((1000L to 1050L).forall(got(_) == 1000L))
+    assert(got(2000L) == 2000L && got(2001L) == 2000L)
+    assert(!got.contains(999L))
+  }
+
+  test("empty and self-loop-only edge sets") {
+    import spark.implicits._
+    assert(run(Seq.empty) == Map.empty)
+    val selfOnly = Components.connectedComponents(Seq((7L, 7L)).toDF("a", "b"))
+    assert(selfOnly.count() == 0)
+  }
+}
