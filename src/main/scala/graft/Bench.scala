@@ -112,6 +112,32 @@ object Bench {
     }
   }
 
+  /** Untimed synth for the dedup phase: the image table plus ~2%
+    * re-encoded copies (same pixels, PNG, "_re" ids) as planted ground
+    * truth. Returns the planted-duplicate count. */
+  def prepareDedupInput(spark: SparkSession, imgPath: String, path: String): Long = {
+    import spark.implicits._
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      val imgs = spark.read.parquet(imgPath)
+        .select("image_id", "bytes", "w", "h", "fmt")
+      val dups = imgs.filter(pmod(xxhash64(col("image_id")), lit(50)) === 0)
+        .as[(String, Array[Byte], Int, Int, String)]
+        .mapPartitions(_.map { case (id, b, w, h, fmt) =>
+          val img = graft.media.Media.decode(id, b, w, h, fmt)
+          val rgba = new Array[Byte](w * h * 4)
+          var i = 0
+          while (i < w * h) {
+            rgba(4 * i) = img.rgb(3 * i); rgba(4 * i + 1) = img.rgb(3 * i + 1)
+            rgba(4 * i + 2) = img.rgb(3 * i + 2); rgba(4 * i + 3) = 0xFF.toByte
+            i += 1
+          }
+          (id + "_re", graft.core.Png.encode(rgba, w, h), w, h, "png")
+        }).toDF("image_id", "bytes", "w", "h", "fmt")
+      imgs.unionByName(dups).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path).filter(col("image_id").endsWith("_re")).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -127,6 +153,21 @@ object Bench {
     val (tiles, tEnc, tPip, tRen) = headline(spark, imgPath, s"/tmp/graft_bench/work_$tag", zooms)
     val total = tEnc + tPip + tRen
     val tps = tiles / total
+
+    // --- perceptual image dedup over the payloads: decode -> dhash ->
+    // banded pairs -> connected components. Planted re-encoded copies
+    // give a recall floor (every one must be found). Reported in detail
+    // (images/sec); the tiles/sec headline keeps its r1-comparable
+    // definition.
+    val dedupPath = s"/tmp/graft_bench/images_dedup_$tag"
+    val planted = prepareDedupInput(spark, imgPath, dedupPath)
+    val t3 = System.nanoTime()
+    val dedupInput = spark.read.parquet(dedupPath)
+    val dedupRows = dedupInput.count()
+    val dupFound = graft.media.Media.imageDupClusters(dedupInput, maxHamming = 2)
+      .filter(col("image_id") =!= col("rep")).count()
+    val tDedup = (System.nanoTime() - t3) / 1e9
+    require(dupFound >= planted, s"dedup missed planted duplicates: $dupFound < $planted")
 
     // per-query timings (count() forces the plan)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -149,7 +190,7 @@ object Bench {
     } catch { case _: Throwable => (-1.0, -1.0) }
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"dedup_sec":$tDedup%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)

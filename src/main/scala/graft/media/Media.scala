@@ -138,6 +138,124 @@ object Media {
       }
   }
 
+  // ---------- perceptual image dedup ----------
+
+  /** 64-bit difference hash (dHash, the classic perceptual image
+    * fingerprint): grayscale -> 9x8 area-average downsample ->
+    * horizontal luma-gradient sign bits. Pure integer arithmetic, so
+    * it's deterministic and format-invariant: a PNG and a raw payload
+    * of the same pixels hash identically, and small pixel edits move
+    * only a few bits (Hamming-near). */
+  def dhash64(img: DecodedImage): Long = {
+    val gw = 9; val gh = 8
+    val sum = new Array[Long](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < img.h) {
+      val gy = (y.toLong * gh / img.h).toInt
+      var x = 0
+      while (x < img.w) {
+        val gx = (x.toLong * gw / img.w).toInt
+        val o = (y * img.w + x) * 3
+        val luma = (img.rgb(o) & 0xFF) * 299 +
+          (img.rgb(o + 1) & 0xFF) * 587 + (img.rgb(o + 2) & 0xFF) * 114
+        sum(gy * gw + gx) += luma
+        cnt(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // images narrower than the grid leave empty columns (avg 0) — still
+    // deterministic and format-invariant, which is all dedup needs
+    var bits = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        val a = if (cnt(gy * gw + gx) == 0) 0L else sum(gy * gw + gx) / cnt(gy * gw + gx)
+        val b = if (cnt(gy * gw + gx + 1) == 0) 0L else sum(gy * gw + gx + 1) / cnt(gy * gw + gx + 1)
+        if (a > b) bits |= 1L << (gy * (gw - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** images df (image_id, bytes, w, h, fmt) -> (image_id, dhash):
+    * the only pass that reads the payload column; everything downstream
+    * shuffles (String, Long) rows. */
+  def dhashes(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        (id, dhash64(decode(id, bytes, w, h, fmt)))
+      })
+      .toDF("image_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs from dhashes via banded bucketing over
+    * all six 32-bit quarter-pairs: <= 2 differing bits touch at most two
+    * of the four 16-bit quarters, so some band built from the other two
+    * quarters matches exactly (pigeonhole — recall 1.0 for
+    * maxHamming <= 2). Plain 4 x 16-bit bands fail here in practice:
+    * dHash bits are biased (uniform regions, narrow images), 16-bit
+    * buckets run hot, and the hot-bucket cap then drops true pairs.
+    * 32-bit keys keep buckets cold (false-candidate rate ~n^2/2^32 per
+    * band); the cap stays on as the guard for genuine mega-clusters of
+    * identical images, and the exact Hamming check joins the 8-byte
+    * hashes back by id — only (id, band_key) rows ride the bucket
+    * shuffle. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 2, "quarter-pair banding only guarantees recall for Hamming <= 2")
+    val quarterPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    def quarter(i: Int) =
+      shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+    val bands = hashes.select(col("image_id").as("doc_id"),
+      explode(array(quarterPairs.zipWithIndex.map { case ((i, j), b) =>
+        // band_key packs (band, quarter_i, quarter_j) into one Long
+        lit(b.toLong << 32)
+          .bitwiseOR(shiftleft(quarter(i), 16))
+          .bitwiseOR(quarter(j))
+      }: _*)).as("band_key"))
+    val cand = graft.text.TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
+      .select(col("doc_a").as("img_a"), col("doc_b").as("img_b"))
+    val ha = hashes.select(col("image_id").as("img_a"), col("dhash").as("dh_a"))
+    val hb = hashes.select(col("image_id").as("img_b"), col("dhash").as("dh_b"))
+    cand.join(ha, "img_a").join(hb, "img_b")
+      .filter(graft.text.TextOps.hamming64(col("dh_a"), col("dh_b")) <= maxHamming)
+      .select(col("img_a"), col("img_b"))
+  }
+
+  /** Full image dedup: decode -> dhash -> banded pairs -> connected
+    * components. Returns (image_id, rep); keep-one is
+    * filter(image_id === rep) after a left join back to the table. */
+  def imageDupClusters(images: DataFrame, maxHamming: Int = 2): DataFrame = {
+    // materialize the (id, dhash) projection once: it feeds four
+    // consumers (band explode, both hamming-join sides, the id map) and
+    // each would otherwise re-run the payload decode pass. Eager
+    // localCheckpoint = lineage-free, reclaimed by the ContextCleaner.
+    val hashes = dhashes(images).localCheckpoint(true)
+    // components run on Long node ids: xxhash64 of the string id
+    // (collision odds ~n^2/2^65 — 1e-8 at a million images; at real
+    // catalog scale swap in a precomputed numeric image key)
+    val ids = hashes.select(col("image_id"))
+      .withColumn("nid", xxhash64(col("image_id")))
+    val pairs = imageNearDupPairs(hashes, maxHamming)
+    val e = pairs
+      .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
+      .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
+      .select("a", "b")
+    val labels = graft.ops.Components.connectedComponents(e)
+      .withColumnRenamed("node", "nid")
+    val repNames = ids.select(col("nid").as("rep"), col("image_id").as("rep_id"))
+    ids.join(labels, Seq("nid"), "left")
+      .join(repNames, Seq("rep"), "left")
+      .select(col("image_id"), coalesce(col("rep_id"), col("image_id")).as("rep"))
+  }
+
   // ---------- audio / video payload plumbing ----------
 
   /** Decoded audio: mono PCM samples. REAL decode for RIFF/WAV PCM16

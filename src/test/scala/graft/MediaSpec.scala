@@ -117,6 +117,66 @@ class MediaSpec extends AnyFunSuite {
     assert(a.rgb.length == 8 * 8 * 3)
   }
 
+  test("dhash64: format-invariant, perturbation-local, discriminative") {
+    val a = ImageTable.row(42L, 0L) // fmt raw
+    val rawImg = Media.decode(a.image_id, a.bytes, a.w, a.h, a.fmt)
+    // re-encode the same pixels as PNG: dhash must be identical
+    val rgba = new Array[Byte](a.w * a.h * 4)
+    (0 until a.w * a.h).foreach { i =>
+      rgba(4 * i) = rawImg.rgb(3 * i); rgba(4 * i + 1) = rawImg.rgb(3 * i + 1)
+      rgba(4 * i + 2) = rawImg.rgb(3 * i + 2); rgba(4 * i + 3) = 0xFF.toByte
+    }
+    val pngImg = Media.decode(a.image_id, Png.encode(rgba, a.w, a.h), a.w, a.h, "png")
+    assert(Media.dhash64(rawImg) == Media.dhash64(pngImg), "dhash not format-invariant")
+
+    // perturb one pixel slightly: few bits move
+    val pert = rawImg.rgb.clone()
+    pert(0) = ((pert(0) & 0xFF) ^ 0x08).toByte
+    val hPert = Media.dhash64(graft.media.DecodedImage(a.image_id, a.w, a.h, pert))
+    assert(java.lang.Long.bitCount(Media.dhash64(rawImg) ^ hPert) <= 4, "perturbation not local")
+
+    // different images: far apart (deterministic seeds)
+    val dists = (1L to 20L).map { i =>
+      val b = ImageTable.row(42L, i)
+      val img = Media.decode(b.image_id, b.bytes, b.w, b.h, b.fmt)
+      java.lang.Long.bitCount(Media.dhash64(rawImg) ^ Media.dhash64(img))
+    }
+    assert(dists.forall(_ > 10), s"independent images too close: $dists")
+  }
+
+  test("image near-dup pipeline: banded pairs + clusters find re-encoded copies") {
+    import spark.implicits._
+    val originals = (0L until 40L).map(i => ImageTable.row(42L, i))
+    // three re-encoded duplicates (same pixels, different format+id)
+    val dups = Seq(0L, 7L, 21L).map { i =>
+      val o = originals(i.toInt)
+      val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
+      val rgba = new Array[Byte](o.w * o.h * 4)
+      (0 until o.w * o.h).foreach { p =>
+        rgba(4 * p) = img.rgb(3 * p); rgba(4 * p + 1) = img.rgb(3 * p + 1)
+        rgba(4 * p + 2) = img.rgb(3 * p + 2); rgba(4 * p + 3) = 0xFF.toByte
+      }
+      o.copy(image_id = o.image_id + "_re", bytes = Png.encode(rgba, o.w, o.h), fmt = "png")
+    }
+    val df = spark.createDataset(originals ++ dups).toDF()
+    val pairs = Media.imageNearDupPairs(Media.dhashes(df), maxHamming = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    Seq(0L, 7L, 21L).foreach { i =>
+      val id = originals(i.toInt).image_id
+      assert(pairs.contains((id, s"${id}_re")) || pairs.contains((s"${id}_re", id)),
+        s"missing dup pair for $id in $pairs")
+    }
+    val clusters = Media.imageDupClusters(df, maxHamming = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters.size == 43)
+    Seq(0L, 7L, 21L).foreach { i =>
+      val id = originals(i.toInt).image_id
+      assert(clusters(id) == clusters(s"${id}_re"), s"dup $id not co-clustered")
+    }
+    // keep-one: every cluster rep is a member of its own cluster
+    assert(clusters.values.toSet.subsetOf(clusters.keySet))
+  }
+
   test("MVT encode/decode roundtrip: geometry, layers, meta tags") {
     val pts = Seq(
       Mvt.MvtFeature(Array(100), Array(200), 7),
