@@ -66,12 +66,38 @@ object Components {
    * join this back to the full entity table and coalesce(rep, id) for
    * singletons.
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 32): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 32,
+                          smallGraphEdges: Long = 1L << 20): DataFrame = {
     var cur = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
     var fp = fingerprint(cur)
+    // Small-graph fast path: a pair graph that fits on the driver skips
+    // the ~6-shuffle-per-round distributed loop (same move Spark itself
+    // makes when it broadcasts a small join side). The distributed path
+    // below is the 100 TB shape; ComponentsSpec exercises both.
+    if (fp._1 <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cur.select("a", "b").as[(Long, Long)].toLocalIterator().forEachRemaining {
+        case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keysIterator.map(v => (v, find(v))).toSeq ++
+        parent.values.map(r => { val rr = find(r); (rr, rr) }).toSeq.distinct
+      return out.distinct.toDF("node", "rep")
+        .groupBy("node").agg(min(col("rep")).as("rep"))
+    }
     var it = 0
     var converged = cur.isEmpty
     while (!converged && it < maxIter) {

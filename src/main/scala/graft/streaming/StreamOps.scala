@@ -68,6 +68,29 @@ object StreamOps {
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming perceptual image dedup: decode -> dHash in a map pass,
+    * then first-arrival-wins on the hash within the watermark horizon.
+    * State is one Long per distinct perceptual hash, evicted at the
+    * watermark — the image-side analog of [[streamingDedup]]. Exact-hash
+    * only (Hamming-0: re-encodes, crop-free copies); Hamming-near pairs
+    * need the banded batch pass (Media.imageNearDupPairs) over a
+    * landed snapshot. */
+  def streamingImageDedup(images: DataFrame, watermark: String): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val hashed = images
+      .select(col("ts"), col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(java.sql.Timestamp, String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (ts, id, bytes, w, h, fmt) =>
+        (ts, id, graft.media.Media.dhash64(graft.media.Media.decode(id, bytes, w, h, fmt)))
+      })
+      .toDF("ts", "image_id", "dhash")
+    hashed
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("dhash")
+  }
+
   /** Incremental tileset maintenance — the reference's "encode new
     * files, merge, re-render" loop (README.md:97-107) as ONE streaming
     * query. Per micro-batch: (1) append the new (cell, meta) rows to the

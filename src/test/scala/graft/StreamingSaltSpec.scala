@@ -65,6 +65,41 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(out.count(_ == "duplicate payload text") == 1)
   }
 
+  test("streaming image dedup: re-encoded copies collapse to one survivor") {
+    import spark.implicits._
+    import graft.tables.ImageTable
+    import graft.media.Media
+    import graft.core.Png
+    val now = 1700000000000L
+    val originals = (0L until 30L).map(i => ImageTable.row(42L, i))
+    // every original followed 5s later by a re-encoded copy (same pixels,
+    // PNG format, new id) — perceptually identical, byte-different
+    val rows = originals.zipWithIndex.flatMap { case (o, i) =>
+      val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
+      val rgba = new Array[Byte](o.w * o.h * 4)
+      (0 until o.w * o.h).foreach { p =>
+        rgba(4 * p) = img.rgb(3 * p); rgba(4 * p + 1) = img.rgb(3 * p + 1)
+        rgba(4 * p + 2) = img.rgb(3 * p + 2); rgba(4 * p + 3) = 0xFF.toByte
+      }
+      Seq((now + i * 1000L, o.image_id, o.bytes, o.w, o.h, o.fmt),
+        (now + i * 1000L + 5000L, o.image_id + "_re", Png.encode(rgba, o.w, o.h), o.w, o.h, "png"))
+    }
+    val df = rows.toDF("ms", "image_id", "bytes", "w", "h", "fmt")
+      .select(expr("timestamp_millis(ms)").as("ts"), col("image_id"), col("bytes"),
+        col("w"), col("h"), col("fmt"))
+    val dir = java.nio.file.Files.createTempDirectory("imgdedupstream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    val deduped = StreamOps.streamingImageDedup(stream, watermark = "10 minutes")
+    val q = StreamOps.runToMemory(deduped, "imgdedup_out")
+    q.stop()
+    val out = spark.sql("SELECT image_id FROM imgdedup_out").as[String].collect()
+    // exactly one survivor per perceptual hash, covering every original
+    // (which of the pair survives is batch-order-dependent)
+    assert(out.length == 30, s"got ${out.length}: ${out.take(5).mkString(",")}")
+    assert(out.map(_.stripSuffix("_re")).toSet.size == 30)
+  }
+
   test("streaming text ingest parses identically to the batch source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("txtstream").toString

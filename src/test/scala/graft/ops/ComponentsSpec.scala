@@ -29,25 +29,30 @@ class ComponentsSpec extends AnyFunSuite {
     nodes.map(v => v -> find(v)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** distributed=true forces the large-star/small-star loop (the 100 TB
+    * path); false lets the small-graph driver fast path engage. */
+  private def run(edges: Seq[(Long, Long)], distributed: Boolean = false): Map[Long, Long] = {
     import spark.implicits._
-    Components.connectedComponents(edges.toDF("a", "b"))
+    Components.connectedComponents(edges.toDF("a", "b"),
+      smallGraphEdges = if (distributed) 0L else 1L << 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("random graphs match driver-side union-find") {
+  test("random graphs match driver-side union-find (both paths)") {
     val rnd = new scala.util.Random(1234)
-    (0 until 5).foreach { trial =>
+    (0 until 4).foreach { trial =>
       val n = 200
       val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      assert(run(edges) == ufComponents(n, edges), s"trial $trial")
+      val expect = ufComponents(n, edges)
+      assert(run(edges) == expect, s"fast path, trial $trial")
+      assert(run(edges, distributed = true) == expect, s"star path, trial $trial")
     }
   }
 
   test("a 500-node chain collapses to one component (log-round convergence)") {
     val edges = (0L until 499L).map(i => (i, i + 1))
-    val got = run(edges)
+    val got = run(edges, distributed = true)
     assert(got.size == 500 && got.values.forall(_ == 0L))
   }
 
