@@ -162,6 +162,43 @@ object Ann {
     ivfTopK(vecs, queries, cids, cvecs, k, nprobe)
   }
 
+  /** Persist the IVF index — build once, query forever (the ANN analog
+    * of Render.writeRankedSnapshot): `dir/centroids` holds the tiny
+    * (cid, cvec) table; `dir/vectors` holds the assigned vector table
+    * Hive-partitioned BY CELL, so a probe reads only its cells'
+    * directories (partition pruning — the scan cost is
+    * |probed cells| / K of the corpus, not a full pass). */
+  def writeIvfIndex(vecs: DataFrame, cents: DataFrame, dir: String): Unit = {
+    val (cids, cvecs) = collectCentroids(cents)
+    cents.select(col("cid").cast("long").as("cid"), col("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(vecs, cids, cvecs)
+      .sortWithinPartitions(col("cell")) // one file per (task, cell) run
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Query a persisted IVF index. The probe-cell set is collected
+    * (<= |queries| * nprobe longs) into a static `isin` filter so
+    * partition pruning is guaranteed at plan time (no reliance on
+    * runtime DPP), then candidates join the broadcast probe table on
+    * the cell id exactly like the in-memory path. */
+  def ivfTopKFromIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val (cids, cvecs) = collectCentroids(cents)
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(nearestCentroids(col("qvec"), cids, cvecs, nprobe)).as("cell"))
+      .localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val asg = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(cells: _*))
+    val cand = asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Deterministic Lloyd k-means for the IVF coarse quantizer: init =
     * the k lowest-vec_id embeddings; each iteration assigns via the
     * map-side kernel and recomputes centroids as QUANTIZED means —

@@ -77,16 +77,21 @@ object Knn {
       .select("qid", "id", "d2", "rn")
 
     // exact fallback for unresolved queries: broadcast those queries over
-    // the full point table (they are few by construction)
+    // the full point table (they are few by construction). Deciding
+    // emptiness costs one job over the TINY query set (resolved derives
+    // from the checkpointed candidates); skipping an all-resolved
+    // fallback saves a full pass over the point table.
     val unresolved = q.join(resolved, Seq("qid"), "left_anti")
-    val fb = pts.crossJoin(broadcast(unresolved))
-      .select(col("qid"), col("id"),
-        ((col("x") - col("qx")) * (col("x") - col("qx")) +
-          (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "id", "d2", "rn")
-
-    good.unionByName(fb)
+    if (unresolved.isEmpty) good
+    else {
+      val fb = pts.crossJoin(broadcast(unresolved))
+        .select(col("qid"), col("id"),
+          ((col("x") - col("qx")) * (col("x") - col("qx")) +
+            (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("qid", "id", "d2", "rn")
+      good.unionByName(fb)
+    }
   }
 }

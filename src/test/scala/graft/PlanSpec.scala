@@ -191,6 +191,30 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("persisted IVF index: results equal the in-memory path, scan prunes to probed cells") {
+    val vecs = spark.read.parquet(vecsPath)
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    graft.ann.Ann.writeIvfIndex(vecs, cents, dir)
+
+    val mem = graft.ann.Ann.ivfTopK(vecs, qs, cents, 5, nprobe = 2)
+      .select("qid", "vec_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = graft.ann.Ann.ivfTopKFromIndex(spark, dir, qs, 5, nprobe = 2)
+    val got = idx.select("qid", "vec_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == mem && got.nonEmpty)
+
+    // the vectors scan must carry a cell partition filter (pruned to the
+    // probed cells, not a full pass over the corpus)
+    val scanLine = idx.queryExecution.executedPlan.toString().split("\n")
+      .find(l => l.contains("Scan parquet") && l.contains("vectors")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [cell") ||
+      scanLine.contains("PartitionFilters: [(cell") ||
+      scanLine.contains("cell IN"), scanLine)
+  }
+
   test("SparkSessionExtensions applies cleanly (function injection)") {
     // a fresh SparkSession with extensions can't be created in a JVM
     // that already has one (getOrCreate reuses it), so verify the
