@@ -241,6 +241,17 @@ object SparkEntry {
     "q29_simhash" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.simhash64(col("text")).as("simhash"))),
 
+    // deterministic stratified downsampling: keep at most 40 docs per
+    // text-length bucket, ordered by the portable sampling hash —
+    // skew-safe two-phase cap (a hot stratum never serializes onto one
+    // partition)
+    "q43_stratified_sample" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        expr("length(text) div 100").as("stratum"),
+        TextOps.sampleHash(col("doc_id")).as("h"))
+      TextOps.stratifiedCap(t, "stratum", "h", "doc_id", 40)
+    }),
+
     // ---------- embeddings ----------
 
     "q26_embed_cosine" -> ((s, d) => {
@@ -568,6 +579,14 @@ object SparkEntry {
          |  UNION
          |  SELECT r.node, e.eb FROM reach r JOIN edges e ON e.ea = r.rep)
          | SELECT node AS doc_id, min(rep) AS rep FROM reach GROUP BY node""".stripMargin.replace("\n", " "),
+
+    "q43_stratified_sample" ->
+      s"""SELECT doc_id, stratum, h FROM (
+         |  SELECT doc_id, stratum, h,
+         |    row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rn
+         |  FROM (SELECT doc_id, length(text) // 100 AS stratum,
+         |    ${graft.text.TextOps.sampleHashSql("doc_id")} AS h FROM documents) t) r
+         | WHERE rn <= 40""".stripMargin.replace("\n", " "),
 
     "q29_simhash" -> {
       import graft.text.PortableHash

@@ -172,4 +172,41 @@ object TextOps {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Portable deterministic sampling hash over an integer id: every
+    * intermediate stays < 2^52, so the identical expression runs
+    * overflow-free under Spark ANSI and in DuckDB (single source for
+    * the q43 oracle). NOT a crypto hash — a Knuth-style multiplicative
+    * mix that is plenty for unbiased sampling order. */
+  def sampleHash(id: Column): Column =
+    pmod(pmod(id, lit(1048573L)) * lit(2654435761L), lit(2147483647L))
+
+  /** The same mix as [[sampleHash]] in DuckDB SQL. */
+  def sampleHashSql(id: String): String =
+    s"(($id % 1048573) * 2654435761) % 2147483647"
+
+  /** Exact deterministic per-stratum cap: keep the `n` rows with the
+    * smallest (hashCol, tieCol) per stratum — stratified downsampling
+    * for training-data balancing ("at most n docs per language/source/
+    * length bucket"). Skew-safe two-phase top-N: a naive window over
+    * the stratum key serializes each stratum onto one partition (a hot
+    * stratum at 100 TB is a straggler); instead phase 1 ranks within
+    * (stratum, salt) sub-groups — no true top-n row can be eliminated,
+    * since its salted sub-group holds at most n-1 smaller rows — and
+    * phase 2 re-ranks the <= salts*n survivors per stratum. The salt is
+    * any deterministic row function; it never affects the result set. */
+  def stratifiedCap(df: DataFrame, stratumCol: String, hashCol: String,
+                    tieCol: String, n: Int, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(hashCol).asc, col(tieCol).asc)
+    val pre = df
+      .withColumn("__salt", pmod(xxhash64(col(tieCol)), lit(salts)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol), col("__salt")).orderBy(ord: _*)))
+      .filter(col("__rn") <= n).drop("__salt", "__rn")
+    pre
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(ord: _*)))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
 }
