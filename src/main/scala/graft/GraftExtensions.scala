@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.LongType
 import graft.functions.{CellEncodeExpr, CellXExpr, CellYExpr, DotProductExpr,
+  GeotagCellExpr, GeotagLatExpr, GeotagLonExpr,
   MinhashSigExpr, MinhashBandsExpr, SimhashExpr, RhpSigExpr}
 import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
 
@@ -28,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => CellYExpr(Cast(es.head, LongType))))
     e.injectFunction((FunctionIdentifier("dot_ff"), info("dot_ff"),
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("geotag_lat"), info("geotag_lat"),
+      (es: Seq[Expression]) => GeotagLatExpr(Cast(es.head, LongType))))
+    e.injectFunction((FunctionIdentifier("geotag_lon"), info("geotag_lon"),
+      (es: Seq[Expression]) => GeotagLonExpr(Cast(es.head, LongType))))
+    e.injectFunction((FunctionIdentifier("geotag_cell"), info("geotag_cell"),
+      (es: Seq[Expression]) => GeotagCellExpr(Cast(es.head, LongType))))
     // signature kernels: trailing args must be integer literals (they
     // parameterize the generated kernel, not per-row values)
     def intLit(e: Expression, what: String): Int = e match {

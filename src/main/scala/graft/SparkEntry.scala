@@ -61,6 +61,21 @@ object SparkEntry {
        |  SELECT bmin AS doc_a, doc_id AS doc_b FROM st WHERE bcnt > 64 AND doc_id <> bmin)""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB CTE chain replicating Ann.nearDupLsh(minCos=0.25) — ends
+    * with `epairs(vec_a, vec_b, cos)` (single source for q39/q44). */
+  private def embedPairsCtes: String = {
+    val comp = graft.text.RhpSig.compSql("pp.p", "i")
+    s"""bits AS (SELECT e.vec_id, pp.p,
+       |   CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM embeddings e, (SELECT unnest(generate_series(0, 63)) AS p) pp),
+       | bands AS (SELECT vec_id, p // 8 AS band, CAST(sum(bit << (p % 8)) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+       | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       | epairs AS (SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+       |   FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a JOIN embeddings b ON b.vec_id = c.vec_b
+       |   WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25)""".stripMargin.replace("\n", " ")
+  }
+
   /** MinHash LSH candidate pairs (shared by q28_minhash_lsh and the
     * q42 cluster rollup). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -320,6 +335,18 @@ object SparkEntry {
     // (q31 is the exact all-pairs variant, bounded to oracle scale)
     "q39_neardup_lsh" -> ((s, d) =>
       Ann.nearDupLsh(emb(s, d).select(col("vec_id"), col("embedding")), minCos = 0.25)),
+
+    // embedding duplicate clusters: components over the q39 pair graph
+    // (keep-one-per-cluster for embedding-level near-dups)
+    "q44_embed_clusters" -> ((s, d) => {
+      val pairs = Ann.nearDupLsh(emb(s, d).select(col("vec_id"), col("embedding")), minCos = 0.25)
+      val labels = graft.ops.Components.connectedComponents(
+        pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+        .withColumnRenamed("node", "vec_id")
+      emb(s, d).select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
+    }),
 
     // hash join + aggregation (lineitem x orders)
     "q33_join_agg" -> ((s, d) => {
@@ -630,18 +657,20 @@ object SparkEntry {
          |   SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
          |   FROM scored) r WHERE rn <= 10""".stripMargin.replace("\n", " "),
 
-    "q39_neardup_lsh" -> {
-      val comp = graft.text.RhpSig.compSql("pp.p", "i")
-      s"""WITH bits AS (SELECT e.vec_id, pp.p,
-         |   CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-         |  FROM embeddings e, (SELECT unnest(generate_series(0, 63)) AS p) pp),
-         | bands AS (SELECT vec_id, p // 8 AS band, CAST(sum(bit << (p % 8)) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
-         | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-         | SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS cos
-         | FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a JOIN embeddings b ON b.vec_id = c.vec_b
-         | WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25""".stripMargin.replace("\n", " ")
-    },
+    "q39_neardup_lsh" ->
+      s"""WITH $embedPairsCtes
+         | SELECT vec_a, vec_b, cos FROM epairs""".stripMargin.replace("\n", " "),
+
+    // components over the embedding near-dup graph (same recursive-CTE
+    // fixpoint as q42, over q39's pair CTEs)
+    "q44_embed_clusters" ->
+      s"""WITH RECURSIVE $embedPairsCtes,
+         | edges AS (SELECT vec_a AS ea, vec_b AS eb FROM epairs UNION ALL SELECT vec_b, vec_a FROM epairs),
+         | reach(node, rep) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.node, e.eb FROM reach r JOIN edges e ON e.ea = r.rep)
+         | SELECT node AS vec_id, min(rep) AS rep FROM reach GROUP BY node""".stripMargin.replace("\n", " "),
 
     "q31_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -39,6 +39,9 @@ package object functions {
       es => CellEncodeExpr(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
     reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(Cast(es.head, LongType)), "built-in")
     reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(Cast(es.head, LongType)), "built-in")
+    reg.createOrReplaceTempFunction("geotag_lat", es => GeotagLatExpr(Cast(es.head, LongType)), "built-in")
+    reg.createOrReplaceTempFunction("geotag_lon", es => GeotagLonExpr(Cast(es.head, LongType)), "built-in")
+    reg.createOrReplaceTempFunction("geotag_cell", es => GeotagCellExpr(Cast(es.head, LongType)), "built-in")
     reg.createOrReplaceTempFunction("dot_ff", es => DotProductExpr(es(0), es(1)), "built-in")
     def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
