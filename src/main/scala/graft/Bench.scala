@@ -169,13 +169,16 @@ object Bench {
     val tDedup = (System.nanoTime() - t3) / 1e9
     require(dupFound >= planted, s"dedup missed planted duplicates: $dupFound < $planted")
 
-    // per-query timings (count() forces the plan)
+    // per-query timings (count() forces the plan); a failing query must
+    // be VISIBLE in the output, not disguised as a fast success
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // ANN quality: recall@10 of the approximate paths vs exact brute force
     // (approximation quality is as load-bearing as speed at 100 TB)
@@ -190,7 +193,7 @@ object Bench {
     } catch { case _: Throwable => (-1.0, -1.0) }
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"dedup_sec":$tDedup%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"dedup_sec":$tDedup%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)
