@@ -157,10 +157,17 @@ object TextOps {
     * the representative). Deterministic, so the SQL oracle reproduces
     * it exactly. */
   def cappedCandidatePairs(bands: DataFrame, keyCol: String, cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-    val stats = bands.withColumn("bcnt", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("doc_id")).over(w))
+    // Per-bucket stats via hash aggregation (map-side combine), NOT a
+    // window: a window sorts the ENTIRE band table, but singleton
+    // buckets — the overwhelming majority under selective keys — can't
+    // produce pairs, so only collided buckets (bcnt >= 2) rejoin. When
+    // that stat set is small AQE broadcasts it and the band table never
+    // shuffles at all; under heavy collision it degrades to the same
+    // keyed shuffle the window needed anyway.
+    val bstats = bands.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("bcnt"), min(col("doc_id")).as("bmin"))
+      .filter(col("bcnt") >= 2)
+    val stats = bands.join(bstats, Seq(keyCol))
     val small = stats.filter(col("bcnt") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
       col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc_id") < col("b.doc_id"))
