@@ -191,6 +191,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("capped pair join: bucket stats broadcast under selective keys (no full-table sort)") {
+    import spark.implicits._
+    // selective keys: mostly singleton buckets + a few collided ones
+    val bands = (0L until 5000L).map(i => (i, if (i % 100 == 0) 7L else 1000L + i))
+      .toDF("doc_id", "band_key")
+    val pairs = graft.text.TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
+    val got = pairs.collect()
+    assert(got.length == 50 * 49 / 2, s"expected all pairs of the 50 collided docs, got ${got.length}")
+    // post-execution adaptive plan: the stats rejoin must be broadcast —
+    // and nothing may SORT the full band table (the old window shape)
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("persisted IVF index: results equal the in-memory path, scan prunes to probed cells") {
     val vecs = spark.read.parquet(vecsPath)
     val cents = vecs.filter(col("vec_id") < 8)
