@@ -367,6 +367,19 @@ object SparkEntry {
       agg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
     }),
 
+    // as-of join: latest view at-or-before each click per user — the
+    // union-and-carry-forward formulation (one sort-shuffle, no range
+    // join); oracle cross-checked against DuckDB's native ASOF JOIN
+    "q45_asof_join" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "ts", "event_id", "view_id")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"))
+    }),
+
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
     "q35_sessions" -> ((s, d) => {
       s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
@@ -692,6 +705,19 @@ object SparkEntry {
          |   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
          |   FROM lineitem GROUP BY 1, 2) a) r
          | WHERE rn <= 3""".stripMargin.replace("\n", " "),
+
+    // replica of the union-and-carry-forward as-of join; verified
+    // equivalent to DuckDB's native ASOF JOIN on the same data
+    "q45_asof_join" ->
+      s"""WITH uni AS (
+         |  SELECT user_id, ts, event_id AS lid, NULL::BIGINT AS rid, 1 AS side FROM events WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts, NULL::BIGINT AS lid, event_id AS rid, 0 AS side FROM events WHERE event_type = 'view'),
+         | c AS (SELECT user_id, lid, side,
+         |   last_value(rid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, COALESCE(rid, lid)
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid_c
+         | FROM uni)
+         | SELECT lid AS click_id, user_id, COALESCE(rid_c, -1) AS view_id FROM c WHERE side = 1""".stripMargin.replace("\n", " "),
 
     "q35_sessions" ->
       s"""SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events

@@ -191,6 +191,37 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("as-of join: matches brute force, one exchange, no range join") {
+    import spark.implicits._
+    // synthetic: clicks/views with planted edge cases (click before any
+    // view -> null; equal-ts view matches; multiple views pick latest)
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map { i =>
+      (i, i % 7, 1000L + rnd.nextInt(500), if (i % 3 == 0) "click" else "view")
+    } :+ ((400L, 3L, 1000L, "click")) :+ ((401L, 3L, 1000L, "view")) // equal ts pair
+    val df = rows.toDF("event_id", "user_id", "t", "event_type")
+    val clicks = df.filter(col("event_type") === "click")
+    val views = df.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t"), col("event_id").as("view_id"))
+    val got = graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "t", "event_id", "view_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val vByUser = rows.filter(_._4 == "view").groupBy(_._2)
+    val expect = rows.filter(_._4 == "click").map { case (id, u, t, _) =>
+      val cand = vByUser.getOrElse(u, Seq.empty).filter(_._3 <= t)
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(v => (v._3, v._1))._1))
+    }.toMap
+    assert(got == expect)
+    assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty))
+
+    // plan: ONE exchange (the (key, ts) sort-shuffle), no join operator
+    // at all — the whole as-of is union + window
+    val plan = graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "t", "event_id", "view_id")
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("capped pair join: bucket stats broadcast under selective keys (no full-table sort)") {
     import spark.implicits._
     // selective keys: mostly singleton buckets + a few collided ones
