@@ -380,6 +380,22 @@ object SparkEntry {
           coalesce(col("view_id"), lit(-1L)).as("view_id"))
     }),
 
+    // interval (range) join: click amounts (cents) vs deterministic
+    // supplier fee bands — bucketed cover + exact containment filter
+    // (hash equi-join on bucket ids; Catalyst alone would pick a
+    // nested-loop/cartesian for the pure inequality condition)
+    "q46_range_join" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val p = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("pid"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      val i = s.read.parquet(s"$d/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("iid"),
+          expr("(s_suppkey * 1009) % 2000").cast("long").as("lo"),
+          expr("(s_suppkey * 1009) % 2000 + 50 + (s_suppkey * 31) % 500").cast("long").as("hi"))
+      graft.ops.RangeJoin.intervalJoin(p, i, bucket = 256)
+    }),
+
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
     "q35_sessions" -> ((s, d) => {
       s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
@@ -705,6 +721,13 @@ object SparkEntry {
          |   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
          |   FROM lineitem GROUP BY 1, 2) a) r
          | WHERE rn <= 3""".stripMargin.replace("\n", " "),
+
+    "q46_range_join" ->
+      s"""WITH p AS (SELECT event_id AS pid, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events WHERE event_type = 'click'),
+         | i AS (SELECT CAST(s_suppkey AS BIGINT) AS iid,
+         |   CAST((s_suppkey * 1009) % 2000 AS BIGINT) AS lo,
+         |   CAST((s_suppkey * 1009) % 2000 + 50 + (s_suppkey * 31) % 500 AS BIGINT) AS hi FROM supplier)
+         | SELECT p.pid, p.v, i.iid FROM p JOIN i ON p.v >= i.lo AND p.v <= i.hi""".stripMargin.replace("\n", " "),
 
     // replica of the union-and-carry-forward as-of join; verified
     // equivalent to DuckDB's native ASOF JOIN on the same data

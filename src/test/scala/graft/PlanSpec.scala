@@ -222,6 +222,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
+  test("range join: bucketed equi-join, never a cartesian/nested-loop; matches brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val pts = (0L until 2000L).map(i => (i, rnd.nextInt(10000).toLong))
+    val ivs = (0L until 50L).map { i =>
+      val lo = rnd.nextInt(9000).toLong; (i, lo, lo + rnd.nextInt(800).toLong)
+    }
+    val got = graft.ops.RangeJoin.intervalJoin(
+      pts.toDF("pid", "v"), ivs.toDF("iid", "lo", "hi"), bucket = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expect = (for {
+      (p, v) <- pts; (i, lo, hi) <- ivs if v >= lo && v <= hi
+    } yield (p, i)).toSet
+    assert(got == expect && got.nonEmpty)
+
+    val plan = graft.ops.RangeJoin.intervalJoin(
+      pts.toDF("pid", "v"), ivs.toDF("iid", "lo", "hi"), bucket = 512)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("capped pair join: bucket stats broadcast under selective keys (no full-table sort)") {
     import spark.implicits._
     // selective keys: mostly singleton buckets + a few collided ones
