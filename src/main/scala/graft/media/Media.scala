@@ -233,25 +233,38 @@ object Media {
     * components. Returns (image_id, rep); keep-one is
     * filter(image_id === rep) after a left join back to the table. */
   def imageDupClusters(images: DataFrame, maxHamming: Int = 2): DataFrame = {
-    // materialize the (id, dhash) projection once: it feeds four
-    // consumers (band explode, both hamming-join sides, the id map) and
-    // each would otherwise re-run the payload decode pass. Eager
-    // localCheckpoint = lineage-free, reclaimed by the ContextCleaner.
+    // materialize the (id, dhash) projection once: it feeds several
+    // consumers and each would otherwise re-run the payload decode
+    // pass. Eager localCheckpoint = lineage-free, reclaimed by the
+    // ContextCleaner.
     val hashes = dhashes(images).localCheckpoint(true)
     // components run on Long node ids: xxhash64 of the string id
     // (collision odds ~n^2/2^65 — 1e-8 at a million images; at real
     // catalog scale swap in a precomputed numeric image key)
-    val ids = hashes.select(col("image_id"))
+    val ids = hashes
       .withColumn("nid", xxhash64(col("image_id")))
-    val pairs = imageNearDupPairs(hashes, maxHamming)
-    val e = pairs
+      .localCheckpoint(true)
+    // Exact-duplicate pregroup: identical dhashes (byte-identical and
+    // re-encoded copies — the BULK of web-corpus duplication) collapse
+    // by a plain hash aggregation, a star edge per member. Banding then
+    // runs on ONE representative per distinct hash, so a million-copy
+    // image contributes one band row instead of a mega-bucket the
+    // hot-bucket cap would have to truncate.
+    val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
+    val withRep = ids.join(groups, "dhash")
+    val exactEdges = withRep.filter(col("nid") =!= col("grep"))
+      .select(col("nid").as("a"), col("grep").as("b"))
+    val repDf = withRep.filter(col("nid") === col("grep"))
+      .select(col("image_id"), col("dhash"))
+    val nearEdges = imageNearDupPairs(repDf, maxHamming)
       .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
       .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
       .select("a", "b")
-    val labels = graft.ops.Components.connectedComponents(e)
+    val labels = graft.ops.Components
+      .connectedComponents(exactEdges.unionByName(nearEdges))
       .withColumnRenamed("node", "nid")
     val repNames = ids.select(col("nid").as("rep"), col("image_id").as("rep_id"))
-    ids.join(labels, Seq("nid"), "left")
+    ids.select(col("image_id"), col("nid")).join(labels, Seq("nid"), "left")
       .join(repNames, Seq("rep"), "left")
       .select(col("image_id"), coalesce(col("rep_id"), col("image_id")).as("rep"))
   }

@@ -177,6 +177,20 @@ class MediaSpec extends AnyFunSuite {
     assert(clusters.values.toSet.subsetOf(clusters.keySet))
   }
 
+  test("image dedup: a mega-cluster of identical images collapses via the exact pregroup") {
+    import spark.implicits._
+    val base = ImageTable.row(42L, 5L)
+    val copies = (0 until 200).map(i => base.copy(image_id = f"copy$i%04d"))
+    val distinct = (10L until 20L).map(i => ImageTable.row(42L, i))
+    val df = spark.createDataset(copies ++ distinct).toDF()
+    val clusters = Media.imageDupClusters(df, maxHamming = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters.size == 210)
+    val copyReps = copies.map(c => clusters(c.image_id)).toSet
+    assert(copyReps.size == 1, s"identical images split into ${copyReps.size} clusters")
+    assert(distinct.map(d => clusters(d.image_id)).toSet.size == 10)
+  }
+
   test("MVT encode/decode roundtrip: geometry, layers, meta tags") {
     val pts = Seq(
       Mvt.MvtFeature(Array(100), Array(200), 7),
