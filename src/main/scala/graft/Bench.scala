@@ -124,14 +124,7 @@ object Bench {
         .as[(String, Array[Byte], Int, Int, String)]
         .mapPartitions(_.map { case (id, b, w, h, fmt) =>
           val img = graft.media.Media.decode(id, b, w, h, fmt)
-          val rgba = new Array[Byte](w * h * 4)
-          var i = 0
-          while (i < w * h) {
-            rgba(4 * i) = img.rgb(3 * i); rgba(4 * i + 1) = img.rgb(3 * i + 1)
-            rgba(4 * i + 2) = img.rgb(3 * i + 2); rgba(4 * i + 3) = 0xFF.toByte
-            i += 1
-          }
-          (id + "_re", graft.core.Png.encode(rgba, w, h), w, h, "png")
+          (id + "_re", graft.media.Media.reencodePng(img), w, h, "png")
         }).toDF("image_id", "bytes", "w", "h", "fmt")
       imgs.unionByName(dups).write.mode("overwrite").parquet(path)
     }
@@ -161,13 +154,29 @@ object Bench {
     // definition.
     val dedupPath = s"/tmp/graft_bench/images_dedup_$tag"
     val planted = prepareDedupInput(spark, imgPath, dedupPath)
+    // untimed warmup on a small slice — same decode/dhash/join code
+    // path as the timed run (CLAUDE.md bench invariant: first-use JIT
+    // must not land in the measurement, which it otherwise would on
+    // every cache-hit run where prepareDedupInput skips the synth)
+    graft.media.Media.imageDupClusters(
+      spark.read.parquet(dedupPath).limit(2000), maxHamming = 2).count()
     val t3 = System.nanoTime()
     val dedupInput = spark.read.parquet(dedupPath)
     val dedupRows = dedupInput.count()
-    val dupFound = graft.media.Media.imageDupClusters(dedupInput, maxHamming = 2)
-      .filter(col("image_id") =!= col("rep")).count()
+    val clusters = graft.media.Media.imageDupClusters(dedupInput, maxHamming = 2)
+      .localCheckpoint(true)
+    val dupFound = clusters.filter(col("image_id") =!= col("rep")).count()
     val tDedup = (System.nanoTime() - t3) / 1e9
-    require(dupFound >= planted, s"dedup missed planted duplicates: $dupFound < $planted")
+    // recall floor: EVERY planted copy must co-cluster with its source
+    // (an aggregate count could mask misses behind unrelated members)
+    val re = clusters.filter(col("image_id").endsWith("_re"))
+      .select(expr("substring(image_id, 1, length(image_id) - 3)").as("src_id"),
+        col("rep").as("rep_re"))
+    val coClustered = re.join(
+      clusters.select(col("image_id").as("src_id"), col("rep").as("rep_src")), "src_id")
+      .filter(col("rep_re") === col("rep_src")).count()
+    require(coClustered == planted,
+      s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     // per-query timings (count() forces the plan); a failing query must
     // be VISIBLE in the output, not disguised as a fast success

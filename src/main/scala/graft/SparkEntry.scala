@@ -625,7 +625,11 @@ object SparkEntry {
 
     // connected components of the pair graph by transitive min-label
     // reachability (the recursive-CTE fixpoint equals the engine's
-    // large-star/small-star fixpoint: both converge to component minima)
+    // large-star/small-star fixpoint: both converge to component
+    // minima). ORACLE-SCALE ONLY: the closure materializes O(s^2) reach
+    // rows per size-s component — fine at the sf0.01 verification
+    // corpus, deliberately not the engine's algorithm (which is the
+    // O(log n)-round star transform)
     "q42_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          | pr AS (SELECT DISTINCT doc_a, doc_b FROM pairs),

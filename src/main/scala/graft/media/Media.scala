@@ -182,6 +182,22 @@ object Media {
     bits
   }
 
+  /** Re-encode decoded pixels as an (opaque-alpha) PNG payload — the
+    * single source for "same pixels, different bytes" duplicates in
+    * bench ground truth and tests. */
+  def reencodePng(img: DecodedImage): Array[Byte] = {
+    val rgba = new Array[Byte](img.w * img.h * 4)
+    var i = 0
+    while (i < img.w * img.h) {
+      rgba(4 * i) = img.rgb(3 * i)
+      rgba(4 * i + 1) = img.rgb(3 * i + 1)
+      rgba(4 * i + 2) = img.rgb(3 * i + 2)
+      rgba(4 * i + 3) = 0xFF.toByte
+      i += 1
+    }
+    Png.encode(rgba, img.w, img.h)
+  }
+
   /** images df (image_id, bytes, w, h, fmt) -> (image_id, dhash):
     * the only pass that reads the payload column; everything downstream
     * shuffles (String, Long) rows. */
@@ -233,15 +249,13 @@ object Media {
     * components. Returns (image_id, rep); keep-one is
     * filter(image_id === rep) after a left join back to the table. */
   def imageDupClusters(images: DataFrame, maxHamming: Int = 2): DataFrame = {
-    // materialize the (id, dhash) projection once: it feeds several
+    // materialize the (id, dhash, nid) projection ONCE: it feeds several
     // consumers and each would otherwise re-run the payload decode
     // pass. Eager localCheckpoint = lineage-free, reclaimed by the
-    // ContextCleaner.
-    val hashes = dhashes(images).localCheckpoint(true)
-    // components run on Long node ids: xxhash64 of the string id
-    // (collision odds ~n^2/2^65 — 1e-8 at a million images; at real
-    // catalog scale swap in a precomputed numeric image key)
-    val ids = hashes
+    // ContextCleaner. nid = xxhash64 of the string id, the Long node id
+    // components need (collision odds ~n^2/2^65 — 1e-8 at a million
+    // images; at real catalog scale swap in a precomputed numeric key).
+    val ids = dhashes(images)
       .withColumn("nid", xxhash64(col("image_id")))
       .localCheckpoint(true)
     // Exact-duplicate pregroup: identical dhashes (byte-identical and

@@ -78,13 +78,17 @@ object StreamOps {
   def streamingImageDedup(images: DataFrame, watermark: String): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
+    // survivors keep their FULL row (payload included) — like the text
+    // streamingDedup, the hash is an added column, so the deduplicated
+    // stream lands directly as an image table with no rejoin
     val hashed = images
       .select(col("ts"), col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
       .as[(java.sql.Timestamp, String, Array[Byte], Int, Int, String)]
       .mapPartitions(_.map { case (ts, id, bytes, w, h, fmt) =>
-        (ts, id, graft.media.Media.dhash64(graft.media.Media.decode(id, bytes, w, h, fmt)))
+        (ts, id, bytes, w, h, fmt,
+          graft.media.Media.dhash64(graft.media.Media.decode(id, bytes, w, h, fmt)))
       })
-      .toDF("ts", "image_id", "dhash")
+      .toDF("ts", "image_id", "bytes", "w", "h", "fmt", "dhash")
     hashed
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)

@@ -121,12 +121,7 @@ class MediaSpec extends AnyFunSuite {
     val a = ImageTable.row(42L, 0L) // fmt raw
     val rawImg = Media.decode(a.image_id, a.bytes, a.w, a.h, a.fmt)
     // re-encode the same pixels as PNG: dhash must be identical
-    val rgba = new Array[Byte](a.w * a.h * 4)
-    (0 until a.w * a.h).foreach { i =>
-      rgba(4 * i) = rawImg.rgb(3 * i); rgba(4 * i + 1) = rawImg.rgb(3 * i + 1)
-      rgba(4 * i + 2) = rawImg.rgb(3 * i + 2); rgba(4 * i + 3) = 0xFF.toByte
-    }
-    val pngImg = Media.decode(a.image_id, Png.encode(rgba, a.w, a.h), a.w, a.h, "png")
+    val pngImg = Media.decode(a.image_id, Media.reencodePng(rawImg), a.w, a.h, "png")
     assert(Media.dhash64(rawImg) == Media.dhash64(pngImg), "dhash not format-invariant")
 
     // perturb one pixel slightly: few bits move
@@ -151,12 +146,7 @@ class MediaSpec extends AnyFunSuite {
     val dups = Seq(0L, 7L, 21L).map { i =>
       val o = originals(i.toInt)
       val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
-      val rgba = new Array[Byte](o.w * o.h * 4)
-      (0 until o.w * o.h).foreach { p =>
-        rgba(4 * p) = img.rgb(3 * p); rgba(4 * p + 1) = img.rgb(3 * p + 1)
-        rgba(4 * p + 2) = img.rgb(3 * p + 2); rgba(4 * p + 3) = 0xFF.toByte
-      }
-      o.copy(image_id = o.image_id + "_re", bytes = Png.encode(rgba, o.w, o.h), fmt = "png")
+      o.copy(image_id = o.image_id + "_re", bytes = Media.reencodePng(img), fmt = "png")
     }
     val df = spark.createDataset(originals ++ dups).toDF()
     val pairs = Media.imageNearDupPairs(Media.dhashes(df), maxHamming = 2)

@@ -76,13 +76,8 @@ class StreamingSaltSpec extends AnyFunSuite {
     // PNG format, new id) — perceptually identical, byte-different
     val rows = originals.zipWithIndex.flatMap { case (o, i) =>
       val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
-      val rgba = new Array[Byte](o.w * o.h * 4)
-      (0 until o.w * o.h).foreach { p =>
-        rgba(4 * p) = img.rgb(3 * p); rgba(4 * p + 1) = img.rgb(3 * p + 1)
-        rgba(4 * p + 2) = img.rgb(3 * p + 2); rgba(4 * p + 3) = 0xFF.toByte
-      }
       Seq((now + i * 1000L, o.image_id, o.bytes, o.w, o.h, o.fmt),
-        (now + i * 1000L + 5000L, o.image_id + "_re", Png.encode(rgba, o.w, o.h), o.w, o.h, "png"))
+        (now + i * 1000L + 5000L, o.image_id + "_re", Media.reencodePng(img), o.w, o.h, "png"))
     }
     val df = rows.toDF("ms", "image_id", "bytes", "w", "h", "fmt")
       .select(expr("timestamp_millis(ms)").as("ts"), col("image_id"), col("bytes"),
@@ -93,11 +88,14 @@ class StreamingSaltSpec extends AnyFunSuite {
     val deduped = StreamOps.streamingImageDedup(stream, watermark = "10 minutes")
     val q = StreamOps.runToMemory(deduped, "imgdedup_out")
     q.stop()
-    val out = spark.sql("SELECT image_id FROM imgdedup_out").as[String].collect()
+    val out = spark.sql("SELECT image_id, bytes FROM imgdedup_out")
+      .as[(String, Array[Byte])].collect()
     // exactly one survivor per perceptual hash, covering every original
-    // (which of the pair survives is batch-order-dependent)
-    assert(out.length == 30, s"got ${out.length}: ${out.take(5).mkString(",")}")
-    assert(out.map(_.stripSuffix("_re")).toSet.size == 30)
+    // (which of the pair survives is batch-order-dependent), and the
+    // survivor keeps its payload — no rejoin needed to land images
+    assert(out.length == 30, s"got ${out.length}: ${out.take(5).map(_._1).mkString(",")}")
+    assert(out.map(_._1.stripSuffix("_re")).toSet.size == 30)
+    assert(out.forall(_._2.nonEmpty), "survivor lost its payload")
   }
 
   test("streaming text ingest parses identically to the batch source") {
