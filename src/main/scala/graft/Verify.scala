@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * NOTE — oracle-cost envelope: the DuckDB side of this check is NOT the
+  * engine. Two oracles are intentionally expensive and dominate checks
+  * above sf0.01: q21's list-based n-gram SQL (quadratic list_contains
+  * per pair) and q42's recursive-CTE transitive closure (DuckDB has no
+  * iterative components operator). At sf0.1 the DuckDB pass runs
+  * minutes while the Spark side runs seconds — that is oracle cost, not
+  * engine cost; verification stays pinned at sf0.01 where the full
+  * cross-check completes in ~90s. Do not "fix" engine performance from
+  * oracle timings. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -212,32 +212,84 @@ object Media {
       .toDF("image_id", "dhash")
   }
 
-  /** Near-duplicate image pairs from dhashes via banded bucketing over
-    * all six 32-bit quarter-pairs: <= 2 differing bits touch at most two
-    * of the four 16-bit quarters, so some band built from the other two
-    * quarters matches exactly (pigeonhole — recall 1.0 for
-    * maxHamming <= 2). Plain 4 x 16-bit bands fail here in practice:
-    * dHash bits are biased (uniform regions, narrow images), 16-bit
-    * buckets run hot, and the hot-bucket cap then drops true pairs.
-    * 32-bit keys keep buckets cold (false-candidate rate ~n^2/2^32 per
-    * band); the cap stays on as the guard for genuine mega-clusters of
-    * identical images, and the exact Hamming check joins the 8-byte
-    * hashes back by id — only (id, band_key) rows ride the bucket
-    * shuffle. */
+  private val chunkPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+  private def otherTwo(i: Int, j: Int): (Int, Int) = {
+    val r = Seq(0, 1, 2, 3).filterNot(c => c == i || c == j)
+    (r(0), r(1))
+  }
+
+  /** One banding level over `bits`-bit residuals: each (doc_id, key,
+    * resid) row explodes into the six chunk-pair sub-bands of its
+    * residual (chunk = bits/4). Output key nests the parent key with
+    * (band, chunk_i, chunk_j); output resid packs the complementary two
+    * chunks (bits/2 wide). Pigeonhole: <= 2 differing bits touch at
+    * most two of the four chunks, so two hashes at Hamming <= 2 share
+    * at least one sub-band whose key matches EXACTLY. */
+  private def subBands(members: DataFrame, bits: Int): DataFrame = {
+    val cs = bits / 4
+    val mask = (1L << cs) - 1
+    def chunk(n: Int) = shiftrightunsigned(col("resid"), n * cs).bitwiseAND(lit(mask))
+    members.select(col("doc_id"),
+        explode(array(chunkPairs.zipWithIndex.map { case ((i, j), b) =>
+          val (k, l) = otherTwo(i, j)
+          struct(
+            struct(col("key").as("pk"), lit(b).as("b"),
+              chunk(i).as("ci"), chunk(j).as("cj")).as("key"),
+            shiftleft(chunk(k), cs).bitwiseOR(chunk(l)).as("resid"))
+        }: _*)).as("x"))
+      .select(col("doc_id"), col("x.key").as("key"), col("x.resid").as("resid"))
+  }
+
+  /** Candidate pairs by recursive sub-banding. Buckets of <= cap members
+    * emit all pairs; hotter buckets RECURSE — their members share every
+    * hash bit except the bits/2-bit residual, which sub-bands again with
+    * the same pigeonhole guarantee. At bits == 16 a bucket fixes 56 of
+    * the 64 hash bits, so (with one row per DISTINCT hash) it holds at
+    * most 2^8 members and all-pairs is bounded — recursion terminates
+    * unconditionally, and NO true Hamming<=2 pair is ever dropped. This
+    * replaces the earlier star-pairs-to-bucket-min escape, whose
+    * unverifiable star edges had to be Hamming-filtered away, silently
+    * losing connectivity through any >cap band bucket. */
+  private def bandPairs(members: DataFrame, bits: Int, cap: Int): DataFrame = {
+    val banded = subBands(members, bits)
+    // per-bucket stats via hash agg (map-side combine); singleton
+    // buckets — the vast majority — never rejoin (AQE broadcasts the
+    // small collided-stat set, cf. TextOps.cappedCandidatePairs)
+    val stats = banded.groupBy(col("key"))
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") >= 2)
+    val collided = banded.join(stats, Seq("key"))
+    val terminal = bits <= 16
+    val allowAll = if (terminal) collided else collided.filter(col("bcnt") <= cap)
+    val allPairs = allowAll.as("a").join(allowAll.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("img_a"), col("b.doc_id").as("img_b"))
+    if (terminal) allPairs
+    else {
+      val hot = collided.filter(col("bcnt") > cap)
+        .select(col("doc_id"), col("key"), col("resid"))
+      allPairs.unionByName(bandPairs(hot, bits / 2, cap))
+    }
+  }
+
+  /** Near-duplicate image pairs from dhashes via recursive chunk-pair
+    * banding: level 1 buckets on six 32-bit quarter-pair keys (<= 2
+    * differing bits leave some pair of 16-bit quarters untouched —
+    * pigeonhole); buckets hotter than the quadratic-safety cap recurse
+    * into sub-bands of their residual bits instead of degrading to
+    * star pairs, so recall is 1.0 for Hamming <= maxHamming
+    * UNCONDITIONALLY (see [[bandPairs]]). The exact Hamming check joins
+    * the 8-byte hashes back by id — band shuffles carry (id, key) rows
+    * only, never payloads.
+    *
+    * Precondition: one row per DISTINCT dhash (collapse exact
+    * duplicates first, as [[imageDupClusters]]' pregroup does) — the
+    * terminal-level all-pairs bound assumes distinct hashes. */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
-    require(maxHamming <= 2, "quarter-pair banding only guarantees recall for Hamming <= 2")
-    val quarterPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-    def quarter(i: Int) =
-      shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-    val bands = hashes.select(col("image_id").as("doc_id"),
-      explode(array(quarterPairs.zipWithIndex.map { case ((i, j), b) =>
-        // band_key packs (band, quarter_i, quarter_j) into one Long
-        lit(b.toLong << 32)
-          .bitwiseOR(shiftleft(quarter(i), 16))
-          .bitwiseOR(quarter(j))
-      }: _*)).as("band_key"))
-    val cand = graft.text.TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
-      .select(col("doc_a").as("img_a"), col("doc_b").as("img_b"))
+    require(maxHamming <= 2, "chunk-pair banding only guarantees recall for Hamming <= 2")
+    val members = hashes.select(col("image_id").as("doc_id"),
+      lit(0L).as("key"), col("dhash").as("resid"))
+    val cand = bandPairs(members, 64, cap = 64).distinct()
     val ha = hashes.select(col("image_id").as("img_a"), col("dhash").as("dh_a"))
     val hb = hashes.select(col("image_id").as("img_b"), col("dhash").as("dh_b"))
     cand.join(ha, "img_a").join(hb, "img_b")

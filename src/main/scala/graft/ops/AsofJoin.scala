@@ -22,15 +22,22 @@ import org.apache.spark.sql.functions._
  * itself verified against DuckDB's native ASOF JOIN.
  *
  * Ids must be Long; unmatched left rows carry null (callers coalesce).
+ *
+ * Null timestamps are EXCLUDED on both sides: "as of null" has no
+ * defined answer, and engines disagree on where nulls sort (Spark's
+ * default window order is nulls-first, DuckDB's is nulls-last — the
+ * same input would silently produce different matches). Left rows with
+ * a null ts therefore simply don't appear in the output; callers that
+ * want them back left-join on the left id.
  */
 object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String, leftId: String, rightId: String): DataFrame = {
-    val l = left.select(col(key), col(ts),
+    val l = left.filter(col(ts).isNotNull).select(col(key), col(ts),
       col(leftId).cast("long").as("__lid"),
       lit(null).cast("long").as("__rid_in"),
       lit(1).as("__side"))
-    val r = right.select(col(key), col(ts),
+    val r = right.filter(col(ts).isNotNull).select(col(key), col(ts),
       lit(null).cast("long").as("__lid"),
       col(rightId).cast("long").as("__rid_in"),
       lit(0).as("__side"))

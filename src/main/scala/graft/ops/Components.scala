@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
  * convergence is an O(1)-row checksum action per round, not a diff join.
  */
 object Components {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Telemetry from the most recent [[connectedComponents]] call in this
+    * JVM: (round, edge count after the round) per distributed star
+    * round; empty when the driver fast path ran. A pathological giant
+    * component (everything near-dup of everything) maximizes round
+    * count, so ops monitors round growth here / in the logs rather than
+    * discovering it as an unexplained wall-clock cliff. */
+  @volatile var lastRoundStats: Seq[(Int, Long)] = Nil
 
   /** large-star: every neighbor v > u re-parents to m(u) = min(N(u) ∪ {u}).
     * Input/output edges are (a, b) Long columns, orientation-free. */
@@ -73,6 +82,8 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     var fp = fingerprint(cur)
+    lastRoundStats = Nil
+    val inputEdges = fp._1
     // Small-graph fast path: a pair graph that fits on the driver skips
     // the ~6-shuffle-per-round distributed loop (same move Spark itself
     // makes when it broadcasts a small join side). The distributed path
@@ -107,6 +118,13 @@ object Components {
       fp = nfp
       cur = next
       it += 1
+      lastRoundStats = lastRoundStats :+ (it, nfp._1)
+      log.info(s"connectedComponents round $it: ${nfp._1} edges (input $inputEdges)")
+      // star rounds can transiently inflate the edge set; sustained
+      // blow-up is the giant-component signature — surface it loudly
+      if (nfp._1 > 8 * inputEdges)
+        log.warn(s"connectedComponents round $it edge count ${nfp._1} exceeds 8x the " +
+          s"input ($inputEdges): likely a giant component; expect many more rounds")
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint is a star forest oriented (member -> min): a is the node,

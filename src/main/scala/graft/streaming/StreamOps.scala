@@ -120,6 +120,8 @@ object StreamOps {
                        p: graft.core.RenderParams, lowZoomEvery: Int = 4): StreamingQuery = {
     import graft.core.Cell
     require(p.circle <= 0, "cloud mode needs latitude-dependent rings; not supported incrementally")
+    require(lowZoomEvery > 0, s"lowZoomEvery must be positive (got $lowZoomEvery): " +
+      "0 would divide by zero per batch and a negative cadence never fires")
     val lowZooms = zooms.filter(z => p.pointParams(z)._1 > 1)
     val zArr = zooms.filter(z => p.pointParams(z)._1 <= 1).toArray
     val spills = zArr.map(z => graft.render.Render.brushSpills(p, z))
@@ -131,6 +133,13 @@ object StreamOps {
         try {
           if (b.count() > 0) {
             b.write.mode("append").parquet(snapshotDir)
+            // The whole affected-tile scan/render block is guarded on
+            // zArr.nonEmpty: when every requested zoom is step-sampled
+            // (all low zooms), there is nothing to re-render per batch —
+            // zArr.min would throw and orTree would recurse on an empty
+            // range set — and the query proceeds straight to the
+            // wholesale low-zoom cadence below.
+            if (zArr.nonEmpty) {
             // tiles to RE-RENDER = touched + 1-tile spill ring (a new
             // record's brush splats into neighbors); tiles whose DATA a
             // re-render needs = render set + ITS spill ring (old records
@@ -179,13 +188,12 @@ object StreamOps {
               col("cell") >= lo && col("cell") <= hi
             }.toIndexedSeq)
             val subset = spark.read.parquet(snapshotDir).filter(cond)
-            if (zArr.nonEmpty) {
-              val tiles = zArr.map { z =>
-                graft.render.Render.renderTiles(Some(subset), None, z, mapbits, p,
-                  requireOwn = true,
-                  only = Some((tx, ty) => affected.contains(Cell.tileKey(z, tx, ty))))
-              }.reduce(_ union _)
-              graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
+            val tiles = zArr.map { z =>
+              graft.render.Render.renderTiles(Some(subset), None, z, mapbits, p,
+                requireOwn = true,
+                only = Some((tx, ty) => affected.contains(Cell.tileKey(z, tx, ty))))
+            }.reduce(_ union _)
+            graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
             }
             // wholesale low-zoom cadence: every lowZoomEvery-th batch,
             // re-rank the (narrow) snapshot and re-render the few

@@ -181,6 +181,52 @@ class MediaSpec extends AnyFunSuite {
     assert(distinct.map(d => clusters(d.image_id)).toSet.size == 10)
   }
 
+  /** Brute-force Hamming<=2 truth over a hash set, for exact-set asserts. */
+  private def brutePairs(hs: Seq[(String, Long)]): Set[(String, String)] =
+    (for {
+      a <- hs; b <- hs
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 2
+    } yield (a._1, b._1)).toSet
+
+  private def foundPairs(hs: Seq[(String, Long)]): Set[(String, String)] = {
+    import spark.implicits._
+    Media.imageNearDupPairs(hs.toDF("image_id", "dhash"), maxHamming = 2)
+      .collect().map { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (a < b) (a, b) else (b, a)
+      }.toSet
+  }
+
+  test("hot band bucket: true pair recovered via sub-banding (was dropped by star-pair cap)") {
+    // 70 distinct hashes all sharing quarters 0, 1 and 3 — every band
+    // not involving quarter 2 is a >cap hot bucket, and the planted
+    // Hamming-2 pair differs only inside quarter 2, so no small bucket
+    // ever holds both members. The old star-pair escape linked members
+    // to the bucket min and Hamming-filtered those links away, silently
+    // dropping this pair; recursive sub-banding must find it.
+    val q3 = 0xABCDL << 48
+    val fillers = (10 to 77).map(i => (f"f$i%03d", q3 | ((i.toLong * 0x0101L) << 32)))
+    val planted = Seq(("pa", q3 | (0xFF00L << 32)), ("pb", q3 | (0xFC00L << 32)))
+    val hs = fillers ++ planted
+    assert(java.lang.Long.bitCount(hs.head._2 ^ planted.head._2) > 2) // truly hot, not chained
+    val got = foundPairs(hs)
+    assert(got.contains(("pa", "pb")), s"planted hot-bucket pair missing from $got")
+    assert(got == brutePairs(hs), "banded pairs != brute-force Hamming<=2 truth")
+  }
+
+  test("doubly-hot buckets recurse to the terminal level and still find the pair") {
+    // all members also share the low byte of quarter 2: every level-2
+    // sub-bucket that can hold the pair is hot too, forcing the
+    // terminal (56-bits-fixed) all-pairs level
+    val q3 = 0x1234L << 48
+    val fillers = (1 to 68).map(i => (f"g$i%03d", q3 | ((i.toLong << 8) << 32)))
+    val planted = Seq(("ha", q3 | (0xFF00L << 32)), ("hb", q3 | (0xFC00L << 32)))
+    val hs = fillers ++ planted
+    val got = foundPairs(hs)
+    assert(got.contains(("ha", "hb")), s"planted terminal-level pair missing from $got")
+    assert(got == brutePairs(hs), "banded pairs != brute-force Hamming<=2 truth")
+  }
+
   test("MVT encode/decode roundtrip: geometry, layers, meta tags") {
     val pts = Seq(
       Mvt.MvtFeature(Array(100), Array(200), 7),

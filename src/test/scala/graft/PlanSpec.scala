@@ -213,6 +213,15 @@ class PlanSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty))
 
+    // null timestamps are excluded on BOTH sides ("as of null" is
+    // undefined, and Spark/DuckDB disagree on where nulls sort): the
+    // null-ts click vanishes, the null-ts view never matches
+    val nClicks = Seq((Some(5L), 990L, 0L), (None, 991L, 0L)).toDF("t", "event_id", "user_id")
+    val nViews = Seq((Some(4L), 880L, 0L), (None, 881L, 0L)).toDF("t", "view_id", "user_id")
+    val nGot = graft.ops.AsofJoin.asofJoin(nClicks, nViews, "user_id", "t", "event_id", "view_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(nGot == Map(990L -> Some(880L)), s"null-ts handling wrong: $nGot")
+
     // plan: ONE exchange (the (key, ts) sort-shuffle), no join operator
     // at all — the whole as-of is union + window
     val plan = graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "t", "event_id", "view_id")

@@ -168,6 +168,49 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("incremental maintenance with ONLY step-sampled zooms runs (no per-batch render set)") {
+    // every requested zoom is low (step > 1): the per-batch affected-tile
+    // block has nothing to do (previously zArr.min threw on every batch)
+    // and the tileset is maintained purely by the wholesale cadence
+    import spark.implicits._
+    import graft.core.RenderParams
+    val base = java.nio.file.Files.createTempDirectory("inclow").toString
+    val in = s"$base/in"; val snap = s"$base/snap"
+    val tilesDir = s"$base/tiles"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val all = graft.tables.ImageTable.generateGeo(spark, 2000).toDF()
+      .select(col("cell"), col("meta"))
+    all.coalesce(1).write.parquet(s"$base/stage")
+    new java.io.File(s"$base/stage").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName)))
+    val p = RenderParams()
+    assert(p.pointParams(6)._1 > 1) // z6 really is step-sampled
+    val stream = spark.readStream.schema(all.schema).parquet(in)
+    val q = StreamOps.incrementalTiles(stream, snap, tilesDir, ckpt, Seq(6), 48, p,
+      lowZoomEvery = 1)
+    q.awaitTermination()
+    val ranked = graft.render.Render.withGlobalRank(
+      spark.read.parquet(snap).select(col("cell"), col("meta")))
+    val expected = graft.render.Render.renderPyramid(ranked, Seq(6), 48, p)
+      .collect().map(t => ((t.z, t.x, t.y), t.png)).toMap
+    ranked.unpersist()
+    val onDisk = {
+      val root = new java.io.File(tilesDir)
+      for {
+        zd <- root.listFiles().toSeq if zd.isDirectory
+        xd <- zd.listFiles().toSeq
+        yf <- xd.listFiles().toSeq
+      } yield ((zd.getName.toInt, xd.getName.toInt, yf.getName.stripSuffix(".png").toInt),
+        java.nio.file.Files.readAllBytes(yf.toPath))
+    }.toMap
+    assert(onDisk.keySet == expected.keySet && expected.nonEmpty)
+    assert(expected.forall { case (k, png) => java.util.Arrays.equals(png, onDisk(k)) })
+    // invalid cadence is rejected up front, not as a divide-by-zero mid-stream
+    intercept[IllegalArgumentException] {
+      StreamOps.incrementalTiles(stream, snap, tilesDir, ckpt, Seq(6), 48, p, lowZoomEvery = 0)
+    }
+  }
+
   test("stateful sessionization closes sessions on gaps") {
     import spark.implicits._
     val now = 1700000000000L

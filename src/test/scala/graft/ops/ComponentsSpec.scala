@@ -69,6 +69,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(!got.contains(999L))
   }
 
+  test("10^6-edge graph crosses the natural threshold: distributed rounds + telemetry") {
+    import spark.implicits._
+    // 16384 disjoint 64-edge paths + one 9-edge path = 2^20 + 9 distinct
+    // edges — just above the driver fast-path gate, so the DEFAULT call
+    // (no threshold override) must run the distributed star rounds
+    val paths = (0 until 16384).flatMap { p =>
+      val base = p.toLong * 100
+      (0 until 64).map(i => (base + i, base + i + 1))
+    }
+    val extra = (0 until 9).map(i => (2000000L + i, 2000000L + i + 1))
+    val got = Components.connectedComponents((paths ++ extra).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Components.lastRoundStats.nonEmpty,
+      "driver fast path engaged above the 2^20-edge threshold")
+    assert(Components.lastRoundStats.length >= 3,
+      s"expected >=3 distributed rounds, got ${Components.lastRoundStats}")
+    assert((0 until 16384).forall { p =>
+      val base = p.toLong * 100
+      (0 to 64).forall(i => got(base + i) == base)
+    }, "some path member mislabeled")
+    assert((0 to 9).forall(i => got(2000000L + i) == 2000000L))
+  }
+
   test("empty and self-loop-only edge sets") {
     import spark.implicits._
     assert(run(Seq.empty) == Map.empty)
