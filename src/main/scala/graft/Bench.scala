@@ -143,43 +143,20 @@ object Bench {
     prepareImages(spark, rows, imgPath)
 
     val zooms = 0 to 8
-    val (tiles, tEnc, tPip, tRen) = headline(spark, imgPath, s"/tmp/graft_bench/work_$tag", zooms)
+    // min-of-2 fresh repetitions (like Scaling already does): a single
+    // measurement on this shared host swings multiples run-to-run —
+    // round 3's driver read the dedup phase 4.6x slower than the
+    // builder's run of the same build on the same cached input.
+    val runs = Seq.fill(2)(headline(spark, imgPath, s"/tmp/graft_bench/work_$tag", zooms))
+    val (tiles, tEnc, tPip, tRen) = runs.minBy(r => r._2 + r._3 + r._4)
     val total = tEnc + tPip + tRen
     val tps = tiles / total
 
-    // --- perceptual image dedup over the payloads: decode -> dhash ->
-    // banded pairs -> connected components. Planted re-encoded copies
-    // give a recall floor (every one must be found). Reported in detail
-    // (images/sec); the tiles/sec headline keeps its r1-comparable
-    // definition.
-    val dedupPath = s"/tmp/graft_bench/images_dedup_$tag"
-    val planted = prepareDedupInput(spark, imgPath, dedupPath)
-    // untimed warmup on a small slice — same decode/dhash/join code
-    // path as the timed run (CLAUDE.md bench invariant: first-use JIT
-    // must not land in the measurement, which it otherwise would on
-    // every cache-hit run where prepareDedupInput skips the synth)
-    graft.media.Media.imageDupClusters(
-      spark.read.parquet(dedupPath).limit(2000), maxHamming = 2).count()
-    val t3 = System.nanoTime()
-    val dedupInput = spark.read.parquet(dedupPath)
-    val dedupRows = dedupInput.count()
-    val clusters = graft.media.Media.imageDupClusters(dedupInput, maxHamming = 2)
-      .localCheckpoint(true)
-    val dupFound = clusters.filter(col("image_id") =!= col("rep")).count()
-    val tDedup = (System.nanoTime() - t3) / 1e9
-    // recall floor: EVERY planted copy must co-cluster with its source
-    // (an aggregate count could mask misses behind unrelated members)
-    val re = clusters.filter(col("image_id").endsWith("_re"))
-      .select(expr("substring(image_id, 1, length(image_id) - 3)").as("src_id"),
-        col("rep").as("rep_re"))
-    val coClustered = re.join(
-      clusters.select(col("image_id").as("src_id"), col("rep").as("rep_src")), "src_id")
-      .filter(col("rep_re") === col("rep_src")).count()
-    require(coClustered == planted,
-      s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
-
-    // per-query timings (count() forces the plan); a failing query must
-    // be VISIBLE in the output, not disguised as a fast success
+    // per-query timings (count() forces the plan) — BEFORE the dedup
+    // phase, so its 600k+ image decodes can't leave GC/page-cache
+    // residue in query timings (the r3 q06-q10 inflation). A failing
+    // query must be VISIBLE in the output, not disguised as a fast
+    // success.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
@@ -200,6 +177,45 @@ object Bench {
       (pairs("q28_ann_lsh").intersect(exact).size.toDouble / exact.size,
         pairs("q40_ann_ivf").intersect(exact).size.toDouble / exact.size)
     } catch { case _: Throwable => (-1.0, -1.0) }
+
+    // --- perceptual image dedup over the payloads: decode -> dhash ->
+    // banded pairs -> connected components. Planted re-encoded copies
+    // give a recall floor (every one must be found). Reported in detail
+    // (images/sec); the tiles/sec headline keeps its r1-comparable
+    // definition. Runs LAST so its heap/page-cache footprint can't
+    // pollute anything else, and min-of-2 like the headline.
+    val dedupPath = s"/tmp/graft_bench/images_dedup_$tag"
+    val planted = prepareDedupInput(spark, imgPath, dedupPath)
+    // untimed warmup on a small slice — same decode/dhash/join code
+    // path as the timed run (CLAUDE.md bench invariant: first-use JIT
+    // must not land in the measurement, which it otherwise would on
+    // every cache-hit run where prepareDedupInput skips the synth)
+    graft.media.Media.imageDupClusters(
+      spark.read.parquet(dedupPath).limit(2000), maxHamming = 2).count()
+    var tDedup = Double.MaxValue
+    var dedupRows = 0L
+    var dupFound = 0L
+    var clusters: DataFrame = null
+    (0 until 2).foreach { _ =>
+      val t3 = System.nanoTime()
+      val dedupInput = spark.read.parquet(dedupPath)
+      val rows = dedupInput.count()
+      val cl = graft.media.Media.imageDupClusters(dedupInput, maxHamming = 2)
+        .localCheckpoint(true)
+      val found = cl.filter(col("image_id") =!= col("rep")).count()
+      tDedup = math.min(tDedup, (System.nanoTime() - t3) / 1e9)
+      dedupRows = rows; dupFound = found; clusters = cl
+    }
+    // recall floor: EVERY planted copy must co-cluster with its source
+    // (an aggregate count could mask misses behind unrelated members)
+    val re = clusters.filter(col("image_id").endsWith("_re"))
+      .select(expr("substring(image_id, 1, length(image_id) - 3)").as("src_id"),
+        col("rep").as("rep_re"))
+    val coClustered = re.join(
+      clusters.select(col("image_id").as("src_id"), col("rep").as("rep_src")), "src_id")
+      .filter(col("rep_re") === col("rep_src")).count()
+    require(coClustered == planted,
+      s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     val json =
       f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"dedup_sec":$tDedup%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""

@@ -396,6 +396,22 @@ object SparkEntry {
       graft.ops.RangeJoin.intervalJoin(p, i, bucket = 256)
     }),
 
+    // kNN with the DENSITY-DERIVED bucketing zoom (one cheap aggregate
+    // picks tileShift): results are exact regardless of the shift —
+    // only the in-ring/fallback split moves — so the oracle is the same
+    // brute-force kNN as q10
+    "q47_knn_auto" -> ((s, d) => {
+      val pts = points(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        expr("x32 >> 8").as("x"), expr("y32 >> 8").as("y"))
+      val qs = s.read.parquet(s"$d/supplier.parquet")
+        .filter(col("s_suppkey") < 10)
+        .select(col("s_suppkey").as("qid"),
+          expr(s"${x32Sql("s_suppkey", "s_suppkey * 3 + 1")} >> 8").as("qx"),
+          expr(s"${y32Sql("s_suppkey", "s_suppkey * 5 + 2")} >> 8").as("qy"))
+      Knn.knnJoinAuto(s, pts, qs, k = 5)
+    }),
+
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
     "q35_sessions" -> ((s, d) => {
       s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
@@ -732,6 +748,19 @@ object SparkEntry {
          |   CAST((s_suppkey * 1009) % 2000 AS BIGINT) AS lo,
          |   CAST((s_suppkey * 1009) % 2000 + 50 + (s_suppkey * 31) % 500 AS BIGINT) AS hi FROM supplier)
          | SELECT p.pid, p.v, i.iid FROM p JOIN i ON p.v >= i.lo AND p.v <= i.hi""".stripMargin.replace("\n", " "),
+
+    // auto-shift kNN is EXACT (the density heuristic only moves the
+    // in-ring/fallback split), so the oracle is q10's brute force
+    "q47_knn_auto" ->
+      s"""SELECT qid, id, d2, rn FROM (
+         | SELECT qid, id, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+         | FROM (SELECT q.qid, (p.l_orderkey * 8 + p.l_linenumber) AS id,
+         |   ((p.x32 >> 8) - q.qx) * ((p.x32 >> 8) - q.qx) + ((p.y32 >> 8) - q.qy) * ((p.y32 >> 8) - q.qy) AS d2
+         |   FROM $pointsSql p, (SELECT s_suppkey AS qid,
+         |     (${x32Sql("s_suppkey", "s_suppkey * 3 + 1")} >> 8) AS qx,
+         |     (${y32Sql("s_suppkey", "s_suppkey * 5 + 2")} >> 8) AS qy
+         |     FROM supplier WHERE s_suppkey < 10) q) c) r
+         | WHERE rn <= 5""".stripMargin.replace("\n", " "),
 
     // replica of the union-and-carry-forward as-of join; verified
     // equivalent to DuckDB's native ASOF JOIN on the same data

@@ -72,7 +72,9 @@ object Ann {
     * (ids only) then hash-join the embeddings back once per side for
     * the rerank. Approximate by construction: pairs whose signatures
     * share no band are not considered (recall rises with `bands`).
-    * The exact all-pairs q31 variant is oracle-scale only. */
+    * The exact all-pairs q31 variant is oracle-scale only. Repeated
+    * callers: pass `spark.table` of a [[writeBucketedEmbeddings]] table
+    * and the rerank's corpus side reads pre-hashed with NO shuffle. */
   def nearDupLsh(vecs: DataFrame, minCos: Double,
                  planes: Int = 64, bands: Int = 8): DataFrame = {
     val b = rhpBands(vecs, planes, bands)
@@ -86,6 +88,31 @@ object Ann {
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** Persist the embedding table BUCKETED (and sorted) by vec_id — the
+    * rerank-join analog of [[writeIvfIndex]]'s build-once index.
+    * [[nearDupLsh]] and [[lshTopK]] hash-join the full embedding table
+    * by vec_id for their exact-cosine rerank; fed a plain table that
+    * re-shuffles the corpus on EVERY call, but fed
+    * `spark.table(name)` written here, the scan is already hash-
+    * partitioned on disk: only the (small) candidate side exchanges,
+    * and the corpus side reads bucket-aligned with zero shuffle
+    * (asserted in PlanSpec). Bucket layout lives in the session
+    * catalog, not the parquet footers — hence saveAsTable, and readers
+    * must go through `spark.table`, not `read.parquet`. Size `buckets`
+    * like shuffle partitions (cores to a few x cores per executor
+    * fleet). */
+  def writeBucketedEmbeddings(vecs: DataFrame, table: String, path: String,
+                              buckets: Int): Unit = {
+    val spark = vecs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    vecs.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", path)
+      .saveAsTable(table)
   }
 
   // ---------- IVF-flat ----------
@@ -263,7 +290,8 @@ object Ann {
     * collision probability rises from p^r to sum_{f<=maxFlips}
     * C(r,f) p^(r-f) (1-p)^f at a cost of (1 + r + C(r,2))x QUERY band
     * rows only. Recall < 1 by construction; IVF is the high-recall
-    * path. */
+    * path. Repeated callers: a [[writeBucketedEmbeddings]] table makes
+    * the rerank's corpus side shuffle-free, as with [[nearDupLsh]]. */
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 64, bands: Int = 8, maxFlips: Int = 2): DataFrame = {
     val rows = planes / bands

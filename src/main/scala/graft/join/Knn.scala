@@ -19,6 +19,44 @@ import org.apache.spark.sql.functions._
  * when z is density-matched) with a broadcast of those queries.
  */
 object Knn {
+  /** Telemetry: how many queries the most recent [[knnJoin]] in this JVM
+    * sent to the exact broadcast fallback (0 = everything resolved
+    * in-ring). Results are exact either way; a high fraction here means
+    * the bucketing zoom is density-mismatched and the fallback is doing
+    * the work a bigger/smaller tile would have avoided. */
+  @volatile var lastFallbackQueries: Long = 0L
+
+  /** Density-derived bucketing shift from ONE cheap aggregate over the
+    * point table (count + bbox): the smallest tiles whose average
+    * (2*ring+1)^2-tile ring still holds ~targetFactor*k points, so the
+    * exact fallback stays RARE without the caller guessing a zoom.
+    * Callers who know their data keep passing tileShift explicitly —
+    * this is the default, not a cap. Uniform-density model: a ring in a
+    * below-average-density pocket can still fall back (exactness is
+    * never at stake, only the fallback rate). */
+  def autoTileShift(points: DataFrame, k: Int, ring: Int = 1,
+                    targetFactor: Double = 4.0): Int = {
+    val r = points.agg(
+      count(lit(1)).as("n"),
+      min(col("x").cast("long")).as("x0"), max(col("x").cast("long")).as("x1"),
+      min(col("y").cast("long")).as("y0"), max(col("y").cast("long")).as("y1")).head()
+    if (r.isNullAt(1)) return 16 // empty table: any shift works
+    val n = math.max(r.getLong(0), 1L)
+    val ex = math.max(r.getLong(2) - r.getLong(1), 1L).toDouble
+    val ey = math.max(r.getLong(4) - r.getLong(3), 1L).toDouble
+    val density = n / (ex * ey)
+    val ringTiles = (2.0 * ring + 1) * (2 * ring + 1)
+    // expected ring points = density * ringTiles * 4^shift >= targetFactor * k
+    val need = targetFactor * k / (density * ringTiles)
+    val shift = math.ceil(math.log(math.max(need, 1.0)) / math.log(4.0)).toInt
+    math.min(math.max(shift, 0), 31)
+  }
+
+  /** [[knnJoin]] with the bucketing zoom derived from point density. */
+  def knnJoinAuto(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                  k: Int, ring: Int = 1): DataFrame =
+    knnJoin(spark, points, queries, k, autoTileShift(points, k, ring), ring)
+
   /**
    * points:  (id, x, y)  — integer coords (scaled so d2 is exact).
    * queries: (qid, qx, qy)
@@ -82,7 +120,9 @@ object Knn {
     // from the checkpointed candidates); skipping an all-resolved
     // fallback saves a full pass over the point table.
     val unresolved = q.join(resolved, Seq("qid"), "left_anti")
-    if (unresolved.isEmpty) good
+    val unresolvedCnt = unresolved.count() // tiny (query-set-bounded) job
+    lastFallbackQueries = unresolvedCnt
+    if (unresolvedCnt == 0) good
     else {
       val fb = pts.crossJoin(broadcast(unresolved))
         .select(col("qid"), col("id"),

@@ -22,13 +22,17 @@ case class ImageFeatures(image_id: String, w: Int, h: Int,
  */
 object Media {
   /** Decode one payload. Real decoders: "raw" (interleaved RGB), "png"
-    * (the engine's own codec), and "jpeg"/"jpg"/"gif"/"bmp" via the
-    * JDK's built-in ImageIO readers (in-memory cache only — the
-    * thread-local-reuse PNG hot path stays on our own codec; ImageIO is
-    * fine on this colder batch-decode path). STUB: webp/undecodable
-    * payloads fall back to a deterministic fake raster from the byte
-    * hash so the pipeline shape stays testable (no webp codec in this
-    * container). */
+    * (the engine's own codec), and EVERY other format via JDK ImageIO
+    * service discovery (in-memory cache only — the thread-local-reuse
+    * PNG hot path stays on our own codec; ImageIO is fine on this
+    * colder batch-decode path). The JDK ships jpeg/gif/bmp/wbmp
+    * readers, and any codec jar dropped on the classpath (e.g. a webp
+    * ImageIO plugin) registers through the same SPI — so new formats
+    * start decoding with NO code change here; the format string is
+    * never consulted, the reader sniffs the bytes. STUB: payloads no
+    * registered reader accepts fall back to a deterministic fake
+    * raster from the byte hash so the pipeline shape stays testable
+    * (no webp codec ships in this container). */
   def decode(id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String): DecodedImage = fmt match {
     case "raw" =>
       require(bytes.length == w * h * 3, s"raw payload size mismatch for $id")
@@ -42,12 +46,12 @@ object Media {
         i += 1; p += 4
       }
       DecodedImage(id, dw, dh, rgb)
-    case "jpeg" | "jpg" | "gif" | "bmp" =>
+    case _ =>
       javax.imageio.ImageIO.setUseCache(false) // never touch disk
       val bi =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Throwable => null }
-      if (bi == null) stubDecode(id, bytes, w, h) // corrupt/unreadable payload
+      if (bi == null) stubDecode(id, bytes, w, h) // no reader / corrupt payload
       else {
         val dw = bi.getWidth; val dh = bi.getHeight
         val rgb = new Array[Byte](dw * dh * 3)
@@ -67,7 +71,6 @@ object Media {
         }
         DecodedImage(id, dw, dh, rgb)
       }
-    case _ => stubDecode(id, bytes, w, h)
   }
 
   /** STUB decode (no codec for this fmt in-container): deterministic
@@ -204,7 +207,16 @@ object Media {
   def dhashes(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    images.select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+    val src = images.select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+    // Decode is the CPU-bound pass: when the input arrives in fewer
+    // splits than cores (a handful of big parquet files at the default
+    // maxPartitionBytes left ~1/3 of the bench host idle), fan out
+    // BEFORE decoding. At catalog scale inputs carry >> cores splits
+    // and the guard never fires — it costs one file listing, no job.
+    // 2x cores smooths the size skew between decode tasks.
+    val p = spark.sparkContext.defaultParallelism
+    val balanced = if (src.rdd.getNumPartitions < p) src.repartition(p * 2) else src
+    balanced
       .as[(String, Array[Byte], Int, Int, String)]
       .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
         (id, dhash64(decode(id, bytes, w, h, fmt)))

@@ -40,4 +40,36 @@ class KnnSpec extends AnyFunSuite {
       assert(got(qid) == expect, s"qid=$qid")
     }
   }
+
+  test("auto tile shift: density-derived zoom resolves >=95% of skewed queries in-ring") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    // skewed: 90% of points in a dense 2^16-wide blob inside a 2^22
+    // extent, 10% scattered; queries follow the same distribution
+    val blob = 1L << 21
+    val pts = ((0 until 9000).map(i =>
+      (i.toLong, blob + r.nextLong(1L << 16), blob + r.nextLong(1L << 16))) ++
+      (9000 until 10000).map(i =>
+        (i.toLong, r.nextLong(1L << 22), r.nextLong(1L << 22)))).toDF("id", "x", "y")
+    val qs = ((0 until 58).map(i =>
+      (i.toLong, blob + r.nextLong(1L << 16), blob + r.nextLong(1L << 16))) ++
+      (58 until 60).map(i =>
+        (i.toLong, r.nextLong(1L << 22), r.nextLong(1L << 22)))).toDF("qid", "qx", "qy")
+
+    val shift = graft.join.Knn.autoTileShift(pts, k = 5)
+    assert(shift > 0 && shift < 31, s"degenerate auto shift $shift")
+    val got = graft.join.Knn.knnJoin(spark, pts, qs, k = 5, tileShift = shift)
+      .select("qid", "id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(graft.join.Knn.lastFallbackQueries <= 3, // >= 95% resolved in-ring
+      s"auto shift $shift sent ${graft.join.Knn.lastFallbackQueries}/60 queries to the fallback")
+
+    val allPts = pts.as[(Long, Long, Long)].collect()
+    qs.as[(Long, Long, Long)].collect().foreach { case (qid, qx, qy) =>
+      val expect = allPts.map { case (id, x, y) =>
+        (id, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+      }.sortBy(t => (t._2, t._1)).take(5).map(_._1).toSeq
+      assert(got(qid) == expect, s"qid=$qid (shift=$shift)")
+    }
+  }
 }

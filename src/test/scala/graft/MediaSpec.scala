@@ -110,6 +110,26 @@ class MediaSpec extends AnyFunSuite {
     assert(math.abs(f.durSec - 0.5) < 1e-9)
   }
 
+  test("unknown formats route through ImageIO service discovery before the stub") {
+    // BMP bytes mislabeled as an unregistered format: decode never
+    // consults the format string — the ImageIO SPI sniffs the bytes —
+    // so a codec jar dropped on the classpath (e.g. webp) starts
+    // decoding with no code change
+    val bi = new java.awt.image.BufferedImage(6, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 6) bi.setRGB(x, y, 0x30C090)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "bmp", bos)
+    val bytes = bos.toByteArray
+    val viaWebp = Media.decode("u1", bytes, 6, 5, "webp")
+    val viaBmp = Media.decode("u1", bytes, 6, 5, "bmp")
+    assert(viaWebp.w == 6 && viaWebp.h == 5)
+    assert(java.util.Arrays.equals(viaWebp.rgb, viaBmp.rgb))
+    assert((viaWebp.rgb(0) & 0xFF) == 0x30 && (viaWebp.rgb(1) & 0xFF) == 0xC0)
+    // truly unreadable bytes still fall to the deterministic stub
+    val stub = Media.decode("u2", Array[Byte](9, 9, 9), 4, 4, "webp")
+    assert(stub.rgb.length == 48)
+  }
+
   test("stubbed decode for unavailable codecs is deterministic") {
     val a = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")
     val b = Media.decode("x", Array[Byte](1, 2, 3), 8, 8, "jpeg")

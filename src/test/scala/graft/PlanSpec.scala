@@ -161,6 +161,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed embeddings: rerank joins read the corpus side exchange-free") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/emb_bucketed"
+      graft.ann.Ann.writeBucketedEmbeddings(spark.read.parquet(vecsPath), "emb_bucketed", dir, 4)
+      val bucketed = spark.table("emb_bucketed")
+      val df = graft.ann.Ann.nearDupLsh(bucketed, 0.5)
+      val planStr = df.queryExecution.executedPlan.toString()
+      assert(planStr.contains("SelectedBucketsCount"), "scan not bucketed:\n" + planStr.take(1500))
+      val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // With a plain table the rerank shuffles the CORPUS arrays (one
+      // real exchange; the second side is a ReusedExchange of it) plus
+      // the candidate-sized intermediate: two array-carrying exchanges.
+      // With the bucketed corpus only the intermediate remains —
+      // (vec_a, vec_b, ea) rows, CANDIDATE-sized, not corpus-sized —
+      // so exactly one array-carrying exchange survives and neither
+      // corpus scan ever re-shuffles.
+      def arrayEx(df: org.apache.spark.sql.DataFrame): Int =
+        allNodes(df.queryExecution.executedPlan).count {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          case _ => false
+        }
+      val plainDf = graft.ann.Ann.nearDupLsh(spark.read.parquet(vecsPath), 0.5)
+      assert(arrayEx(plainDf) == 2, s"plain-path baseline drifted: ${arrayEx(plainDf)}")
+      assert(arrayEx(df) == 1,
+        s"bucketed path should shuffle arrays only on the candidate intermediate, got ${arrayEx(df)}")
+      // and the result is identical to the plain-table path
+      val plainPairs = plainDf
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val buckPairs = df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(buckPairs == plainPairs && plainPairs.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("ivf assignment is map-only (no window, no exchange) and the probe join broadcasts") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
