@@ -52,25 +52,27 @@ object Media {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Throwable => null }
       if (bi == null) stubDecode(id, bytes, w, h) // no reader / corrupt payload
-      else {
-        val dw = bi.getWidth; val dh = bi.getHeight
-        val rgb = new Array[Byte](dw * dh * 3)
-        val row = new Array[Int](dw)
-        var y = 0
-        while (y < dh) {
-          bi.getRGB(0, y, dw, 1, row, 0, dw)
-          var x = 0
-          while (x < dw) {
-            val px = row(x); val o = (y * dw + x) * 3
-            rgb(o) = ((px >> 16) & 0xFF).toByte
-            rgb(o + 1) = ((px >> 8) & 0xFF).toByte
-            rgb(o + 2) = (px & 0xFF).toByte
-            x += 1
-          }
-          y += 1
-        }
-        DecodedImage(id, dw, dh, rgb)
+      else bufferedToDecoded(id, bi)
+  }
+
+  private def bufferedToDecoded(id: String, bi: java.awt.image.BufferedImage): DecodedImage = {
+    val dw = bi.getWidth; val dh = bi.getHeight
+    val rgb = new Array[Byte](dw * dh * 3)
+    val row = new Array[Int](dw)
+    var y = 0
+    while (y < dh) {
+      bi.getRGB(0, y, dw, 1, row, 0, dw)
+      var x = 0
+      while (x < dw) {
+        val px = row(x); val o = (y * dw + x) * 3
+        rgb(o) = ((px >> 16) & 0xFF).toByte
+        rgb(o + 1) = ((px >> 8) & 0xFF).toByte
+        rgb(o + 2) = (px & 0xFF).toByte
+        x += 1
       }
+      y += 1
+    }
+    DecodedImage(id, dw, dh, rgb)
   }
 
   /** STUB decode (no codec for this fmt in-container): deterministic
@@ -349,10 +351,10 @@ object Media {
 
   // ---------- audio / video payload plumbing ----------
 
-  /** Decoded audio: mono PCM samples. REAL decode for RIFF/WAV PCM16
-    * payloads (pure-JVM header parse — detected by magic bytes);
-    * anything else is the documented deterministic STUB (no compressed-
-    * audio codec lib in this container). */
+  /** Decoded audio: mono PCM samples. REAL decode for RIFF/WAV payloads
+    * (pure-JVM parse, detected by magic bytes) in PCM16, G.711 mu-law /
+    * A-law, and IMA ADPCM; anything else (mp3/aac/ogg need codec libs
+    * absent from this container) is the documented deterministic STUB. */
   case class DecodedAudio(media_id: String, sampleRate: Int, samples: Array[Float])
 
   def decodeAudio(id: String, bytes: Array[Byte], sampleRate: Int, nSamples: Int): DecodedAudio = {
@@ -373,42 +375,167 @@ object Media {
     }
   }
 
-  /** RIFF/WAVE PCM16 parser: walks chunks to fmt + data; multi-channel
-    * input downmixes to mono by averaging. */
+  /** RIFF/WAVE parser: walks chunks to fmt + data; multi-channel input
+    * downmixes to mono by averaging. REAL decoders for the formats a
+    * WAV container actually carries in the wild without native libs:
+    * PCM16 (tag 1), A-law (6), mu-law (7) — both G.711 companding
+    * tables — and IMA ADPCM (0x11, block-structured 4-bit differences).
+    * Anything else (mp3-in-wav etc.) raises; the caller's magic-byte
+    * dispatch already routed non-RIFF payloads to the stub. */
   private def decodeWav(id: String, b: Array[Byte]): DecodedAudio = {
     def u16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
     var off = 12
     var sampleRate = 0; var channels = 1; var bits = 16
+    var fmtTag = 0; var blockAlign = 0
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
       val tag = new String(b, off, 4, "US-ASCII")
       val len = u32(off + 4).toInt
       if (tag == "fmt ") {
-        require(u16(off + 8) == 1, s"$id: only PCM wav supported")
+        fmtTag = u16(off + 8)
         channels = u16(off + 10)
         sampleRate = u32(off + 12).toInt
+        blockAlign = u16(off + 20)
         bits = u16(off + 22)
-        require(bits == 16, s"$id: only 16-bit PCM wav supported")
       } else if (tag == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // chunks are word-aligned
     }
     require(dataOff >= 0 && sampleRate > 0, s"$id: malformed wav")
-    val frames = dataLen / (2 * channels)
-    val out = new Array[Float](frames)
-    var f = 0
-    while (f < frames) {
-      var acc = 0.0f
-      var c = 0
-      while (c < channels) {
-        val o = dataOff + (f * channels + c) * 2
-        acc += (u16(o).toShort / 32768.0f)
-        c += 1
-      }
-      out(f) = acc / channels
-      f += 1
+    dataLen = math.min(dataLen, b.length - dataOff)
+    val pcm: Array[Float] = fmtTag match {
+      case 1 =>
+        require(bits == 16, s"$id: only 16-bit PCM wav supported")
+        val frames = dataLen / (2 * channels)
+        val out = new Array[Float](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0f; var c = 0
+          while (c < channels) {
+            acc += (u16(dataOff + (f * channels + c) * 2).toShort / 32768.0f); c += 1
+          }
+          out(f) = acc / channels; f += 1
+        }
+        out
+      case 6 | 7 => // G.711 A-law / mu-law: one byte per sample
+        val frames = dataLen / channels
+        val out = new Array[Float](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0f; var c = 0
+          while (c < channels) {
+            val u = b(dataOff + f * channels + c) & 0xFF
+            val s = if (fmtTag == 7) ulawToPcm(u) else alawToPcm(u)
+            acc += s / 32768.0f; c += 1
+          }
+          out(f) = acc / channels; f += 1
+        }
+        out
+      case 0x11 =>
+        imaAdpcmToPcm(b, dataOff, dataLen, channels, blockAlign)
+      case other => throw new IllegalArgumentException(
+        s"$id: unsupported wav format tag $other (PCM16/A-law/mu-law/IMA-ADPCM decode here)")
     }
-    DecodedAudio(id, sampleRate, out)
+    DecodedAudio(id, sampleRate, pcm)
+  }
+
+  /** G.711 mu-law byte -> linear PCM16 (CCITT reference arithmetic). */
+  def ulawToPcm(uIn: Int): Short = {
+    val u = ~uIn & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law byte -> linear PCM16 (CCITT reference arithmetic). */
+  def alawToPcm(aIn: Int): Short = {
+    val a = aIn ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** IMA/DVI ADPCM step sizes (the published 89-entry table). */
+  private[media] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767)
+  private[media] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step: applies `nibble` to (predictor, index),
+    * returning the new state. Shared with the test-side encoder, which
+    * must track the decoder's state exactly. */
+  private[media] def imaStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + ImaIndexTable(nibble & 7)))
+    (p, i)
+  }
+
+  /** IMA ADPCM (WAV fmt 0x11) -> mono float PCM. Blocks of `blockAlign`
+    * bytes: per channel a 4-byte state header (predictor s16, step
+    * index u8, reserved), then nibble data interleaved in 4-byte groups
+    * per channel; low nibble first. The header predictor IS the block's
+    * first sample. */
+  private def imaAdpcmToPcm(b: Array[Byte], dataOff: Int, dataLen: Int,
+                            channels: Int, blockAlign: Int): Array[Float] = {
+    require(blockAlign > 4 * channels, s"bad ADPCM blockAlign $blockAlign")
+    def u16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    val samplesPerBlock = (blockAlign - 4 * channels) * 2 / channels + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Float]
+    var blk = dataOff
+    val dataEnd = dataOff + dataLen
+    while (blk + 4 * channels <= dataEnd) {
+      val blockEnd = math.min(blk + blockAlign, dataEnd)
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      val ch = new Array[Array[Float]](channels)
+      for (c <- 0 until channels) {
+        pred(c) = u16(blk + 4 * c).toShort.toInt
+        idx(c) = math.max(0, math.min(88, b(blk + 4 * c + 2) & 0xFF))
+        ch(c) = new Array[Float](samplesPerBlock)
+        ch(c)(0) = pred(c) / 32768.0f
+      }
+      var n = 1 // per-channel sample cursor (0 = header predictor)
+      var o = blk + 4 * channels
+      while (o + 4 * channels <= blockEnd && n < samplesPerBlock) {
+        for (c <- 0 until channels) {
+          val base = o + 4 * c
+          var k = 0
+          while (k < 8 && n + k < samplesPerBlock) {
+            val byte = b(base + k / 2) & 0xFF
+            val nib = if (k % 2 == 0) byte & 0x0F else byte >> 4
+            val (p, i) = imaStep(nib, pred(c), idx(c))
+            pred(c) = p; idx(c) = i
+            ch(c)(n + k) = p / 32768.0f
+            k += 1
+          }
+        }
+        n += 8
+        o += 4 * channels
+      }
+      var f = 0
+      while (f < samplesPerBlock) {
+        var acc = 0.0f; var c = 0
+        while (c < channels) { acc += ch(c)(f); c += 1 }
+        out += acc / channels
+        f += 1
+      }
+      blk += blockAlign
+    }
+    out.toArray
   }
 
   case class AudioFeatures(media_id: String, rms: Double, zeroCrossings: Long, durSec: Double)
@@ -427,12 +554,22 @@ object Media {
       a.samples.length.toDouble / a.sampleRate)
   }
 
-  /** Video frame sampling: emit every k-th frame as an image payload.
-    * STUB frame decode; real batch shape (one input row -> many frame
-    * rows, the explode pattern a real decoder would follow). */
+  /** Video frame sampling: emit every k-th frame as an image payload
+    * (one input row -> many frame rows, the explode pattern).
+    * REAL decode for RIFF/AVI containers whose frames ImageIO can read
+    * (MJPEG — each '..dc'/'..db' chunk is a standalone JPEG — plus any
+    * intra-coded codec a dropped-in ImageIO plugin handles): pure-JVM
+    * chunk walk, frame dims come from the bytes. Other containers
+    * (mp4/mkv/inter-coded codecs need native libs absent from this
+    * container) keep the documented deterministic STUB. */
   def sampleFrames(id: String, bytes: Array[Byte], w: Int, h: Int,
                    nFrames: Int, every: Int): Seq[DecodedImage] = {
-    (0 until nFrames by every).map { f =>
+    val real =
+      if (isAvi(bytes)) aviFrames(id, bytes, every)
+      else if (isGif(bytes)) gifFrames(id, bytes, every)
+      else Seq.empty
+    if (real.nonEmpty) real
+    else (0 until nFrames by every).map { f =>
       var s = java.util.Arrays.hashCode(bytes).toLong ^ (f.toLong * 0x9E3779B97F4A7C15L)
       val rgb = new Array[Byte](w * h * 3)
       var i = 0
@@ -443,6 +580,95 @@ object Media {
       }
       DecodedImage(s"$id#f$f", w, h, rgb)
     }
+  }
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** Animated-GIF frame sampling through the JDK's multi-frame
+    * ImageReader (plain ImageIO.read surfaces only frame 0): frames
+    * composite sequentially onto a logical-screen canvas at their
+    * descriptor offsets (the do-not-dispose accumulation the format's
+    * delta frames assume), and every `every`-th composite is emitted.
+    * Pure JDK — animated GIFs are the one multi-frame web format that
+    * needs no codec lib at all. */
+  private def gifFrames(id: String, bytes: Array[Byte], every: Int): Seq[DecodedImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!it.hasNext) return Seq.empty
+    val reader = it.next()
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      if (n <= 0) return Seq.empty
+      var canvas: java.awt.image.BufferedImage = null
+      var g: java.awt.Graphics2D = null
+      for (f <- 0 until n) {
+        val frame = reader.read(f)
+        val meta = reader.getImageMetadata(f)
+        val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        val x = desc.getAttribute("imageLeftPosition").toInt
+        val y = desc.getAttribute("imageTopPosition").toInt
+        if (canvas == null) {
+          canvas = new java.awt.image.BufferedImage(
+            x + frame.getWidth, y + frame.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          g = canvas.createGraphics()
+        }
+        g.drawImage(frame, x, y, null)
+        if (f % every == 0) out += bufferedToDecoded(s"$id#f$f", canvas)
+      }
+      if (g != null) g.dispose()
+      out.toSeq
+    } catch { case _: Throwable => Seq.empty } // corrupt GIF: caller stubs
+    finally reader.dispose()
+  }
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Walk the RIFF/AVI chunk tree to the 'movi' list and decode every
+    * `every`-th video-data chunk ('NNdc'/'NNdb') through ImageIO (MJPEG
+    * frames are standalone JPEGs). Frames ImageIO rejects are skipped;
+    * an AVI with no decodable frames returns empty (caller stubs). */
+  private def aviFrames(id: String, b: Array[Byte], every: Int): Seq[DecodedImage] = {
+    def u32(o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    val out = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
+    var frameNo = 0
+    def walk(off: Int, end: Int): Unit = {
+      var o = off
+      while (o + 8 <= end) {
+        val t = tag(o)
+        val len = u32(o + 4).toInt
+        val dataEnd = math.min(o + 8 + len, end)
+        if (t == "LIST" && dataEnd >= o + 12) {
+          walk(o + 12, dataEnd) // list body follows its 4-byte type
+        } else if (len > 0 && t.length == 4 &&
+          t.charAt(0).isDigit && t.charAt(1).isDigit &&
+          (t.endsWith("dc") || t.endsWith("db"))) {
+          if (frameNo % every == 0) {
+            javax.imageio.ImageIO.setUseCache(false)
+            val bi = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, o + 8, math.min(len, b.length - o - 8)))
+            catch { case _: Throwable => null }
+            if (bi != null) out += bufferedToDecoded(s"$id#f$frameNo", bi)
+          }
+          frameNo += 1
+        }
+        o = o + 8 + len + (len & 1) // chunks are word-aligned
+      }
+    }
+    if (b.length >= 12) walk(12, b.length)
+    out.toSeq
   }
 
   /** audio df (media_id, bytes, sample_rate, n_samples) -> features. */

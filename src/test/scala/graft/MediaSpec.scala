@@ -270,6 +270,65 @@ class MediaSpec extends AnyFunSuite {
     assert(ll.features.head._3.contains(9L))
   }
 
+  test("MJPEG AVI: real frame sampling from a RIFF container") {
+    // author a minimal AVI (RIFF/hdrl/movi) whose '00dc' chunks are real
+    // JDK-encoded JPEGs of distinct solid colors
+    def jpeg(r: Int, g: Int, b: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpeg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val frames = Seq(jpeg(250, 10, 10), jpeg(10, 250, 10), jpeg(10, 10, 250))
+    val body = list("hdrl", chunk("avih", new Array[Byte](56))) ++
+      list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+
+    val got = Media.sampleFrames("v1", avi, 0, 0, nFrames = 0, every = 2)
+    assert(got.map(_.image_id) == Seq("v1#f0", "v1#f2"), got.map(_.image_id))
+    assert(got.forall(f => f.w == 16 && f.h == 12))
+    def mean(img: graft.media.DecodedImage, c: Int): Double =
+      img.rgb.indices.collect { case i if i % 3 == c => img.rgb(i) & 0xFF }.sum /
+        (img.w * img.h).toDouble
+    assert(mean(got(0), 0) > 200 && mean(got(0), 1) < 60, "frame 0 not red")
+    assert(mean(got(1), 2) > 200 && mean(got(1), 0) < 60, "frame 2 not blue")
+    // non-AVI payloads keep the deterministic stub shape
+    val stub = Media.sampleFrames("v2", Array[Byte](1, 2, 3), 8, 8, nFrames = 4, every = 2)
+    assert(stub.map(_.image_id) == Seq("v2#f0", "v2#f2") && stub.forall(_.rgb.length == 192))
+  }
+
+  test("animated GIF: multi-frame sampling through the JDK reader") {
+    import javax.imageio.ImageIO
+    def solid(r: Int, g: Int, b: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 10) bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+      bi
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(solid(240, 20, 20), solid(20, 240, 20), solid(20, 20, 240), solid(240, 240, 20))
+      .foreach(bi => writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    val got = Media.sampleFrames("g1", bos.toByteArray, 0, 0, nFrames = 0, every = 3)
+    assert(got.map(_.image_id) == Seq("g1#f0", "g1#f3"), got.map(_.image_id))
+    assert(got.forall(f => f.w == 10 && f.h == 8))
+    assert((got(0).rgb(0) & 0xFF) > 200 && (got(0).rgb(1) & 0xFF) < 60, "frame 0 not red")
+    assert((got(1).rgb(0) & 0xFF) > 200 && (got(1).rgb(1) & 0xFF) > 200, "frame 3 not yellow")
+  }
+
   test("audio/video payload plumbing: features + frame sampling") {
     import spark.implicits._
     val audio = (0 until 50).map { i =>
