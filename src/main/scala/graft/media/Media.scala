@@ -1,6 +1,6 @@
 package graft.media
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Png
 
@@ -347,6 +347,132 @@ object Media {
     ids.select(col("image_id"), col("nid")).join(labels, Seq("nid"), "left")
       .join(repNames, Seq("rep"), "left")
       .select(col("image_id"), coalesce(col("rep_id"), col("image_id")).as("rep"))
+  }
+
+  // ---------- incremental image dedup against persisted state ----------
+
+  /** Pack a level-1 quarter-pair band key into one Long — the
+    * INDEXABLE band encoding (structs can't be bucket columns):
+    * (band << 32) | (quarter_i << 16) | quarter_j. */
+  private def packedBandKeys(dhash: Column): Column = {
+    def quarter(i: Int) = shiftrightunsigned(dhash, i * 16).bitwiseAND(lit(0xFFFFL))
+    array(chunkPairs.zipWithIndex.map { case ((i, j), b) =>
+      lit(b.toLong << 32).bitwiseOR(shiftleft(quarter(i), 16)).bitwiseOR(quarter(j))
+    }: _*)
+  }
+
+  /** Build the persisted dedup state for [[incrementalImageDedup]]:
+    * runs the full batch clustering, then lands
+    *  - `<table>` (catalog, parquet at `dir/bands`): one row per
+    *    (distinct dhash x 6 level-1 bands) — (band_key, dhash, rep_nid,
+    *    rep) — BUCKETED by band_key, so incremental probes join the
+    *    corpus-sized side with zero shuffle;
+    *  - `dir/labels`: (image_id, rep) for every image.
+    * Returns the labels. At 10^12 images the bands table is ~300 B/
+    * distinct hash; probes read only matching buckets. */
+  def writeImageDedupState(images: DataFrame, dir: String, table: String,
+                           buckets: Int, maxHamming: Int = 2): DataFrame = {
+    val spark = images.sparkSession
+    val labels = imageDupClusters(images, maxHamming).localCheckpoint(true)
+    val ids = dhashes(images).localCheckpoint(true)
+    val distinctHash = ids.groupBy(col("dhash"))
+      .agg(min(col("image_id")).as("member_id"))
+      .join(labels.withColumnRenamed("image_id", "member_id"), "member_id")
+      .select(col("dhash"), col("rep"), xxhash64(col("rep")).as("rep_nid"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    distinctHash
+      .select(explode(packedBandKeys(col("dhash"))).as("band_key"),
+        col("dhash"), col("rep_nid"), col("rep"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .option("path", s"$dir/bands").saveAsTable(table)
+    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    labels
+  }
+
+  /** Deduplicate a NEW batch against persisted state WITHOUT touching
+    * the old corpus — the only formulation that survives continuous
+    * ingest at 10^12 images (re-running [[imageDupClusters]] over
+    * everything per batch re-decodes and re-shuffles the world).
+    *
+    * Within the batch: the full recursive banding (recall 1.0 at
+    * Hamming <= maxHamming). Across the batch/corpus boundary: new
+    * hashes probe the bucketed level-1 band index — the corpus side
+    * never shuffles; only (new-hash, band) rows do — and verify by
+    * exact Hamming against the matched member hash. The index keeps
+    * EVERY band of every distinct hash and the probe join is uncapped,
+    * so boundary recall is ALSO 1.0 at Hamming <= 2 by the same
+    * pigeonhole; the cost guard is per-bucket join fan-out, bounded by
+    * |batch| x hottest-bucket occupancy (not corpus^2).
+    *
+    * Old labels are STICKY: a new image joining an old cluster takes
+    * the OLD rep. A new image bridging several old clusters reports a
+    * merge instead of relabeling the corpus: returns
+    * (newLabels(image_id, rep), merges(rep_a, merged_rep)) — apply
+    * merges downstream as rep_a -> merged_rep, at most a
+    * label-table-sized join, never a re-cluster. */
+  def incrementalImageDedup(newImages: DataFrame, bandsTable: String,
+                            maxHamming: Int = 2): (DataFrame, DataFrame) = {
+    val spark = newImages.sparkSession
+    val ids = dhashes(newImages)
+      .withColumn("nid", xxhash64(col("image_id")))
+      .localCheckpoint(true)
+    // exact pregroup within the batch (as in imageDupClusters)
+    val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
+    val withRep = ids.join(groups, "dhash")
+    val exactEdges = withRep.filter(col("nid") =!= col("grep"))
+      .select(col("nid").as("a"), col("grep").as("b"))
+    val repDf = withRep.filter(col("nid") === col("grep"))
+      .select(col("image_id"), col("dhash"))
+    val newNewEdges = imageNearDupPairs(repDf, maxHamming)
+      .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
+      .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
+      .select("a", "b")
+    // boundary probe: new distinct hashes explode their 6 band keys and
+    // join the BUCKETED index — corpus side shuffle-free — then verify
+    // by exact Hamming against the matched member hash
+    val probes = repDf
+      .join(ids.select(col("image_id"), col("nid")), "image_id")
+      .select(col("nid"), col("dhash").as("new_dhash"),
+        explode(packedBandKeys(col("dhash"))).as("band_key"))
+    val index = spark.table(bandsTable)
+    val newOldEdges = probes.join(index, "band_key")
+      .filter(graft.text.TextOps.hamming64(col("new_dhash"), col("dhash")) <= maxHamming)
+      .select(col("nid").as("a"), col("rep_nid").as("b"))
+      .distinct()
+    val oldReps = index.select(col("rep_nid"), col("rep")).distinct()
+    val comp = graft.ops.Components.connectedComponents(
+      exactEdges.unionByName(newNewEdges).unionByName(newOldEdges))
+    // sticky labels: a component containing old reps labels to the
+    // MINIMUM old rep nid (deterministic), not the component min
+    val compOld = comp.join(oldReps.select(col("rep_nid").as("node"),
+        col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
+      .groupBy(col("rep").as("crep"))
+      .agg(min(struct(col("old_nid"), col("old_rep"))).as("m"))
+      .select(col("crep"), col("m.old_rep").as("sticky_rep"))
+    val labeled = comp.withColumnRenamed("rep", "crep")
+      .join(compOld, Seq("crep"), "left")
+    // component-min NEW image id for components with no old anchor
+    val nidNames = ids.select(col("nid").as("node"), col("image_id").as("node_id"))
+    val newRepNames = labeled.join(nidNames, "node")
+      .groupBy(col("crep")).agg(min(struct(col("node"), col("node_id"))).as("mn"))
+      .select(col("crep"), col("mn.node_id").as("new_rep"))
+    val nodeLabel = labeled.join(newRepNames, Seq("crep"), "left")
+      .select(col("node").as("nid"), coalesce(col("sticky_rep"), col("new_rep")).as("lbl"))
+    val newLabels = ids.select(col("image_id"), col("nid"))
+      .join(nodeLabel, Seq("nid"), "left")
+      .select(col("image_id"), coalesce(col("lbl"), col("image_id")).as("rep"))
+    // merges: components holding >= 2 distinct old reps; merged_rep is
+    // the SAME min-by-nid choice the sticky labels above made
+    val merges = comp.join(oldReps.select(col("rep_nid").as("node"),
+        col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
+      .groupBy(col("rep").as("crep"))
+      .agg(collect_set(col("old_rep")).as("reps"),
+        min(struct(col("old_nid"), col("old_rep"))).as("m"))
+      .filter(size(col("reps")) >= 2)
+      .select(explode(col("reps")).as("rep_a"), col("m.old_rep").as("merged_rep"))
+      .filter(col("rep_a") =!= col("merged_rep"))
+    (newLabels, merges)
   }
 
   // ---------- audio / video payload plumbing ----------

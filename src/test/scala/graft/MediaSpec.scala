@@ -247,6 +247,45 @@ class MediaSpec extends AnyFunSuite {
     assert(got == brutePairs(hs), "banded pairs != brute-force Hamming<=2 truth")
   }
 
+  test("incremental image dedup against persisted state equals the full-batch partition") {
+    import spark.implicits._
+    val originals = (0L until 60L).map(i => ImageTable.row(77L, i))
+    def re(i: Int, tag: String) = {
+      val o = originals(i)
+      val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
+      o.copy(image_id = o.image_id + tag, bytes = Media.reencodePng(img), fmt = "png")
+    }
+    // A: first 40 originals + an A-internal dup. B: the rest + a
+    // BOUNDARY dup (copy of an A original) + a B-internal dup.
+    val aRows = originals.take(40) ++ Seq(re(3, "_ra"))
+    val bRows = originals.drop(40) ++ Seq(re(5, "_rb"), re(45, "_rbb"))
+    val dir = java.nio.file.Files.createTempDirectory("dedupstate").toString
+    val aLabels = Media.writeImageDedupState(
+      spark.createDataset(aRows).toDF(), dir, "dedup_state_bands", buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (bl, mg) = Media.incrementalImageDedup(
+      spark.createDataset(bRows).toDF(), "dedup_state_bands")
+    val bLabels = bl.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val merges = mg.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // sticky semantics: the boundary dup adopts A's existing label
+    val a5 = originals(5).image_id
+    assert(bLabels(a5 + "_rb") == aLabels(a5),
+      s"boundary dup got ${bLabels(a5 + "_rb")}, old cluster rep is ${aLabels(a5)}")
+    // B-internal dup co-labels with its B source
+    assert(bLabels(originals(45).image_id + "_rbb") == bLabels(originals(45).image_id))
+
+    // partition equivalence vs clustering A+B in one batch (rep CHOICE
+    // may differ — sticky reps are A's — the induced partition may not)
+    val full = Media.imageDupClusters(spark.createDataset(aRows ++ bRows).toDF())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def partition(m: Map[String, String]): Set[Set[String]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val aFinal = aLabels.map { case (id, rep) => id -> merges.getOrElse(rep, rep) }
+    assert(partition(aFinal ++ bLabels) == partition(full),
+      "incremental partition differs from full-batch clustering")
+  }
+
   test("MVT encode/decode roundtrip: geometry, layers, meta tags") {
     val pts = Seq(
       Mvt.MvtFeature(Array(100), Array(200), 7),
