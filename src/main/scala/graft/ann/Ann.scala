@@ -204,6 +204,19 @@ object Ann {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
+  /** Append new vectors to a persisted IVF index: assign against the
+    * index's OWN centroids (the coarse quantizer is fixed at build
+    * time — re-clustering would move cell boundaries and orphan the
+    * existing layout) and land them in their cells' partitions.
+    * Map-only + one partitioned append; the existing corpus is never
+    * read or rewritten. */
+  def appendIvfIndex(spark: SparkSession, vecs: DataFrame, dir: String): Unit = {
+    val (cids, cvecs) = collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    ivfAssign(vecs, cids, cvecs)
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** Query a persisted IVF index. The probe-cell set is collected
     * (<= |queries| * nprobe longs) into a static `isin` filter so
     * partition pruning is guaranteed at plan time (no reliance on

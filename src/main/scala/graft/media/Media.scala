@@ -412,11 +412,18 @@ object Media {
     * merges downstream as rep_a -> merged_rep, at most a
     * label-table-sized join, never a re-cluster. */
   def incrementalImageDedup(newImages: DataFrame, bandsTable: String,
-                            maxHamming: Int = 2): (DataFrame, DataFrame) = {
-    val spark = newImages.sparkSession
-    val ids = dhashes(newImages)
-      .withColumn("nid", xxhash64(col("image_id")))
-      .localCheckpoint(true)
+                            maxHamming: Int = 2): (DataFrame, DataFrame) =
+    incrementalImageDedupFromIds(
+      dhashes(newImages).withColumn("nid", xxhash64(col("image_id")))
+        .localCheckpoint(true),
+      bandsTable, maxHamming)
+
+  /** [[incrementalImageDedup]] over a precomputed (image_id, dhash,
+    * nid) projection — lets callers that also fold state (the streaming
+    * wrapper) pay the payload-decode pass ONCE per batch. */
+  def incrementalImageDedupFromIds(ids: DataFrame, bandsTable: String,
+                                   maxHamming: Int = 2): (DataFrame, DataFrame) = {
+    val spark = ids.sparkSession
     // exact pregroup within the batch (as in imageDupClusters)
     val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
     val withRep = ids.join(groups, "dhash")
@@ -473,6 +480,54 @@ object Media {
       .select(explode(col("reps")).as("rep_a"), col("m.old_rep").as("merged_rep"))
       .filter(col("rep_a") =!= col("merged_rep"))
     (newLabels, merges)
+  }
+
+  /** Fold a processed batch into the persisted dedup state so the NEXT
+    * batch's probes see it: appends band rows for the batch's distinct
+    * hashes that are NOT already indexed (presence is an exact-dhash
+    * match detected through the band-0 bucket join — identical hashes
+    * share every band, so one band suffices, and the corpus side stays
+    * shuffle-free), labeled with the batch's FINAL reps from
+    * [[incrementalImageDedup]]'s newLabels; plus the labels themselves.
+    * `buckets` must match the value the state was built with (Spark
+    * refuses mismatched bucket specs on append).
+    *
+    * Merge semantics: band rows of clusters ABSORBED by an earlier
+    * merge keep their original rep — labels compose through the
+    * accumulated merge tables (rep_a -> merged_rep), they are never
+    * rewritten in place. Single-writer: appends from concurrent batches
+    * race; serialize state folds per corpus (foreachBatch does). */
+  def appendImageDedupState(newImages: DataFrame, newLabels: DataFrame,
+                            bandsTable: String, dir: String, buckets: Int): Unit =
+    appendImageDedupStateFromIds(dhashes(newImages), newLabels, bandsTable, dir, buckets)
+
+  /** [[appendImageDedupState]] over a precomputed (image_id, dhash)
+    * projection (see [[incrementalImageDedupFromIds]]). */
+  def appendImageDedupStateFromIds(ids: DataFrame, newLabels: DataFrame,
+                                   bandsTable: String, dir: String, buckets: Int): Unit = {
+    val spark = ids.sparkSession
+    val distinctNew = ids.groupBy(col("dhash")).agg(min(col("image_id")).as("member_id"))
+    def band0(dhash: Column): Column = { // packed (b=0, q0, q1) key
+      def quarter(i: Int) = shiftrightunsigned(dhash, i * 16).bitwiseAND(lit(0xFFFFL))
+      shiftleft(quarter(0), 16).bitwiseOR(quarter(1))
+    }
+    val idx0 = spark.table(bandsTable)
+      .filter(col("band_key") < (1L << 32)) // band 0 rows only
+      .select(col("band_key"), col("dhash").as("old_dhash"))
+    val fresh = distinctNew.withColumn("band_key", band0(col("dhash")))
+      .join(idx0, Seq("band_key"), "left")
+      .groupBy(col("dhash"), col("member_id"))
+      .agg(max(when(col("old_dhash") === col("dhash"), 1).otherwise(0)).as("present"))
+      .filter(col("present") === 0)
+      .select(col("dhash"), col("member_id"))
+    fresh
+      .join(newLabels.withColumnRenamed("image_id", "member_id"), "member_id")
+      .select(explode(packedBandKeys(col("dhash"))).as("band_key"),
+        col("dhash"), xxhash64(col("rep")).as("rep_nid"), col("rep"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .option("path", s"$dir/bands").saveAsTable(bandsTable)
+    newLabels.write.mode("append").parquet(s"$dir/labels")
   }
 
   // ---------- audio / video payload plumbing ----------

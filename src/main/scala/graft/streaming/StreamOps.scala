@@ -95,6 +95,37 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("dhash")
   }
 
+  /** Continuous perceptual dedup with PERSISTED content-addressed
+    * state: each micro-batch dedups against the band index built by
+    * Media.writeImageDedupState (corpus side never shuffles), appends
+    * its labels and merge events to parquet sinks, and folds its fresh
+    * hashes back into the state so LATER batches see it. Complements
+    * [[streamingImageDedup]], whose watermark bounds state by TIME —
+    * this state is permanent and cross-restart (checkpoint + idempotent
+    * band presence check). Payload decode runs ONCE per batch. */
+  def incrementalDedupStream(images: DataFrame, bandsTable: String, stateDir: String,
+                             buckets: Int, labelsOut: String, mergesOut: String,
+                             checkpointDir: String): StreamingQuery =
+    images.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = graft.media.Media.dhashes(batch)
+          .withColumn("nid", xxhash64(col("image_id")))
+          .localCheckpoint(true)
+        if (ids.count() > 0) {
+          val (labels, merges) = graft.media.Media
+            .incrementalImageDedupFromIds(ids, bandsTable)
+          val l = labels.localCheckpoint(true)
+          l.write.mode("append").parquet(labelsOut)
+          merges.write.mode("append").parquet(mergesOut)
+          graft.media.Media.appendImageDedupStateFromIds(
+            ids.select(col("image_id"), col("dhash")), l, bandsTable, stateDir, buckets)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Incremental tileset maintenance — the reference's "encode new
     * files, merge, re-render" loop (README.md:97-107) as ONE streaming
     * query. Per micro-batch: (1) append the new (cell, meta) rows to the

@@ -286,6 +286,43 @@ class MediaSpec extends AnyFunSuite {
       "incremental partition differs from full-batch clustering")
   }
 
+  test("dedup state append: later batches see earlier batches; re-seen hashes don't bloat the index") {
+    import spark.implicits._
+    val originals = (0L until 70L).map(i => ImageTable.row(88L, i))
+    def re(i: Int, tag: String) = {
+      val o = originals(i)
+      val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
+      o.copy(image_id = o.image_id + tag, bytes = Media.reencodePng(img), fmt = "png")
+    }
+    val aRows = originals.take(40)
+    // B: fresh originals + a re-encode of an A original (hash already indexed)
+    val bRows = originals.slice(40, 60) ++ Seq(re(3, "_rb"))
+    // C: fresh originals + a re-encode of a B-ONLY original — resolvable
+    // only if B's append folded its hashes into the state
+    val cRows = originals.drop(60) ++ Seq(re(45, "_rc"))
+    val dir = java.nio.file.Files.createTempDirectory("dedupappend").toString
+    val tbl = "dedup_append_bands"
+    Media.writeImageDedupState(spark.createDataset(aRows).toDF(), dir, tbl, buckets = 4)
+    val (bl, _) = Media.incrementalImageDedup(spark.createDataset(bRows).toDF(), tbl)
+    val blM = bl.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Media.appendImageDedupState(spark.createDataset(bRows).toDF(), bl, tbl, dir, buckets = 4)
+    val (cl, _) = Media.incrementalImageDedup(spark.createDataset(cRows).toDF(), tbl)
+    val clM = cl.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b45 = originals(45).image_id
+    assert(clM(b45 + "_rc") == blM(b45),
+      s"C's dup of a B image got ${clM(b45 + "_rc")}, B labeled it ${blM(b45)}")
+    // idempotent fold: original 3's hash was in A's state; B's re-encode
+    // of it must NOT append duplicate band rows
+    val h3 = Media.dhash64(Media.decode(originals(3).image_id, originals(3).bytes,
+      originals(3).w, originals(3).h, originals(3).fmt))
+    val rows3 = spark.table(tbl).filter(col("dhash") === h3).count()
+    assert(rows3 == 6, s"re-seen hash has $rows3 band rows (expected 6)")
+    // B's fresh hashes DID land: one of B's originals has 6 rows
+    val h45 = Media.dhash64(Media.decode(b45, originals(45).bytes,
+      originals(45).w, originals(45).h, originals(45).fmt))
+    assert(spark.table(tbl).filter(col("dhash") === h45).count() == 6)
+  }
+
   test("MVT encode/decode roundtrip: geometry, layers, meta tags") {
     val pts = Seq(
       Mvt.MvtFeature(Array(100), Array(200), 7),

@@ -335,6 +335,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scanLine.contains("PartitionFilters: [cell") ||
       scanLine.contains("PartitionFilters: [(cell") ||
       scanLine.contains("cell IN"), scanLine)
+
+    // appending new vectors (assigned against the index's OWN fixed
+    // centroids) must equal rebuilding the whole index from scratch
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx2"
+    graft.ann.Ann.writeIvfIndex(vecs.filter(col("vec_id") < 200), cents, dir2)
+    graft.ann.Ann.appendIvfIndex(spark, vecs.filter(col("vec_id") >= 200), dir2)
+    val appended = graft.ann.Ann.ivfTopKFromIndex(spark, dir2, qs, 5, nprobe = 2)
+      .select("qid", "vec_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(appended == mem, "appended index diverges from full rebuild")
   }
 
   test("SparkSessionExtensions applies cleanly (function injection)") {

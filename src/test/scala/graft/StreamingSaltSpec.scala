@@ -98,6 +98,49 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(out.forall(_._2.nonEmpty), "survivor lost its payload")
   }
 
+  test("incremental dedup stream: later micro-batches resolve against folded state") {
+    import spark.implicits._
+    import graft.tables.ImageTable
+    import graft.media.Media
+    val originals = (0L until 50L).map(i => ImageTable.row(99L, i))
+    def re(i: Int, tag: String) = {
+      val o = originals(i)
+      val img = Media.decode(o.image_id, o.bytes, o.w, o.h, o.fmt)
+      o.copy(image_id = o.image_id + tag, bytes = Media.reencodePng(img), fmt = "png")
+    }
+    val base = java.nio.file.Files.createTempDirectory("incdedupstream").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val tbl = "stream_dedup_bands"
+    // initial state from the first 30 originals
+    Media.writeImageDedupState(
+      spark.createDataset(originals.take(30)).toDF(), s"$base/state", tbl, buckets = 4)
+    def feed(rows: Seq[graft.tables.ImageRow], tag: String): Unit = {
+      val tmp = s"$base/stage_$tag"
+      spark.createDataset(rows).toDF().coalesce(1).write.parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(in, s"${tag}_${f.getName}")))
+    }
+    val schema = spark.createDataset(originals.take(1)).toDF().schema
+    def runOnce(): Unit = {
+      val q = StreamOps.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(in), tbl, s"$base/state", 4,
+        s"$base/labels", s"$base/merges", s"$base/ckpt")
+      q.awaitTermination()
+    }
+    // batch 1: fresh originals 30-39 + a dup of a STATE image
+    feed(originals.slice(30, 40) :+ re(7, "_s"), "b1"); runOnce()
+    // batch 2: originals 40-49 + a dup of a BATCH-1-only image
+    feed(originals.drop(40) :+ re(35, "_t"), "b2"); runOnce()
+    val labels = spark.read.parquet(s"$base/labels")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // state dup resolved in batch 1 (sticky to the state's rep = itself)
+    assert(labels(originals(7).image_id + "_s") == originals(7).image_id)
+    // cross-micro-batch dup resolved in batch 2 via the folded state
+    assert(labels(originals(35).image_id + "_t") == labels(originals(35).image_id),
+      s"batch-2 dup got ${labels(originals(35).image_id + "_t")}")
+  }
+
   test("streaming text ingest parses identically to the batch source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("txtstream").toString
