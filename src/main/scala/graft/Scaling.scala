@@ -53,8 +53,12 @@ object Scaling {
         val path = Paths.get(resultPath(cpus))
         val keep = !Files.exists(path) ||
           Files.readString(path).trim.split(",")(6).toDouble > total
+        // the raw-CPU probe is captured HERE, in the same process slot
+        // as the measurement it normalizes — a report-time probe hours
+        // later would divide a stale efficiency by a fresh ceiling
+        val probe = cpuProbe(cpus)
         if (keep) Files.writeString(path,
-          f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f\n")
+          f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f,$probe%.3f\n")
         spark.stop()
       case None =>
         System.err.println("usage: Scaling <cpus>|report")
@@ -102,16 +106,20 @@ object Scaling {
     }
     val tertiary = (read(Lo3Cpus), read(Hi3Cpus)) match {
       case (Some(a), Some(b)) =>
-        // same-hour raw-CPU control: a pure-JVM busy loop (no Spark, no
-        // I/O) at the same two thread counts measures what this shared
-        // 32-vCPU host can deliver AT ALL across the pair — the widest
-        // pair runs into hyperthread siblings + hypervisor neighbors,
-        // and the engine cannot scale past the hardware's own ceiling.
-        val ceiling = (cpuProbe(Lo3Cpus) / cpuProbe(Hi3Cpus)) / 4.0
+        // raw-CPU control: a pure-JVM busy loop (no Spark, no I/O) at
+        // the same two thread counts measures what this shared 32-vCPU
+        // host can deliver AT ALL across the pair — the widest pair
+        // runs into hyperthread siblings + hypervisor neighbors, and
+        // the engine cannot scale past the hardware's own ceiling.
+        // Probes captured at MEASUREMENT time ride in the CSVs; a
+        // report-time probe (older CSVs) is labeled as such.
+        val (ceiling, capturedWhen) =
+          if (a.length > 7 && b.length > 7) ((a(7) / b(7)) / 4.0, "captured with each measurement")
+          else ((cpuProbe(Lo3Cpus) / cpuProbe(Hi3Cpus)) / 4.0, "measured at report time")
         val eff3 = (a(6) / b(6)) / 4.0
         f"| tertiary pair local[$Lo3Cpus] -> local[$Hi3Cpus] total sec | ${a(6)}%.2f -> ${b(6)}%.2f |\n" +
           f"| tertiary pair efficiency | ${eff3}%.3f |\n" +
-          f"| same-hour raw-CPU control ($Lo3Cpus -> $Hi3Cpus threads, busy loop) | ${ceiling}%.3f ceiling |\n" +
+          f"| raw-CPU control ($Lo3Cpus -> $Hi3Cpus threads, busy loop, $capturedWhen) | ${ceiling}%.3f ceiling |\n" +
           f"| tertiary efficiency / hardware ceiling | ${eff3 / ceiling}%.3f |\n"
       case _ => ""
     }

@@ -766,9 +766,9 @@ object SparkEntry {
     // equivalent to DuckDB's native ASOF JOIN on the same data
     "q45_asof_join" ->
       s"""WITH uni AS (
-         |  SELECT user_id, ts, event_id AS lid, NULL::BIGINT AS rid, 1 AS side FROM events WHERE event_type = 'click'
+         |  SELECT user_id, ts, event_id AS lid, NULL::BIGINT AS rid, 1 AS side FROM events WHERE event_type = 'click' AND ts IS NOT NULL
          |  UNION ALL
-         |  SELECT user_id, ts, NULL::BIGINT AS lid, event_id AS rid, 0 AS side FROM events WHERE event_type = 'view'),
+         |  SELECT user_id, ts, NULL::BIGINT AS lid, event_id AS rid, 0 AS side FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
          | c AS (SELECT user_id, lid, side,
          |   last_value(rid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, COALESCE(rid, lid)
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid_c

@@ -296,46 +296,72 @@ object Media {
     * the 8-byte hashes back by id — band shuffles carry (id, key) rows
     * only, never payloads.
     *
-    * Precondition: one row per DISTINCT dhash (collapse exact
-    * duplicates first, as [[imageDupClusters]]' pregroup does) — the
-    * terminal-level all-pairs bound assumes distinct hashes. */
+    * Exact-duplicate hashes are collapsed INTERNALLY before banding
+    * (the terminal level's all-pairs bound needs one row per distinct
+    * hash — without this, a mega-cluster of identical images would go
+    * quadratic, the exact failure the old hot-bucket cap guarded):
+    * duplicates re-attach by Hamming-0 star edges to their group's min
+    * id. The output is therefore CONNECTIVITY-preserving — every true
+    * near-dup pair is in the same connected component of the result —
+    * not the full quadratic pair set when exact duplicates exist.
+    * Distinct-hash inputs (what [[imageDupClusters]] feeds after its
+    * own pregroup) get the complete verbatim pair set. */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 2, "chunk-pair banding only guarantees recall for Hamming <= 2")
-    val members = hashes.select(col("image_id").as("doc_id"),
+    val distinctH = hashes.groupBy(col("dhash")).agg(min(col("image_id")).as("image_id"))
+    val exactStars = hashes
+      .join(distinctH.select(col("dhash"), col("image_id").as("rep_id")), "dhash")
+      .filter(col("image_id") =!= col("rep_id"))
+      .select(col("rep_id").as("img_a"), col("image_id").as("img_b"))
+    val members = distinctH.select(col("image_id").as("doc_id"),
       lit(0L).as("key"), col("dhash").as("resid"))
     val cand = bandPairs(members, 64, cap = 64).distinct()
-    val ha = hashes.select(col("image_id").as("img_a"), col("dhash").as("dh_a"))
-    val hb = hashes.select(col("image_id").as("img_b"), col("dhash").as("dh_b"))
+    val ha = distinctH.select(col("image_id").as("img_a"), col("dhash").as("dh_a"))
+    val hb = distinctH.select(col("image_id").as("img_b"), col("dhash").as("dh_b"))
     cand.join(ha, "img_a").join(hb, "img_b")
       .filter(graft.text.TextOps.hamming64(col("dh_a"), col("dh_b")) <= maxHamming)
       .select(col("img_a"), col("img_b"))
+      .unionByName(exactStars)
+  }
+
+  /** Exact-duplicate pregroup over an (image_id, dhash, nid)
+    * projection: identical dhashes (byte-identical and re-encoded
+    * copies — the BULK of web-corpus duplication) collapse by a plain
+    * hash aggregation, a star edge per member, so banding sees ONE
+    * representative per distinct hash (a million-copy image contributes
+    * one band row, never a mega-bucket). Returns (star edges (a, b) as
+    * nids, repDf (image_id, dhash)). SINGLE source for the batch and
+    * incremental clustering paths — the rep choice (min nid) must never
+    * diverge between them. */
+  private def exactPregroup(ids: DataFrame): (DataFrame, DataFrame) = {
+    val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
+    val withRep = ids.join(groups, "dhash")
+    (withRep.filter(col("nid") =!= col("grep"))
+        .select(col("nid").as("a"), col("grep").as("b")),
+      withRep.filter(col("nid") === col("grep"))
+        .select(col("image_id"), col("dhash")))
   }
 
   /** Full image dedup: decode -> dhash -> banded pairs -> connected
     * components. Returns (image_id, rep); keep-one is
     * filter(image_id === rep) after a left join back to the table. */
-  def imageDupClusters(images: DataFrame, maxHamming: Int = 2): DataFrame = {
+  def imageDupClusters(images: DataFrame, maxHamming: Int = 2): DataFrame =
     // materialize the (id, dhash, nid) projection ONCE: it feeds several
     // consumers and each would otherwise re-run the payload decode
     // pass. Eager localCheckpoint = lineage-free, reclaimed by the
     // ContextCleaner. nid = xxhash64 of the string id, the Long node id
     // components need (collision odds ~n^2/2^65 — 1e-8 at a million
     // images; at real catalog scale swap in a precomputed numeric key).
-    val ids = dhashes(images)
-      .withColumn("nid", xxhash64(col("image_id")))
-      .localCheckpoint(true)
-    // Exact-duplicate pregroup: identical dhashes (byte-identical and
-    // re-encoded copies — the BULK of web-corpus duplication) collapse
-    // by a plain hash aggregation, a star edge per member. Banding then
-    // runs on ONE representative per distinct hash, so a million-copy
-    // image contributes one band row instead of a mega-bucket the
-    // hot-bucket cap would have to truncate.
-    val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
-    val withRep = ids.join(groups, "dhash")
-    val exactEdges = withRep.filter(col("nid") =!= col("grep"))
-      .select(col("nid").as("a"), col("grep").as("b"))
-    val repDf = withRep.filter(col("nid") === col("grep"))
-      .select(col("image_id"), col("dhash"))
+    imageDupClustersFromIds(
+      dhashes(images).withColumn("nid", xxhash64(col("image_id")))
+        .localCheckpoint(true),
+      maxHamming)
+
+  /** [[imageDupClusters]] over a precomputed (image_id, dhash, nid)
+    * projection — state builders that also need the hashes pay the
+    * payload-decode pass ONCE. */
+  def imageDupClustersFromIds(ids: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val (exactEdges, repDf) = exactPregroup(ids)
     val nearEdges = imageNearDupPairs(repDf, maxHamming)
       .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
       .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
@@ -373,8 +399,11 @@ object Media {
   def writeImageDedupState(images: DataFrame, dir: String, table: String,
                            buckets: Int, maxHamming: Int = 2): DataFrame = {
     val spark = images.sparkSession
-    val labels = imageDupClusters(images, maxHamming).localCheckpoint(true)
-    val ids = dhashes(images).localCheckpoint(true)
+    // ONE payload-decode pass feeds both the clustering and the index
+    val ids = dhashes(images)
+      .withColumn("nid", xxhash64(col("image_id")))
+      .localCheckpoint(true)
+    val labels = imageDupClustersFromIds(ids, maxHamming).localCheckpoint(true)
     val distinctHash = ids.groupBy(col("dhash"))
       .agg(min(col("image_id")).as("member_id"))
       .join(labels.withColumnRenamed("image_id", "member_id"), "member_id")
@@ -424,30 +453,30 @@ object Media {
   def incrementalImageDedupFromIds(ids: DataFrame, bandsTable: String,
                                    maxHamming: Int = 2): (DataFrame, DataFrame) = {
     val spark = ids.sparkSession
-    // exact pregroup within the batch (as in imageDupClusters)
-    val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
-    val withRep = ids.join(groups, "dhash")
-    val exactEdges = withRep.filter(col("nid") =!= col("grep"))
-      .select(col("nid").as("a"), col("grep").as("b"))
-    val repDf = withRep.filter(col("nid") === col("grep"))
-      .select(col("image_id"), col("dhash"))
+    val (exactEdges, repDf) = exactPregroup(ids)
     val newNewEdges = imageNearDupPairs(repDf, maxHamming)
       .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
       .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
       .select("a", "b")
     // boundary probe: new distinct hashes explode their 6 band keys and
     // join the BUCKETED index — corpus side shuffle-free — then verify
-    // by exact Hamming against the matched member hash
+    // by exact Hamming against the matched member hash. The hit set is
+    // candidate-sized and eagerly checkpointed: BOTH the edge list and
+    // the old-rep name map below derive from it, and everything this
+    // function knows about the corpus flows through it — the index is
+    // never scanned or aggregated in full.
     val probes = repDf
       .join(ids.select(col("image_id"), col("nid")), "image_id")
       .select(col("nid"), col("dhash").as("new_dhash"),
         explode(packedBandKeys(col("dhash"))).as("band_key"))
     val index = spark.table(bandsTable)
-    val newOldEdges = probes.join(index, "band_key")
+    val probeHits = probes.join(index, "band_key")
       .filter(graft.text.TextOps.hamming64(col("new_dhash"), col("dhash")) <= maxHamming)
-      .select(col("nid").as("a"), col("rep_nid").as("b"))
+      .select(col("nid"), col("rep_nid"), col("rep"))
+      .localCheckpoint(true)
+    val newOldEdges = probeHits.select(col("nid").as("a"), col("rep_nid").as("b"))
       .distinct()
-    val oldReps = index.select(col("rep_nid"), col("rep")).distinct()
+    val oldReps = probeHits.select(col("rep_nid"), col("rep")).distinct()
     val comp = graft.ops.Components.connectedComponents(
       exactEdges.unionByName(newNewEdges).unionByName(newOldEdges))
     // sticky labels: a component containing old reps labels to the
@@ -572,7 +601,11 @@ object Media {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
       val tag = new String(b, off, 4, "US-ASCII")
-      val len = u32(off + 4).toInt
+      // a corrupt/overflowing length field must never stall the walk:
+      // clamp to the bytes actually present (a truncated final chunk is
+      // normal; anything claiming more than remains IS final)
+      val avail = b.length - off - 8
+      val len = math.min(u32(off + 4), avail.toLong).toInt
       if (tag == "fmt ") {
         fmtTag = u16(off + 8)
         channels = u16(off + 10)
@@ -582,7 +615,7 @@ object Media {
       } else if (tag == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // chunks are word-aligned
     }
-    require(dataOff >= 0 && sampleRate > 0, s"$id: malformed wav")
+    require(dataOff >= 0 && sampleRate > 0 && channels >= 1, s"$id: malformed wav")
     dataLen = math.min(dataLen, b.length - dataOff)
     val pcm: Array[Float] = fmtTag match {
       case 1 =>
@@ -707,8 +740,12 @@ object Media {
         n += 8
         o += 4 * channels
       }
+      // a TRUNCATED final block yields only the samples its bytes
+      // actually encode — padding to samplesPerBlock would splice
+      // silence into the stream and skew duration/rms features
+      val decoded = math.min(samplesPerBlock, n)
       var f = 0
-      while (f < samplesPerBlock) {
+      while (f < decoded) {
         var acc = 0.0f; var c = 0
         while (c < channels) { acc += ch(c)(f); c += 1 }
         out += acc / channels
@@ -784,6 +821,17 @@ object Media {
         new java.io.ByteArrayInputStream(bytes)))
       val n = reader.getNumImages(true)
       if (n <= 0) return Seq.empty
+      // canvas dims come from the LOGICAL SCREEN descriptor, not frame 0:
+      // optimized GIFs delta-encode frames as sub-rectangles, and a
+      // frame-0-sized canvas would silently clip every later frame
+      val screen = try {
+        val st = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val lsd = st.getElementsByTagName("LogicalScreenDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        Some((lsd.getAttribute("logicalScreenWidth").toInt,
+          lsd.getAttribute("logicalScreenHeight").toInt))
+      } catch { case _: Throwable => None }
       var canvas: java.awt.image.BufferedImage = null
       var g: java.awt.Graphics2D = null
       for (f <- 0 until n) {
@@ -796,8 +844,10 @@ object Media {
         val x = desc.getAttribute("imageLeftPosition").toInt
         val y = desc.getAttribute("imageTopPosition").toInt
         if (canvas == null) {
+          val (cw, ch) = screen.filter(s => s._1 > 0 && s._2 > 0)
+            .getOrElse((x + frame.getWidth, y + frame.getHeight))
           canvas = new java.awt.image.BufferedImage(
-            x + frame.getWidth, y + frame.getHeight,
+            math.max(cw, x + frame.getWidth), math.max(ch, y + frame.getHeight),
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           g = canvas.createGraphics()
         }
@@ -829,8 +879,11 @@ object Media {
       var o = off
       while (o + 8 <= end) {
         val t = tag(o)
-        val len = u32(o + 4).toInt
-        val dataEnd = math.min(o + 8 + len, end)
+        // clamp corrupt/overflowing chunk lengths to the bytes present:
+        // the walk must always advance (a negative toInt would otherwise
+        // spin this loop forever on one adversarial payload)
+        val len = math.min(u32(o + 4), (end - o - 8).toLong).toInt
+        val dataEnd = o + 8 + len
         if (t == "LIST" && dataEnd >= o + 12) {
           walk(o + 12, dataEnd) // list body follows its 4-byte type
         } else if (len > 0 && t.length == 4 &&

@@ -380,6 +380,12 @@ class MediaSpec extends AnyFunSuite {
     // non-AVI payloads keep the deterministic stub shape
     val stub = Media.sampleFrames("v2", Array[Byte](1, 2, 3), 8, 8, nFrames = 4, every = 2)
     assert(stub.map(_.image_id) == Seq("v2#f0", "v2#f2") && stub.forall(_.rgb.length == 192))
+    // a corrupt chunk length (claims 4 GiB) must terminate the walk —
+    // no decodable frames, so the caller falls through to the stub
+    val bad = "RIFF".getBytes("US-ASCII") ++ le32(100) ++ "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8) ++ new Array[Byte](16)
+    val sf = Media.sampleFrames("v3", bad, 4, 4, nFrames = 2, every = 1)
+    assert(sf.map(_.image_id) == Seq("v3#f0", "v3#f1") && sf.forall(_.rgb.length == 48))
   }
 
   test("animated GIF: multi-frame sampling through the JDK reader") {

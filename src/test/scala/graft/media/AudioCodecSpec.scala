@@ -91,6 +91,29 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(dec.sampleRate == sr && dec.samples.length == n, s"got ${dec.samples.length}")
     val snr = snrDb(dec.samples)
     assert(snr > 20, s"ADPCM SNR $snr dB")
+
+    // a TRUNCATED final block yields only its encoded samples — no
+    // zero padding spliced into the stream (1 header sample + 20 data
+    // bytes = 40 nibbles)
+    val cut = data.toByteArray.take(6 * blockAlign + 4 + 20)
+    val decCut = Media.decodeAudio("adpcmcut",
+      wavContainer(0x11, channels = 1, rate = sr, blockAlign = blockAlign, bits = 4, cut), 0, 0)
+    assert(decCut.samples.length == 6 * samplesPerBlock + 41,
+      s"truncated block decoded ${decCut.samples.length}")
+  }
+
+  test("corrupt RIFF chunk length terminates the WAV walk (no hang)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(100); bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("junk".getBytes("US-ASCII")); le32(0xFFFFFFF8) // claims 4 GiB
+    bos.write(new Array[Byte](32))
+    // the clamped walk reaches EOF without fmt/data and reports
+    // malformed — instead of spinning forever on the bogus length
+    intercept[IllegalArgumentException] {
+      Media.decodeAudio("c1", bos.toByteArray, 8000, 10)
+    }
   }
 
   private def pcmShorts: Array[Short] = Array.tabulate(n)(i => sine(i).toShort)
