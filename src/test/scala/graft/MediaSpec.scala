@@ -411,6 +411,71 @@ class MediaSpec extends AnyFunSuite {
     assert((got(1).rgb(0) & 0xFF) > 200 && (got(1).rgb(1) & 0xFF) > 200, "frame 3 not yellow")
   }
 
+  test("delta-encoded GIF: sub-rectangle frames composite on the logical screen") {
+    import javax.imageio.{ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      bi
+    }
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    // stream metadata pins the 20x16 LOGICAL SCREEN (bigger than frame 0)
+    val smeta = writer.getDefaultStreamMetadata(null)
+    val sfmt = "javax_imageio_gif_stream_1.0"
+    val sroot = smeta.getAsTree(sfmt).asInstanceOf[IIOMetadataNode]
+    val lsd = {
+      val kids = sroot.getChildNodes
+      (0 until kids.getLength).map(kids.item).find(_.getNodeName == "LogicalScreenDescriptor")
+        .map(_.asInstanceOf[IIOMetadataNode]).getOrElse {
+          val n = new IIOMetadataNode("LogicalScreenDescriptor"); sroot.appendChild(n); n
+        }
+    }
+    lsd.setAttribute("logicalScreenWidth", "20")
+    lsd.setAttribute("logicalScreenHeight", "16")
+    lsd.setAttribute("colorResolution", "7")
+    lsd.setAttribute("pixelAspectRatio", "0")
+    smeta.setFromTree(sfmt, sroot)
+    def frameMeta(img: java.awt.image.BufferedImage, x: Int, y: Int) = {
+      val m = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = m.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = root.getChildNodes
+      val desc = (0 until kids.getLength).map(kids.item)
+        .find(_.getNodeName == "ImageDescriptor").get.asInstanceOf[IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      m.setFromTree(fmt, root)
+      m
+    }
+    writer.prepareWriteSequence(smeta)
+    // frame 0 is a small 6x5 patch at (10, 8): frame-0-sized canvases
+    // (the old bug) would clip the full-screen frame 1 to 16x13
+    val f0 = solid(6, 5, 0x20C020)
+    val f1 = solid(20, 16, 0xC02020)
+    writer.writeToSequence(new javax.imageio.IIOImage(f0, null, frameMeta(f0, 10, 8)), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(f1, null, frameMeta(f1, 0, 0)), null)
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    val got = Media.sampleFrames("gd", bos.toByteArray, 0, 0, nFrames = 0, every = 1)
+    assert(got.map(_.image_id) == Seq("gd#f0", "gd#f1"))
+    assert(got.forall(f => f.w == 20 && f.h == 16),
+      s"canvas not logical-screen-sized: ${got.map(f => (f.w, f.h))}")
+    // frame 0 composite: green patch at (10,8), background untouched
+    def px(img: graft.media.DecodedImage, x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * img.w + x) * 3
+      ((img.rgb(o) & 0xFF), (img.rgb(o + 1) & 0xFF), (img.rgb(o + 2) & 0xFF))
+    }
+    assert(px(got(0), 12, 10)._2 > 150, "patch pixel not green")
+    assert(px(got(0), 0, 0)._2 < 60, "background unexpectedly painted")
+    // frame 1 composite: full red screen, including the far corner the
+    // old frame-0-sized canvas would have clipped
+    assert(px(got(1), 19, 15)._1 > 150, "corner pixel clipped — canvas not logical screen")
+  }
+
   test("audio/video payload plumbing: features + frame sampling") {
     import spark.implicits._
     val audio = (0 until 50).map { i =>
