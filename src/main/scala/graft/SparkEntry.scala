@@ -412,6 +412,14 @@ object SparkEntry {
       Knn.knnJoinAuto(s, pts, qs, k = 5)
     }),
 
+    // salient terms: top-3 per doc by tf among terms in <= 80% of docs
+    // (integer-only keyword extraction; df cut replaces a stopword list)
+    "q48_salient_terms" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val maxDf = docs.count() * 4 / 5
+      TextOps.salientTerms(docs, n = 3, maxDf = maxDf)
+    }),
+
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
     "q35_sessions" -> ((s, d) => {
       s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
@@ -748,6 +756,20 @@ object SparkEntry {
          |   CAST((s_suppkey * 1009) % 2000 AS BIGINT) AS lo,
          |   CAST((s_suppkey * 1009) % 2000 + 50 + (s_suppkey * 31) % 500 AS BIGINT) AS hi FROM supplier)
          | SELECT p.pid, p.v, i.iid FROM p JOIN i ON p.v >= i.lo AND p.v <= i.hi""".stripMargin.replace("\n", " "),
+
+    "q48_salient_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS term
+         |  FROM documents),
+         | t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         | dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+         |   HAVING count(DISTINCT doc_id) <= (SELECT (count(*) * 4) // 5 FROM documents))
+         | SELECT doc_id, term, tf, df, rn FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
+         |  FROM tf JOIN dfq USING (term)) r
+         | WHERE rn <= 3""".stripMargin.replace("\n", " "),
 
     // auto-shift kNN is EXACT (the density heuristic only moves the
     // in-ring/fallback split), so the oracle is q10's brute force

@@ -109,6 +109,35 @@ object TextOps {
         (h, ch) => (h * 31 + ascii(ch)) % 2147483647L))
   }
 
+  /** Salient terms per document — keyword extraction for corpus
+    * curation: top-`n` terms by in-document frequency among terms whose
+    * corpus document-frequency is <= `maxDf` (ubiquitous terms are
+    * stopwords by construction; no hand-curated list). Integer-only
+    * scoring, so the DuckDB oracle (q48) is bit-exact — tf*idf with a
+    * float log would diverge in the last ulp across engines.
+    *
+    * Scale shape: tokenize map-side; tf is a hash aggregation keyed
+    * (doc, term); df a hash aggregation keyed term with a partial
+    * distinct; the df join is term-cardinality-sized (AQE broadcasts
+    * it — vocabulary, not corpus); the top-n window partitions by doc
+    * (millions of small groups, no hot key). The wide text column never
+    * shuffles — only (doc_id, term) rows do. */
+  def salientTerms(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
+  }
+
   // ---------- near-dup signatures (portable hashes: the same integer
   // arithmetic is generated as DuckDB SQL by PortableHash, so these get
   // full SQL oracles; the Spark side runs as one codegen'd kernel call
