@@ -235,6 +235,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("salient terms: the wide text column never rides a shuffle") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val df = graft.text.TextOps.salientTerms(docs, 3, 400)
+      val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          "text column shuffled: " + e.output.map(_.name).mkString(", "))
+      }
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("as-of join: matches brute force, one exchange, no range join") {
     import spark.implicits._
     // synthetic: clicks/views with planted edge cases (click before any
