@@ -420,6 +420,16 @@ object SparkEntry {
       TextOps.salientTerms(docs, n = 3, maxDf = maxDf)
     }),
 
+    // benchmark decontamination: docs sharing any 4-token shingle with
+    // the probe set (doc_id < 50 stands in for an eval set; short
+    // synthetic docs need a shorter shingle than the 8-13 tokens real
+    // pipelines use); corpus = the rest — train/test leakage detection
+    "q49_contamination" -> ((s, d) => {
+      val all = s.read.parquet(s"$d/documents.parquet")
+      TextOps.contamination(
+        all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50), n = 4)
+    }),
+
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
     "q35_sessions" -> ((s, d) => {
       s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
@@ -770,6 +780,14 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
          |  FROM tf JOIN dfq USING (term)) r
          | WHERE rn <= 3""".stripMargin.replace("\n", " "),
+
+    "q49_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 3, 0)), i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM tok),
+         | probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+         | corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 50)
+         | SELECT c.doc_id, count(*) AS hits, count(DISTINCT c.sh) AS distinct_hits
+         | FROM corpus c JOIN probe p USING (sh) GROUP BY 1""".stripMargin.replace("\n", " "),
 
     // auto-shift kNN is EXACT (the density heuristic only moves the
     // in-ring/fallback split), so the oracle is q10's brute force

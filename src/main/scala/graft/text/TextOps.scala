@@ -138,6 +138,45 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
   }
 
+  /** Token `n`-gram shingles of a text column: whitespace tokens,
+    * sliding windows of n, re-joined with single spaces — the unit of
+    * benchmark-contamination matching. Deterministic string output both
+    * Spark and DuckDB can reproduce verbatim. */
+  def tokenShingles(c: Column, n: Int): Column = {
+    val toks = filter(split(c, " ", -1), x => x =!= "")
+    // guard short docs explicitly: Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) instead of returning empty (DuckDB's generate_series
+    // returns [] there — a silent parity trap)
+    when(size(toks) < n, typedLit(Array.empty[String])).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Benchmark decontamination: flag documents sharing any token
+    * `n`-gram with the probe corpus (eval/test sets) — the standard
+    * guard against train/test leakage. Returns one row per CONTAMINATED
+    * document: (doc_id, hits = matching shingle occurrences,
+    * distinct_hits = distinct matching shingles); clean docs are absent
+    * (callers anti-join to keep them).
+    *
+    * Scale shape: the probe shingle set is eval-sized — tiny next to
+    * the corpus — so the match is a broadcast semi-ish join on the
+    * shingle string; the corpus explodes to (doc_id, shingle) rows
+    * map-side and aggregates back by doc. The wide text column never
+    * shuffles. Shingles could ride as 64-bit hashes instead of strings
+    * at 100 TB (same plan shape, 8-byte keys); strings keep the oracle
+    * exact here. */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
+    val docSh = docs.select(col("doc_id"),
+      explode(tokenShingles(col("text"), n)).as("sh"))
+    val probeSh = probes.select(explode(tokenShingles(col("text"), n)).as("sh"))
+      .distinct()
+    docSh.join(broadcast(probeSh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"), countDistinct(col("sh")).as("distinct_hits"))
+  }
+
   // ---------- near-dup signatures (portable hashes: the same integer
   // arithmetic is generated as DuckDB SQL by PortableHash, so these get
   // full SQL oracles; the Spark side runs as one codegen'd kernel call
