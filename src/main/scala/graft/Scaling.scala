@@ -59,12 +59,14 @@ object Scaling {
           Some(Files.readString(path).trim.split(",")) else None
         val newRow = f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f,$probe%.3f\n"
         stored match {
-          case Some(s) if s(6).toDouble <= total && s.length > 7 =>
-            () // stored min stands, probe already rides with it
           case Some(s) if s(6).toDouble <= total =>
-            // stored (pre-probe-format) min stands; backfill this run's
-            // probe so the report can use measurement-time controls
-            Files.writeString(path, s.mkString(",") + f",$probe%.3f\n")
+            // stored min stands. A probe is NEVER backfilled onto an
+            // earlier run's timing — the ceiling swings by hour, so a
+            // mixed-epoch (timing, probe) pair would be exactly the
+            // stale mismatch this column exists to prevent; a
+            // probe-less row simply makes the report fall back to a
+            // report-time probe with the honest label.
+            ()
           case _ => Files.writeString(path, newRow)
         }
         spark.stop()

@@ -34,10 +34,13 @@ object TextOps {
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
-  /** Whitespace token count: nonempty chunks between single spaces —
-    * a definition both Spark and the SQL oracle compute identically. */
-  def tokenCount(c: Column): Column =
-    size(filter(split(c, " ", -1), x => x =!= ""))
+  /** Whitespace tokens: nonempty chunks between single spaces — THE
+    * token definition, shared by counts, shingles and the SQL oracles
+    * (list_filter(string_split(...))); one source or parity breaks. */
+  def tokens(c: Column): Column =
+    filter(split(c, " ", -1), x => x =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish pre-tokenizer (GPT-2-style split simplified to the subset
     * Java regex and RE2 interpret identically — no lookaround): runs of
@@ -128,8 +131,10 @@ object TextOps {
       explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives from tf — its rows are already one per (doc, term) —
+    // so the text scan + tokenize executes ONCE and the tf shuffle is
+    // reused, instead of a second distinct() pass over the raw tokens
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term").asc)
     tf.join(dfreq, "term")
@@ -143,7 +148,7 @@ object TextOps {
     * benchmark-contamination matching. Deterministic string output both
     * Spark and DuckDB can reproduce verbatim. */
   def tokenShingles(c: Column, n: Int): Column = {
-    val toks = filter(split(c, " ", -1), x => x =!= "")
+    val toks = tokens(c)
     // guard short docs explicitly: Spark's sequence(1, 0) DESCENDS
     // ([1, 0]) instead of returning empty (DuckDB's generate_series
     // returns [] there — a silent parity trap)
