@@ -423,11 +423,23 @@ object SparkEntry {
     // benchmark decontamination: docs sharing any 4-token shingle with
     // the probe set (doc_id < 50 stands in for an eval set; short
     // synthetic docs need a shorter shingle than the 8-13 tokens real
-    // pipelines use); corpus = the rest — train/test leakage detection
+    // pipelines use); corpus = the rest — train/test leakage detection.
+    // Keys are one-pass 62-bit shingle hashes (the 100 TB shape); the
+    // oracle recomputes the identical hash.
     "q49_contamination" -> ((s, d) => {
       val all = s.read.parquet(s"$d/documents.parquet")
       TextOps.contamination(
         all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50), n = 4)
+    }),
+
+    // exact-substring decontamination: docs sharing any 30-char exact
+    // substring with the probe set — catches reformatted contamination
+    // that re-tokenizes differently (the complement of q49); rolling
+    // char-30-gram hashes, one O(chars) pass per doc
+    "q50_substr_contamination" -> ((s, d) => {
+      val all = s.read.parquet(s"$d/documents.parquet")
+      TextOps.substringContamination(
+        all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50), n = 30)
     }),
 
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
@@ -781,13 +793,28 @@ object SparkEntry {
          |  FROM tf JOIN dfq USING (term)) r
          | WHERE rn <= 3""".stripMargin.replace("\n", " "),
 
-    "q49_contamination" ->
+    // single-source hash: tokenHashSql generates the same
+    // (poly31<<31)|poly37 packing the JVM kernel computes per shingle
+    "q49_contamination" -> {
+      import graft.text.PortableHash
       s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
-         | sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 3, 0)), i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM tok),
+         | shs AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 3, 0)), i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS s FROM tok),
+         | sh AS (SELECT doc_id, ${PortableHash.tokenHashSql("s")} AS sh FROM shs),
          | probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
          | corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 50)
          | SELECT c.doc_id, count(*) AS hits, count(DISTINCT c.sh) AS distinct_hits
-         | FROM corpus c JOIN probe p USING (sh) GROUP BY 1""".stripMargin.replace("\n", " "),
+         | FROM corpus c JOIN probe p USING (sh) GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
+
+    "q50_substr_contamination" -> {
+      import graft.text.PortableHash
+      s"""WITH w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 29, 0)), i -> substr(text, i, 30))) AS s FROM documents),
+         | w AS (SELECT doc_id, ${PortableHash.tokenHashSql("s")} AS wh FROM w0),
+         | probe AS (SELECT DISTINCT wh FROM w WHERE doc_id < 50),
+         | corpus AS (SELECT doc_id, wh FROM w WHERE doc_id >= 50)
+         | SELECT c.doc_id, count(*) AS hits, count(DISTINCT c.wh) AS distinct_hits
+         | FROM corpus c JOIN probe p USING (wh) GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
 
     // auto-shift kNN is EXACT (the density heuristic only moves the
     // in-ring/fallback split), so the oracle is q10's brute force

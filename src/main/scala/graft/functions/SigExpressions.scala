@@ -52,6 +52,47 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass token n-gram shingle hashes (see
+  * PortableHash.tokenShingleHashes): the 8-byte contamination-join keys.
+  * Replaces the interpreted transform/slice lambda that re-split the
+  * document once per shingle (O(tokens^2) character work per doc). */
+case class TokenShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_shingle_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.PortableHash.tokenShingleHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.PortableHash.tokenShingleHashes($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass token n-gram shingle strings (single-space-joined windows). */
+case class TokenShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.PortableHash.tokenShingles(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.PortableHash.tokenShingles($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rolling character n-gram hashes (exact-substring decontamination
+  * seeds; see PortableHash.charNgramHashes). */
+case class CharNgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.PortableHash.charNgramHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.PortableHash.charNgramHashes($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane sign-bit signature of a float-array embedding. */
 case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -134,6 +134,137 @@ object PortableHash {
     new GenericArrayData(Array.tabulate(bands)(b => bandKey(sig, b, rows)))
   }
 
+  /** Token boundaries of `s` as flat (start, end) offsets: maximal runs
+    * of non-space chars — EXACTLY the split(s, " ")-and-drop-empties
+    * token definition shared with the SQL oracles (TextOps.tokens). */
+  private def tokenBounds(s: String): Array[Int] = {
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) != ' ') {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        out.add(start); out.add(i)
+      } else i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  /** h64 = (poly31 << 31) | poly37 over the codepoints of one token
+    * window joined with single spaces — appended into (h31, h37)
+    * accumulators. Codepoint iteration matches DuckDB's
+    * string_split(s, '') + ascii() exactly (ascii returns the
+    * codepoint of a multi-byte char, not a byte). */
+  private def foldRange(s: String, from: Int, to: Int, h: Array[Long], first: Boolean): Boolean = {
+    var i = from
+    var f = first
+    while (i < to) {
+      val cp = s.codePointAt(i)
+      if (f) { h(0) = cp; h(1) = cp; f = false }
+      else { h(0) = (h(0) * 31 + cp) % P; h(1) = (h(1) * 37 + cp) % P }
+      i += Character.charCount(cp)
+    }
+    f
+  }
+
+  /** Token `n`-gram shingle hashes in ONE pass over the text: tokenize
+    * once, then hash each n-token window (joined with single spaces) as
+    * h64 = (poly31 << 31) | poly37 — the same packing as
+    * [[tokenHashSql]], so the DuckDB oracle reproduces every value. The
+    * 8-byte keys are the 100 TB shape for contamination joins: the
+    * shingle STRINGS never materialize, and per-doc work is
+    * O(chars * n), not the O(tokens^2) of re-splitting per window. */
+  def tokenShingleHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val b = tokenBounds(s)
+    val m = b.length / 2
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    val h = new Array[Long](2)
+    var w = 0
+    while (w <= m - n) {
+      var first = true
+      var t = 0
+      while (t < n) {
+        if (!first) { h(0) = (h(0) * 31 + 32) % P; h(1) = (h(1) * 37 + 32) % P }
+        first = foldRange(s, b(2 * (w + t)), b(2 * (w + t) + 1), h, first)
+        t += 1
+      }
+      out(w) = (h(0) << 31) | h(1)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Token `n`-gram shingle STRINGS (windows joined with single spaces)
+    * in one tokenize pass — the exact-string variant of
+    * [[tokenShingleHashes]] for oracle-scale verification and callers
+    * that need the text itself. */
+  def tokenShingles(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val b = tokenBounds(s)
+    val m = b.length / 2
+    if (m < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m - n + 1)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w <= m - n) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(s, b(2 * (w + t)), b(2 * (w + t) + 1))
+        t += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Character `n`-gram hashes of the raw text via ROLLING poly31/poly37
+    * folds over codepoints (h' = (h - c_out*31^(n-1))*31 + c_in mod P):
+    * one O(chars) pass regardless of n. Window w covers codepoints
+    * [w, w+n); h64 packs both folds like [[tokenHashSql]]. These are
+    * the seeds for exact-substring decontamination: two texts share an
+    * n-char substring iff they share a window hash (modulo ~2^-62
+    * collisions, which flag false POSITIVES only — acceptable for a
+    * contamination filter, and the DuckDB oracle hashes identically). */
+  def charNgramHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    // decode to a codepoint array once (codepoint == DuckDB character)
+    val cps = s.codePoints().toArray
+    val m = cps.length
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    var pow31 = 1L; var pow37 = 1L
+    var j = 0
+    while (j < n - 1) { pow31 = pow31 * 31 % P; pow37 = pow37 * 37 % P; j += 1 }
+    val out = new Array[Long](m - n + 1)
+    var h31 = cps(0).toLong % P
+    var h37 = h31
+    j = 1
+    while (j < n) {
+      h31 = (h31 * 31 + cps(j)) % P
+      h37 = (h37 * 37 + cps(j)) % P
+      j += 1
+    }
+    out(0) = (h31 << 31) | h37
+    var w = 1
+    while (w <= m - n) {
+      val cOut = cps(w - 1).toLong
+      val cIn = cps(w + n - 1).toLong
+      h31 = Math.floorMod((h31 - cOut * pow31 % P) * 31 + cIn, P)
+      h37 = Math.floorMod((h37 - cOut * pow37 % P) * 37 + cIn, P)
+      out(w) = (h31 << 31) | h37
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---------- DuckDB SQL generators (the oracle side) ----------
 
   /** `(h*base + c) % P` char fold of a string expression (DuckDB). */

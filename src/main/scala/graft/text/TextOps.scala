@@ -145,17 +145,30 @@ object TextOps {
 
   /** Token `n`-gram shingles of a text column: whitespace tokens,
     * sliding windows of n, re-joined with single spaces — the unit of
-    * benchmark-contamination matching. Deterministic string output both
-    * Spark and DuckDB can reproduce verbatim. */
+    * benchmark-contamination matching. ONE codegen kernel call per row
+    * (tokenize once, emit all windows); the earlier transform/slice
+    * HOF inlined the split into every window lambda — O(tokens^2)
+    * character work per doc, fatal at web-document lengths. */
   def tokenShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    // guard short docs explicitly: Spark's sequence(1, 0) DESCENDS
-    // ([1, 0]) instead of returning empty (DuckDB's generate_series
-    // returns [] there — a silent parity trap)
-    when(size(toks) < n, typedLit(Array.empty[String])).otherwise(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.TokenShinglesExpr(expression(c), n))
+  }
+
+  /** 62-bit hashes of the token `n`-gram shingles — the 100 TB
+    * contamination keys: the shingle strings never materialize and the
+    * join/broadcast carries 8-byte Longs. Same h64 = (poly31<<31)|poly37
+    * packing as PortableHash.tokenHashSql, so the DuckDB oracle
+    * reproduces every value exactly. */
+  def tokenShingleHashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.TokenShingleHashesExpr(expression(c), n))
+  }
+
+  /** Rolling character-`n`-gram hashes (one O(chars) pass per doc) —
+    * seeds for exact-substring matching. */
+  def charNgramHashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.CharNgramHashesExpr(expression(c), n))
   }
 
   /** Benchmark decontamination: flag documents sharing any token
@@ -166,20 +179,45 @@ object TextOps {
     * (callers anti-join to keep them).
     *
     * Scale shape: the probe shingle set is eval-sized — tiny next to
-    * the corpus — so the match is a broadcast semi-ish join on the
-    * shingle string; the corpus explodes to (doc_id, shingle) rows
-    * map-side and aggregates back by doc. The wide text column never
-    * shuffles. Shingles could ride as 64-bit hashes instead of strings
-    * at 100 TB (same plan shape, 8-byte keys); strings keep the oracle
-    * exact here. */
+    * the corpus — so the match is a broadcast semi-ish join; the corpus
+    * explodes to (doc_id, shingle_hash) rows map-side and aggregates
+    * back by doc. The wide text column never shuffles, and the keys are
+    * the 8-byte [[tokenShingleHashes]] (the strings never materialize).
+    * Hash collisions (~2^-62/pair) can only ADD a false hit — the safe
+    * direction for a decontamination filter — and the oracle hashes
+    * identically, so verification is exact. */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
     val docSh = docs.select(col("doc_id"),
-      explode(tokenShingles(col("text"), n)).as("sh"))
-    val probeSh = probes.select(explode(tokenShingles(col("text"), n)).as("sh"))
+      explode(tokenShingleHashes(col("text"), n)).as("sh"))
+    val probeSh = probes.select(explode(tokenShingleHashes(col("text"), n)).as("sh"))
       .distinct()
     docSh.join(broadcast(probeSh), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("hits"), countDistinct(col("sh")).as("distinct_hits"))
+  }
+
+  /** Exact-substring decontamination — the complement of token-shingle
+    * [[contamination]]: flag corpus documents sharing any `n`-CHARACTER
+    * exact substring with the probe set. Catches reformatted
+    * contamination that re-tokenizes differently (the GPT-3/Pile-style
+    * long-common-substring check); a doc shares a >=n-char substring
+    * with a probe iff it shares one of its length-n character windows.
+    * Output matches [[contamination]]: (doc_id, hits, distinct_hits).
+    *
+    * Same 100 TB shape: probe window-hashes are eval-sized and
+    * broadcast; the corpus emits rolling [[charNgramHashes]] map-side
+    * (one O(chars) pass per doc — never the O(chars * n) of
+    * materializing each window) and only (doc_id, hash) rows aggregate.
+    * Collisions can only add a false hit (safe direction); the oracle
+    * hashes identically. */
+  def substringContamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
+    val docW = docs.select(col("doc_id"),
+      explode(charNgramHashes(col("text"), n)).as("wh"))
+    val probeW = probes.select(explode(charNgramHashes(col("text"), n)).as("wh"))
+      .distinct()
+    docW.join(broadcast(probeW), "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"), countDistinct(col("wh")).as("distinct_hits"))
   }
 
   // ---------- near-dup signatures (portable hashes: the same integer

@@ -253,6 +253,34 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("contamination (token + substring): text never shuffles, probe side broadcasts") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val corpus = all.filter(col("doc_id") >= 50)
+      val probes = all.filter(col("doc_id") < 50)
+      for (df <- Seq(graft.text.TextOps.contamination(corpus, probes, 4),
+                     graft.text.TextOps.substringContamination(corpus, probes, 30))) {
+        val plan = df.queryExecution.executedPlan
+        val exchanges = allNodes(plan).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        exchanges.foreach { e =>
+          assert(!e.output.exists(_.name == "text"),
+            "text column shuffled: " + e.output.map(_.name).mkString(", "))
+        }
+        assert(plan.toString().contains("BroadcastHashJoin"), plan.toString().take(2000))
+        // one kernel call per row: the shingle/window hashes appear as a
+        // single generated expression, not a transform over a split
+        val analyzed = df.queryExecution.analyzed.toString()
+        assert(analyzed.contains("token_shingle_hashes") || analyzed.contains("char_ngram_hashes"),
+          analyzed.take(2000))
+        assert(df.count() > 0)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("as-of join: matches brute force, one exchange, no range join") {
     import spark.implicits._
     // synthetic: clicks/views with planted edge cases (click before any

@@ -29,6 +29,90 @@ class ShingleSpec extends AnyFunSuite {
     assert(got("d") == Nil)
   }
 
+  test("shingle-hash kernel matches the interpreted HOF formulation") {
+    import spark.implicits._
+    // the HOF reference: transform/slice windows re-joined with spaces,
+    // hashed with the same packing — what the kernel replaced
+    def hofShingles(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      val toks = TextOps.tokens(c)
+      when(size(toks) < n, typedLit(Array.empty[String])).otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+    val docs = Seq(
+      "key agg row scan slow fast table value",
+      "one  two   three four five  ",
+      "short one",
+      "",
+      "unicode café naïve résumé tokens here").toDF("text")
+    // string kernel == HOF strings
+    val both = docs.select(
+      TextOps.tokenShingles(col("text"), 4).as("kern"),
+      hofShingles(col("text"), 4).as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    // hash kernel == per-shingle portable hash of the string kernel
+    val hs = docs.select(
+      TextOps.tokenShingleHashes(col("text"), 4).as("h"),
+      TextOps.tokenShingles(col("text"), 4).as("s")).collect()
+    // the packed poly31/poly37 fold tokenHashSql generates, computed
+    // independently over the shingle string's codepoints
+    def h64(s: String): Long = {
+      val cps = s.codePoints().toArray
+      var h31 = cps(0).toLong; var h37 = h31
+      (1 until cps.length).foreach { j =>
+        h31 = (h31 * 31 + cps(j)) % PortableHash.P
+        h37 = (h37 * 37 + cps(j)) % PortableHash.P
+      }
+      (h31 << 31) | h37
+    }
+    hs.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[String](1).map(h64), r.toString)
+    }
+  }
+
+  test("charNgramHashes: rolling hashes equal brute-force window folds") {
+    def brute(s: String, n: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - n).map { w =>
+        var h31 = cps(w).toLong; var h37 = h31
+        (1 until n).foreach { j =>
+          h31 = (h31 * 31 + cps(w + j)) % PortableHash.P
+          h37 = (h37 * 37 + cps(w + j)) % PortableHash.P
+        }
+        (h31 << 31) | h37
+      }
+    }
+    for {
+      s <- Seq("the quick brown fox", "aaaaaaaaaa", "café naïve", "ab", "")
+      n <- Seq(1, 3, 5)
+    } {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val got = PortableHash.charNgramHashes(u, n).toLongArray().toSeq
+      val want = if (s.codePoints().count() < n) Nil else brute(s, n)
+      assert(got == want, s"s='$s' n=$n: $got vs $want")
+    }
+  }
+
+  test("substringContamination flags exactly the docs sharing a 20-char window") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "prefix THE SHARED SUBSTRING IS HERE suffix"),
+      (101L, "completely unrelated text with other words entirely"),
+      (102L, "x THE SHARED SUBSTRING IS HERE y THE SHARED SUBSTRING IS HERE z"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, "eval set holds THE SHARED SUBSTRING IS HERE verbatim"))
+      .toDF("doc_id", "text")
+    val got = TextOps.substringContamination(corpus, probes, n = 20)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(100L, 102L), got.toString)
+    // doc 102 contains the shared region twice -> more hits than 100
+    val hits = TextOps.substringContamination(corpus, probes, n = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(102L) > hits(100L), hits.toString)
+  }
+
   test("contamination flags exactly the overlapping docs") {
     import spark.implicits._
     val corpus = Seq(
