@@ -369,13 +369,18 @@ object SparkEntry {
 
     // as-of join: latest view at-or-before each click per user — the
     // union-and-carry-forward formulation (one sort-shuffle, no range
-    // join); oracle cross-checked against DuckDB's native ASOF JOIN
+    // join); oracle cross-checked against DuckDB's native ASOF JOIN.
+    // Runs the CHUNKED (skew-hardened) path: per-(key, hour-chunk)
+    // windows + a chunk-level carry join — results identical to the
+    // single-window path (PlanSpec asserts), so the oracle gate
+    // validates the chunked implementation.
     "q45_asof_join" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
       val clicks = ev.filter(col("event_type") === "click")
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
-      graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "ts", "event_id", "view_id")
+      graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "ts", "event_id", "view_id",
+          chunkSpan = 3600L)
         .select(col("event_id").as("click_id"), col("user_id"),
           coalesce(col("view_id"), lit(-1L)).as("view_id"))
     }),

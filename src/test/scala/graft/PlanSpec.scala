@@ -321,6 +321,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
+  test("as-of join chunked: identical results under skew; hot key splits across chunks") {
+    import spark.implicits._
+    // skew: ONE key holds 50% of all rows (the bot-user shape), spread
+    // over a wide ts range so chunking can split it
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 4000L).map { i =>
+      val u = if (i % 2 == 0) 99L else i % 7
+      (i, u, 1000L + rnd.nextInt(100000), if (i % 3 == 0) "click" else "view")
+    }
+    val df = rows.toDF("event_id", "user_id", "t", "event_type")
+    val clicks = df.filter(col("event_type") === "click")
+    val views = df.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t"), col("event_id").as("view_id"))
+    def run(span: Long) = graft.ops.AsofJoin
+      .asofJoin(clicks, views, "user_id", "t", "event_id", "view_id", span)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val plain = run(0)
+    val chunked = run(10000) // ~10 chunks across the ts range
+    assert(chunked == plain && plain.nonEmpty, "chunked as-of diverges from single-window")
+    assert(plain.values.exists(_.nonEmpty))
+    // skew evidence: the largest per-(key, chunk) window group is far
+    // below the hot key's total rows — the serialized unit of work
+    // shrank by the chunk count (the straggler bound the chunking buys)
+    val hotKeyRows = rows.count(_._2 == 99L)
+    val maxCell = rows.groupBy(r => (r._2, (r._3 / 10000))).values.map(_.size).max
+    assert(maxCell * 4 < hotKeyRows,
+      s"chunking did not split the hot key: maxCell=$maxCell hotKey=$hotKeyRows")
+    // plan: the in-chunk window partitions by (user_id, __chunk)
+    val plan = graft.ops.AsofJoin
+      .asofJoin(clicks, views, "user_id", "t", "event_id", "view_id", 10000)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("__chunk"), plan.take(1500))
+  }
+
   test("range join: bucketed equi-join, never a cartesian/nested-loop; matches brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
