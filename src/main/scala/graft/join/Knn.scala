@@ -19,12 +19,6 @@ import org.apache.spark.sql.functions._
  * when z is density-matched) with a broadcast of those queries.
  */
 object Knn {
-  /** Telemetry: how many queries the most recent [[knnJoin]] in this JVM
-    * sent to the exact broadcast fallback (0 = everything resolved
-    * in-ring). Results are exact either way; a high fraction here means
-    * the bucketing zoom is density-mismatched and the fallback is doing
-    * the work a bigger/smaller tile would have avoided. */
-  @volatile var lastFallbackQueries: Long = 0L
 
   /** Density-derived bucketing shift from ONE cheap aggregate over the
     * point table (count + bbox): the smallest tiles whose average
@@ -55,7 +49,13 @@ object Knn {
   /** [[knnJoin]] with the bucketing zoom derived from point density. */
   def knnJoinAuto(spark: SparkSession, points: DataFrame, queries: DataFrame,
                   k: Int, ring: Int = 1): DataFrame =
-    knnJoin(spark, points, queries, k, autoTileShift(points, k, ring), ring)
+    knnJoinAutoWithStats(spark, points, queries, k, ring)._1
+
+  /** [[knnJoinAuto]] plus the fallback-query count (see
+    * [[knnJoinWithStats]]). */
+  def knnJoinAutoWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                           k: Int, ring: Int = 1): (DataFrame, Long) =
+    knnJoinWithStats(spark, points, queries, k, autoTileShift(points, k, ring), ring)
 
   /**
    * points:  (id, x, y)  — integer coords (scaled so d2 is exact).
@@ -66,7 +66,17 @@ object Knn {
    * tileShift = bits to shift a coord right to get its tile).
    */
   def knnJoin(spark: SparkSession, points: DataFrame, queries: DataFrame,
-              k: Int, tileShift: Int, ring: Int = 1): DataFrame = {
+              k: Int, tileShift: Int, ring: Int = 1): DataFrame =
+    knnJoinWithStats(spark, points, queries, k, tileShift, ring)._1
+
+  /** [[knnJoin]] plus the number of queries the exact broadcast
+    * fallback handled (0 = everything resolved in-ring). Returned to
+    * the caller — not a JVM-global — so concurrent joins in one session
+    * each see their own count. Results are exact either way; a high
+    * fraction means the bucketing zoom is density-mismatched and the
+    * fallback is doing the work a better tile size would have avoided. */
+  def knnJoinWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                       k: Int, tileShift: Int, ring: Int = 1): (DataFrame, Long) = {
     val pts = points.select(col("id"), col("x").cast("long"), col("y").cast("long"))
       .withColumn("tx", expr(s"x >> $tileShift"))
       .withColumn("ty", expr(s"y >> $tileShift"))
@@ -121,8 +131,7 @@ object Knn {
     // fallback saves a full pass over the point table.
     val unresolved = q.join(resolved, Seq("qid"), "left_anti")
     val unresolvedCnt = unresolved.count() // tiny (query-set-bounded) job
-    lastFallbackQueries = unresolvedCnt
-    if (unresolvedCnt == 0) good
+    if (unresolvedCnt == 0) (good, 0L)
     else {
       val fb = pts.crossJoin(broadcast(unresolved))
         .select(col("qid"), col("id"),
@@ -131,7 +140,7 @@ object Knn {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select("qid", "id", "d2", "rn")
-      good.unionByName(fb)
+      (good.unionByName(fb), unresolvedCnt)
     }
   }
 }

@@ -18,43 +18,79 @@ import org.apache.spark.sql.functions._
  * (Long, Long) rows hashed across the cluster. Rounds localCheckpoint
  * eagerly (lineage would otherwise double per iteration), and
  * convergence is an O(1)-row checksum action per round, not a diff join.
+ *
+ * Hub hardening: a giant star-shaped component (one node adjacent to
+ * a large fraction of the graph — the all-near-dup pathology) makes the
+ * re-parent JOIN hot-key: every edge of the hub hashes to one task.
+ * Nodes whose degree exceeds `hubDegree` are therefore routed through
+ * BROADCAST joins (their (u, m) rows are few by construction — at most
+ * 2|E|/hubDegree — and the split happens map-side via a broadcast
+ * anti/inner pair, so the hub's edges never hash-partition on the hub
+ * id at all). When the hub set is somehow too large to broadcast, the
+ * plain shuffle join stands and AQE's skew-join splitting is the
+ * fallback.
  */
 object Components {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Telemetry from the most recent [[connectedComponents]] call in this
-    * JVM: (round, edge count after the round) per distributed star
-    * round; empty when the driver fast path ran. A pathological giant
-    * component (everything near-dup of everything) maximizes round
-    * count, so ops monitors round growth here / in the logs rather than
-    * discovering it as an unexplained wall-clock cliff. */
-  @volatile var lastRoundStats: Seq[(Int, Long)] = Nil
+  /** Per-round telemetry: edge count after the round and how many
+    * hub-degree nodes the round's star transforms routed through the
+    * broadcast path. */
+  case class RoundStats(round: Int, edges: Long, hubNodes: Long)
+
+  /** Max broadcast-side rows for the hub routing (u, m) pairs. */
+  private val MaxHubBroadcast = 4000000L
+
+  /** Join `rows` (u, ...) with the re-parent map `m` (u, m, deg) on u,
+    * skew-safely: hub-degree u's route through broadcast joins (the
+    * map-side split keeps their rows out of the hash exchange
+    * entirely); everything else takes the plain shuffle join. Returns
+    * (joined rows with column m, hub count). */
+  private def skewSafeReparent(rows: DataFrame, mIn: DataFrame,
+                               hubDegree: Long): (DataFrame, Long) = {
+    // materialize the re-parent map ONCE (eager, lineage-free, freed by
+    // the ContextCleaner): the hub count probe and the join(s) below all
+    // read it — without this each consumer re-runs the degree aggregation
+    val m = mIn.localCheckpoint(true)
+    val hubs = m.filter(col("deg") > hubDegree).select(col("u"), col("m"))
+    val hubCount = hubs.count()
+    if (hubCount == 0 || hubCount > MaxHubBroadcast)
+      (rows.join(m.select(col("u"), col("m")), "u"), if (hubCount == 0) 0L else -hubCount)
+    else {
+      val nonhubM = m.filter(col("deg") <= hubDegree).select(col("u"), col("m"))
+      val plain = rows.join(broadcast(hubs.select("u")), Seq("u"), "left_anti")
+        .join(nonhubM, "u")
+      val viaHub = rows.join(broadcast(hubs), "u")
+      (plain.unionByName(viaHub), hubCount)
+    }
+  }
 
   /** large-star: every neighbor v > u re-parents to m(u) = min(N(u) ∪ {u}).
     * Input/output edges are (a, b) Long columns, orientation-free. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private def largeStar(edges: DataFrame, hubDegree: Long): (DataFrame, Long) = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-    val m = sym.groupBy("u").agg(min(col("v")).as("minv"))
-      .select(col("u"), least(col("u"), col("minv")).as("m"))
-    sym.filter(col("v") > col("u"))
-      .join(m, "u")
-      .select(col("v").as("a"), col("m").as("b"))
+    val m = sym.groupBy("u").agg(min(col("v")).as("minv"), count(lit(1)).as("deg"))
+      .select(col("u"), least(col("u"), col("minv")).as("m"), col("deg"))
+    val (joined, hubs) = skewSafeReparent(sym.filter(col("v") > col("u")), m, hubDegree)
+    (joined.select(col("v").as("a"), col("m").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct(), hubs)
   }
 
   /** small-star: orient (max, min); every small neighbor and u itself
     * re-parent to the minimum neighbor. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private def smallStar(edges: DataFrame, hubDegree: Long): (DataFrame, Long) = {
     val oriented = edges.select(
       greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
-    val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
-    val moved = oriented.join(m, "u")
+    val m = oriented.groupBy("u")
+      .agg(min(col("v")).as("m"), count(lit(1)).as("deg"))
+    val (joined, hubs) = skewSafeReparent(oriented, m, hubDegree)
+    val moved = joined
       .select(col("v").as("a"), col("m").as("b"))
       .filter(col("a") =!= col("b"))
-    moved.unionByName(m.select(col("u").as("a"), col("m").as("b"))).distinct()
+    (moved.unionByName(m.select(col("u").as("a"), col("m").as("b"))).distinct(), hubs)
   }
 
   /** Order-independent O(1) fingerprint of an edge set: (count, xor of
@@ -76,13 +112,26 @@ object Components {
    * singletons.
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 32,
-                          smallGraphEdges: Long = 1L << 20): DataFrame = {
+                          smallGraphEdges: Long = 1L << 20,
+                          hubDegree: Long = 1L << 20): DataFrame =
+    connectedComponentsWithStats(edges, maxIter, smallGraphEdges, hubDegree)._1
+
+  /** [[connectedComponents]] plus the per-round telemetry (empty when
+    * the driver fast path ran). Returned to the caller instead of a
+    * JVM-global var: concurrent calls in one session each get their own
+    * stats. A pathological giant component (everything near-dup of
+    * everything) maximizes round count and lights up `hubNodes`, so ops
+    * monitors round growth here / in the logs rather than discovering
+    * it as an unexplained wall-clock cliff. */
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 32,
+                                   smallGraphEdges: Long = 1L << 20,
+                                   hubDegree: Long = 1L << 20): (DataFrame, Seq[RoundStats]) = {
     var cur = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
     var fp = fingerprint(cur)
-    lastRoundStats = Nil
+    var stats = Vector.empty[RoundStats]
     val inputEdges = fp._1
     // Small-graph fast path: a pair graph that fits on the driver skips
     // the ~6-shuffle-per-round distributed loop (same move Spark itself
@@ -106,20 +155,25 @@ object Components {
       }
       val out = parent.keysIterator.map(v => (v, find(v))).toSeq ++
         parent.values.map(r => { val rr = find(r); (rr, rr) }).toSeq.distinct
-      return out.distinct.toDF("node", "rep")
-        .groupBy("node").agg(min(col("rep")).as("rep"))
+      return (out.distinct.toDF("node", "rep")
+        .groupBy("node").agg(min(col("rep")).as("rep")), Nil)
     }
     var it = 0
     var converged = cur.isEmpty
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (ls, lsHubs) = largeStar(cur, hubDegree)
+      val (next0, ssHubs) = smallStar(ls, hubDegree)
+      val next = next0.localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
       cur = next
       it += 1
-      lastRoundStats = lastRoundStats :+ (it, nfp._1)
-      log.info(s"connectedComponents round $it: ${nfp._1} edges (input $inputEdges)")
+      // negative hubNodes = hub set exceeded the broadcast cap and the
+      // round fell back to the plain join (AQE skew split territory)
+      stats = stats :+ RoundStats(it, nfp._1, math.max(lsHubs, ssHubs))
+      log.info(s"connectedComponents round $it: ${nfp._1} edges (input $inputEdges, " +
+        s"hub nodes ${math.max(lsHubs, ssHubs)})")
       // star rounds can transiently inflate the edge set; sustained
       // blow-up is the giant-component signature — surface it loudly
       if (nfp._1 > 8 * inputEdges)
@@ -129,8 +183,8 @@ object Components {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint is a star forest oriented (member -> min): a is the node,
     // b the representative; roots themselves appear only on the b side
-    cur.select(col("a").as("node"), col("b").as("rep"))
+    (cur.select(col("a").as("node"), col("b").as("rep"))
       .unionByName(cur.select(col("b").as("node"), col("b").as("rep")))
-      .groupBy("node").agg(min(col("rep")).as("rep"))
+      .groupBy("node").agg(min(col("rep")).as("rep")), stats)
   }
 }

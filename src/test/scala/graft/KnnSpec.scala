@@ -58,11 +58,13 @@ class KnnSpec extends AnyFunSuite {
 
     val shift = graft.join.Knn.autoTileShift(pts, k = 5)
     assert(shift > 0 && shift < 31, s"degenerate auto shift $shift")
-    val got = graft.join.Knn.knnJoin(spark, pts, qs, k = 5, tileShift = shift)
+    val (gotDf, fallbacks) =
+      graft.join.Knn.knnJoinWithStats(spark, pts, qs, k = 5, tileShift = shift)
+    val got = gotDf
       .select("qid", "id", "rn").as[(Long, Long, Int)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
-    assert(graft.join.Knn.lastFallbackQueries <= 3, // >= 95% resolved in-ring
-      s"auto shift $shift sent ${graft.join.Knn.lastFallbackQueries}/60 queries to the fallback")
+    assert(fallbacks <= 3, // >= 95% resolved in-ring
+      s"auto shift $shift sent $fallbacks/60 queries to the fallback")
 
     val allPts = pts.as[(Long, Long, Long)].collect()
     qs.as[(Long, Long, Long)].collect().foreach { case (qid, qx, qy) =>

@@ -79,17 +79,59 @@ class ComponentsSpec extends AnyFunSuite {
       (0 until 64).map(i => (base + i, base + i + 1))
     }
     val extra = (0 until 9).map(i => (2000000L + i, 2000000L + i + 1))
-    val got = Components.connectedComponents((paths ++ extra).toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Components.lastRoundStats.nonEmpty,
+    val (labels, stats) = Components.connectedComponentsWithStats(
+      (paths ++ extra).toDF("a", "b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.nonEmpty,
       "driver fast path engaged above the 2^20-edge threshold")
-    assert(Components.lastRoundStats.length >= 3,
-      s"expected >=3 distributed rounds, got ${Components.lastRoundStats}")
+    assert(stats.length >= 3,
+      s"expected >=3 distributed rounds, got $stats")
+    assert(stats.forall(_.hubNodes == 0), s"path graph has no hubs: $stats")
     assert((0 until 16384).forall { p =>
       val base = p.toLong * 100
       (0 to 64).forall(i => got(base + i) == base)
     }, "some path member mislabeled")
     assert((0 to 9).forall(i => got(2000000L + i) == 2000000L))
+  }
+
+  test("10^6-edge single star: hub broadcasts, no task shuffle-reads >N/10 rows") {
+    // the giant-component pathology: ONE node adjacent to a million
+    // others. Without hub routing the re-parent join hashes every hub
+    // edge to one task; with it the hub rides a broadcast and the
+    // biggest per-task shuffle read stays ~N/partitions.
+    val n = 1000000L
+    val edges = spark.range(1, n + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxRead.updateAndGet(c => math.max(c, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE would coalesce these small-byte partitions into one (16 MB of
+    // Long pairs), masking the hot-key question the test asks; 32
+    // partitions make the even-spread baseline ~n/32 per task
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (labels, stats) = Components.connectedComponentsWithStats(
+        edges, smallGraphEdges = 0L, hubDegree = 1L << 16)
+      assert(labels.filter(col("rep") =!= 0L).count() == 0, "star must collapse to rep 0")
+      assert(labels.count() == n + 1)
+      assert(stats.exists(_.hubNodes > 0), s"hub routing never engaged: $stats")
+      Thread.sleep(3000) // let the listener bus drain task-end events
+      assert(maxRead.get() < n / 10,
+        s"a task shuffle-read ${maxRead.get()} rows (> n/10) — hub hot key not split")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   test("empty and self-loop-only edge sets") {
