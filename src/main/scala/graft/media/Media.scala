@@ -47,13 +47,42 @@ object Media {
       }
       DecodedImage(id, dw, dh, rgb)
     case _ =>
-      javax.imageio.ImageIO.setUseCache(false) // never touch disk
-      val bi =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Throwable => null }
-      if (bi == null) stubDecode(id, bytes, w, h) // no reader / corrupt payload
+      val bi = imageioRead(bytes)
+      if (bi == null) stubDecode(id, bytes, w, h) // no reader / corrupt / bomb payload
       else bufferedToDecoded(id, bi)
   }
+
+  /** Decoded-pixel ceiling for untrusted payloads: a decompression bomb
+    * (e.g. a GIF declaring a 65535x65535 logical screen from a few
+    * hundred input bytes) would otherwise allocate gigabytes INSIDE the
+    * codec. 64 Mpx ≈ 192 MB of RGB — far above any sane training image,
+    * far below heap-killing. */
+  final val MaxDecodePixels: Long = 64L << 20
+
+  /** ImageIO decode with the header dimensions checked BEFORE pixel
+    * allocation (reader.getWidth/Height parse only the header). Catches
+    * NonFatal only: an OutOfMemoryError or other VM error must
+    * propagate and fail the task rather than be swallowed into a stub
+    * decode on a wounded executor. Returns null for unreadable,
+    * truncated, or over-cap payloads (callers stub). */
+  private def imageioRead(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // never touch disk
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val dw = reader.getWidth(0).toLong
+          val dh = reader.getHeight(0).toLong
+          if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) null
+          else reader.read(0)
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   private def bufferedToDecoded(id: String, bi: java.awt.image.BufferedImage): DecodedImage = {
     val dw = bi.getWidth; val dh = bi.getHeight
@@ -511,21 +540,55 @@ object Media {
     (newLabels, merges)
   }
 
+  /** Single-writer lease for the persisted dedup state: a concurrent
+    * append would interleave band files under the same bucket spec and
+    * corrupt the bucketing silently. Atomic create-file acquisition; a
+    * holder older than `leaseMs` is presumed dead (crashed writer) and
+    * its lease is stolen. Callers release in a finally. */
+  private[media] def acquireStateLease(dir: String,
+                                       leaseMs: Long = 15 * 60 * 1000L): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(dir, ".writer_lease")
+    java.nio.file.Files.createDirectories(p.getParent)
+    def tryAcquire(): Boolean =
+      try { java.nio.file.Files.createFile(p); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryAcquire()) {
+      val age = System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (age <= leaseMs)
+        throw new IllegalStateException(
+          s"dedup state at $dir is held by another writer (lease age ${age}ms); " +
+            "appends must be serialized per corpus — a concurrent append would " +
+            "corrupt the band bucketing")
+      java.nio.file.Files.deleteIfExists(p) // stale: holder presumed crashed
+      if (!tryAcquire())
+        throw new IllegalStateException(s"lost the lease race for $dir after a stale steal")
+    }
+    p
+  }
+
+  private[media] def releaseStateLease(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.deleteIfExists(p)
+
   /** Fold a processed batch into the persisted dedup state so the NEXT
     * batch's probes see it: appends band rows for the batch's distinct
     * hashes that are NOT already indexed (presence is an exact-dhash
     * match detected through the band-0 bucket join — identical hashes
     * share every band, so one band suffices, and the corpus side stays
     * shuffle-free), labeled with the batch's FINAL reps from
-    * [[incrementalImageDedup]]'s newLabels; plus the labels themselves.
+    * [[incrementalImageDedup]]'s newLabels; plus the labels themselves
+    * (skippable via `writeLabels` when the caller lands labels in its
+    * own idempotent sink, as the streaming wrapper does).
     * `buckets` must match the value the state was built with (Spark
     * refuses mismatched bucket specs on append).
     *
     * Merge semantics: band rows of clusters ABSORBED by an earlier
     * merge keep their original rep — labels compose through the
     * accumulated merge tables (rep_a -> merged_rep), they are never
-    * rewritten in place. Single-writer: appends from concurrent batches
-    * race; serialize state folds per corpus (foreachBatch does). */
+    * rewritten in place. Single-writer per corpus, ENFORCED by a lease
+    * file under `dir` (stale leases from crashed writers are stolen
+    * after 15 min): a concurrent append throws instead of corrupting
+    * the bucketed index. */
   def appendImageDedupState(newImages: DataFrame, newLabels: DataFrame,
                             bandsTable: String, dir: String, buckets: Int): Unit =
     appendImageDedupStateFromIds(dhashes(newImages), newLabels, bandsTable, dir, buckets)
@@ -533,7 +596,16 @@ object Media {
   /** [[appendImageDedupState]] over a precomputed (image_id, dhash)
     * projection (see [[incrementalImageDedupFromIds]]). */
   def appendImageDedupStateFromIds(ids: DataFrame, newLabels: DataFrame,
-                                   bandsTable: String, dir: String, buckets: Int): Unit = {
+                                   bandsTable: String, dir: String, buckets: Int,
+                                   writeLabels: Boolean = true): Unit = {
+    val lease = acquireStateLease(dir)
+    try appendImageDedupStateLocked(ids, newLabels, bandsTable, dir, buckets, writeLabels)
+    finally releaseStateLease(lease)
+  }
+
+  private def appendImageDedupStateLocked(ids: DataFrame, newLabels: DataFrame,
+                                          bandsTable: String, dir: String, buckets: Int,
+                                          writeLabels: Boolean): Unit = {
     val spark = ids.sparkSession
     val distinctNew = ids.groupBy(col("dhash")).agg(min(col("image_id")).as("member_id"))
     def band0(dhash: Column): Column = { // packed (b=0, q0, q1) key
@@ -556,7 +628,7 @@ object Media {
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .option("path", s"$dir/bands").saveAsTable(bandsTable)
-    newLabels.write.mode("append").parquet(s"$dir/labels")
+    if (writeLabels) newLabels.write.mode("append").parquet(s"$dir/labels")
   }
 
   // ---------- audio / video payload plumbing ----------
@@ -806,10 +878,17 @@ object Media {
   /** Animated-GIF frame sampling through the JDK's multi-frame
     * ImageReader (plain ImageIO.read surfaces only frame 0): frames
     * composite sequentially onto a logical-screen canvas at their
-    * descriptor offsets (the do-not-dispose accumulation the format's
-    * delta frames assume), and every `every`-th composite is emitted.
-    * Pure JDK — animated GIFs are the one multi-frame web format that
-    * needs no codec lib at all. */
+    * descriptor offsets, honoring each frame's GraphicControlExtension
+    * disposalMethod — doNotDispose accumulates (what delta frames
+    * assume), restoreToBackgroundColor clears the frame's rectangle
+    * (to black: the RGB stand-in for the transparent background a
+    * compliant renderer shows), restoreToPrevious restores the canvas
+    * saved before the frame drew. Every `every`-th composite is
+    * emitted. Canvas dims are capped like [[decode]] (a 65535x65535
+    * logical screen from a 200-byte bomb must not allocate 17 GB), and
+    * only NonFatal failures degrade to empty (caller stubs) — VM errors
+    * propagate. Pure JDK — animated GIFs are the one multi-frame web
+    * format that needs no codec lib at all. */
   private def gifFrames(id: String, bytes: Array[Byte], every: Int): Seq[DecodedImage] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
     val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
@@ -831,9 +910,14 @@ object Media {
           .asInstanceOf[org.w3c.dom.Element]
         Some((lsd.getAttribute("logicalScreenWidth").toInt,
           lsd.getAttribute("logicalScreenHeight").toInt))
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
       var canvas: java.awt.image.BufferedImage = null
       var g: java.awt.Graphics2D = null
+      // previous frame's disposal obligation, applied BEFORE the next
+      // frame composites (disposal describes what happens after display)
+      var prevDisposal = "none"
+      var prevRect: java.awt.Rectangle = null
+      var prevSnapshot: java.awt.image.BufferedImage = null
       for (f <- 0 until n) {
         val frame = reader.read(f)
         val meta = reader.getImageMetadata(f)
@@ -843,20 +927,47 @@ object Media {
           .asInstanceOf[org.w3c.dom.Element]
         val x = desc.getAttribute("imageLeftPosition").toInt
         val y = desc.getAttribute("imageTopPosition").toInt
+        val disposal = {
+          val gce = tree.getElementsByTagName("GraphicControlExtension").item(0)
+          if (gce == null) "none"
+          else gce.asInstanceOf[org.w3c.dom.Element].getAttribute("disposalMethod")
+        }
         if (canvas == null) {
           val (cw, ch) = screen.filter(s => s._1 > 0 && s._2 > 0)
             .getOrElse((x + frame.getWidth, y + frame.getHeight))
+          val w = math.max(cw, x + frame.getWidth)
+          val h = math.max(ch, y + frame.getHeight)
+          if (w.toLong * h > MaxDecodePixels) return Seq.empty // bomb: stub
           canvas = new java.awt.image.BufferedImage(
-            math.max(cw, x + frame.getWidth), math.max(ch, y + frame.getHeight),
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           g = canvas.createGraphics()
         }
+        // settle the PREVIOUS frame's disposal first
+        if (prevRect != null) prevDisposal match {
+          case "restoreToBackgroundColor" =>
+            val old = g.getColor
+            g.setColor(java.awt.Color.BLACK)
+            g.fillRect(prevRect.x, prevRect.y, prevRect.width, prevRect.height)
+            g.setColor(old)
+          case "restoreToPrevious" if prevSnapshot != null =>
+            g.drawImage(prevSnapshot, 0, 0, null)
+          case _ => () // none / doNotDispose: accumulate
+        }
+        prevSnapshot =
+          if (disposal == "restoreToPrevious") {
+            val c = new java.awt.image.BufferedImage(
+              canvas.getWidth, canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val cg = c.createGraphics(); cg.drawImage(canvas, 0, 0, null); cg.dispose()
+            c
+          } else null
         g.drawImage(frame, x, y, null)
+        prevDisposal = disposal
+        prevRect = new java.awt.Rectangle(x, y, frame.getWidth, frame.getHeight)
         if (f % every == 0) out += bufferedToDecoded(s"$id#f$f", canvas)
       }
       if (g != null) g.dispose()
       out.toSeq
-    } catch { case _: Throwable => Seq.empty } // corrupt GIF: caller stubs
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty } // corrupt GIF: caller stubs
     finally reader.dispose()
   }
 
@@ -867,43 +978,61 @@ object Media {
 
   /** Walk the RIFF/AVI chunk tree to the 'movi' list and decode every
     * `every`-th video-data chunk ('NNdc'/'NNdb') through ImageIO (MJPEG
-    * frames are standalone JPEGs). Frames ImageIO rejects are skipped;
-    * an AVI with no decodable frames returns empty (caller stubs). */
-  private def aviFrames(id: String, b: Array[Byte], every: Int): Seq[DecodedImage] = {
-    def u32(o: Int): Long =
-      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
-    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
-    val out = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
-    var frameNo = 0
-    def walk(off: Int, end: Int): Unit = {
-      var o = off
-      while (o + 8 <= end) {
-        val t = tag(o)
-        // clamp corrupt/overflowing chunk lengths to the bytes present:
-        // the walk must always advance (a negative toInt would otherwise
-        // spin this loop forever on one adversarial payload)
-        val len = math.min(u32(o + 4), (end - o - 8).toLong).toInt
-        val dataEnd = o + 8 + len
-        if (t == "LIST" && dataEnd >= o + 12) {
-          walk(o + 12, dataEnd) // list body follows its 4-byte type
-        } else if (len > 0 && t.length == 4 &&
-          t.charAt(0).isDigit && t.charAt(1).isDigit &&
-          (t.endsWith("dc") || t.endsWith("db"))) {
-          if (frameNo % every == 0) {
-            javax.imageio.ImageIO.setUseCache(false)
-            val bi = try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(b, o + 8, math.min(len, b.length - o - 8)))
-            catch { case _: Throwable => null }
-            if (bi != null) out += bufferedToDecoded(s"$id#f$frameNo", bi)
+    * frames are standalone JPEGs, header-capped like [[decode]]).
+    * Frames ImageIO rejects are skipped; an AVI with no decodable
+    * frames returns empty (caller stubs). The walk is ITERATIVE with an
+    * explicit (offset, end) work stack: a crafted AVI nesting ~100k
+    * 12-byte LISTs would blow the JVM stack under recursion, and a
+    * StackOverflowError escapes any NonFatal guard; corrupt lengths are
+    * clamped so the walk always advances. Any NonFatal parse failure
+    * degrades to empty (caller stubs), the repo's adversarial-payload
+    * invariant. */
+  private def aviFrames(id: String, b: Array[Byte], every: Int): Seq[DecodedImage] =
+    try {
+      def u32(o: Int): Long =
+        (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+      val out = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
+      var frameNo = 0
+      if (b.length < 12) return Seq.empty
+      // LIFO work stack of (offset, end) ranges replaces recursion:
+      // pushing a LIST's body and the remainder of the current range
+      // preserves the depth-first chunk order the recursive walk had
+      val stack = scala.collection.mutable.ArrayDeque[(Int, Int)]((12, b.length))
+      while (stack.nonEmpty) {
+        var (o, end) = stack.removeLast()
+        var descended = false
+        while (!descended && o + 8 <= end) {
+          val t = tag(o)
+          // clamp corrupt/overflowing chunk lengths to the bytes present:
+          // the walk must always advance (a negative toInt would
+          // otherwise spin forever on one adversarial payload)
+          val len = math.min(u32(o + 4), (end - o - 8).toLong).toInt
+          val dataEnd = o + 8 + len
+          val next = o + 8 + len + (len & 1) // chunks are word-aligned
+          if (t == "LIST" && dataEnd >= o + 12) {
+            // resume the remainder after the list body completes
+            if (next < end) stack.append((next, end))
+            stack.append((o + 12, dataEnd)) // list body follows its 4-byte type
+            descended = true
+          } else {
+            if (len > 0 && t.length == 4 &&
+              t.charAt(0).isDigit && t.charAt(1).isDigit &&
+              (t.endsWith("dc") || t.endsWith("db"))) {
+              if (frameNo % every == 0) {
+                val frame = new Array[Byte](math.min(len, b.length - o - 8))
+                System.arraycopy(b, o + 8, frame, 0, frame.length)
+                val bi = imageioRead(frame)
+                if (bi != null) out += bufferedToDecoded(s"$id#f$frameNo", bi)
+              }
+              frameNo += 1
+            }
+            o = next
           }
-          frameNo += 1
         }
-        o = o + 8 + len + (len & 1) // chunks are word-aligned
       }
-    }
-    if (b.length >= 12) walk(12, b.length)
-    out.toSeq
-  }
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty } // corrupt AVI: caller stubs
 
   /** audio df (media_id, bytes, sample_rate, n_samples) -> features. */
   def extractAudioFeatures(audio: DataFrame): Dataset[AudioFeatures] = {

@@ -97,17 +97,25 @@ object StreamOps {
 
   /** Continuous perceptual dedup with PERSISTED content-addressed
     * state: each micro-batch dedups against the band index built by
-    * Media.writeImageDedupState (corpus side never shuffles), appends
-    * its labels and merge events to parquet sinks, and folds its fresh
+    * Media.writeImageDedupState (corpus side never shuffles), lands its
+    * labels and merge events in parquet sinks, and folds its fresh
     * hashes back into the state so LATER batches see it. Complements
     * [[streamingImageDedup]], whose watermark bounds state by TIME —
-    * this state is permanent and cross-restart (checkpoint + idempotent
-    * band presence check). Payload decode runs ONCE per batch. */
+    * this state is permanent and cross-restart.
+    *
+    * EVERY write is idempotent under batch replay (a crash between the
+    * sink writes and the checkpoint commit replays the batch): labels
+    * and merges land in batchId-keyed subdirectories with overwrite
+    * (readers see a `batch` partition column under labelsOut/mergesOut),
+    * and the band-index fold skips already-present hashes — so a replay
+    * rewrites the same rows instead of duplicating them. The state's
+    * own labels append is skipped (labelsOut IS the durable label
+    * record for a streamed corpus). */
   def incrementalDedupStream(images: DataFrame, bandsTable: String, stateDir: String,
                              buckets: Int, labelsOut: String, mergesOut: String,
                              checkpointDir: String): StreamingQuery =
     images.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ids = graft.media.Media.dhashes(batch)
           .withColumn("nid", xxhash64(col("image_id")))
           .localCheckpoint(true)
@@ -115,10 +123,11 @@ object StreamOps {
           val (labels, merges) = graft.media.Media
             .incrementalImageDedupFromIds(ids, bandsTable)
           val l = labels.localCheckpoint(true)
-          l.write.mode("append").parquet(labelsOut)
-          merges.write.mode("append").parquet(mergesOut)
+          l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
+          merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
           graft.media.Media.appendImageDedupStateFromIds(
-            ids.select(col("image_id"), col("dhash")), l, bandsTable, stateDir, buckets)
+            ids.select(col("image_id"), col("dhash")), l, bandsTable, stateDir, buckets,
+            writeLabels = false)
         }
         ()
       }

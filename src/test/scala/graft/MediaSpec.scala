@@ -476,6 +476,141 @@ class MediaSpec extends AnyFunSuite {
     assert(px(got(1), 19, 15)._1 > 150, "corner pixel clipped — canvas not logical screen")
   }
 
+  test("adversarial AVI: 100k nested LISTs walk iteratively (no stack overflow)") {
+    // pure nesting: each 12-byte level is LIST + len + type, innermost
+    // holds only its type. A recursive walk overflows the JVM stack
+    // around ~10k frames; the iterative walk must degrade to the stub.
+    val n = 100000
+    val total = 12 * n
+    val body = new Array[Byte](total)
+    def le32At(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v & 0xFF).toByte; a(o + 1) = ((v >> 8) & 0xFF).toByte
+      a(o + 2) = ((v >> 16) & 0xFF).toByte; a(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    for (i <- 0 until n) {
+      val o = 12 * i
+      System.arraycopy("LIST".getBytes("US-ASCII"), 0, body, o, 4)
+      le32At(body, o + 4, total - o - 8) // payload = type + everything nested
+      System.arraycopy("mv  ".getBytes("US-ASCII"), 0, body, o + 8, 4)
+    }
+    val avi = "RIFF".getBytes("US-ASCII") ++
+      Array((total + 4 & 0xFF).toByte, ((total + 4 >> 8) & 0xFF).toByte,
+        ((total + 4 >> 16) & 0xFF).toByte, ((total + 4 >> 24) & 0xFF).toByte) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    val got = Media.sampleFrames("deep", avi, 4, 4, nFrames = 2, every = 1)
+    assert(got.map(_.image_id) == Seq("deep#f0", "deep#f1") && got.forall(_.rgb.length == 48),
+      "nested-LIST AVI did not degrade to the stub")
+  }
+
+  test("GIF disposal: restoreToBackgroundColor clears the frame rect; decompression bomb stubs") {
+    import javax.imageio.{ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      bi
+    }
+    def writeGif(frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)],
+                 screen: Option[(Int, Int)]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val smeta = screen.map { case (sw, sh) =>
+        val m = writer.getDefaultStreamMetadata(null)
+        val sfmt = "javax_imageio_gif_stream_1.0"
+        val root = m.getAsTree(sfmt).asInstanceOf[IIOMetadataNode]
+        val kids = root.getChildNodes
+        val lsd = (0 until kids.getLength).map(kids.item)
+          .find(_.getNodeName == "LogicalScreenDescriptor")
+          .map(_.asInstanceOf[IIOMetadataNode]).getOrElse {
+            val nn = new IIOMetadataNode("LogicalScreenDescriptor"); root.appendChild(nn); nn
+          }
+        lsd.setAttribute("logicalScreenWidth", sw.toString)
+        lsd.setAttribute("logicalScreenHeight", sh.toString)
+        lsd.setAttribute("colorResolution", "7")
+        lsd.setAttribute("pixelAspectRatio", "0")
+        m.setFromTree(sfmt, root)
+        m
+      }.orNull
+      writer.prepareWriteSequence(smeta)
+      frames.foreach { case (img, x, y, disposal) =>
+        val m = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = m.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val kids = root.getChildNodes
+        val desc = (0 until kids.getLength).map(kids.item)
+          .find(_.getNodeName == "ImageDescriptor").get.asInstanceOf[IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", x.toString)
+        desc.setAttribute("imageTopPosition", y.toString)
+        val gce = (0 until kids.getLength).map(kids.item)
+          .find(_.getNodeName == "GraphicControlExtension")
+          .map(_.asInstanceOf[IIOMetadataNode]).getOrElse {
+            val nn = new IIOMetadataNode("GraphicControlExtension"); root.appendChild(nn); nn
+          }
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        m.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, m), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // frame 0: full green, disposal restoreToBackgroundColor; frame 1:
+    // 4x4 red patch. A do-not-dispose-only compositor keeps the green
+    // under frame 1; a compliant one clears it first.
+    val gif = writeGif(Seq(
+      (solid(10, 8, 0x20C020), 0, 0, "restoreToBackgroundColor"),
+      (solid(4, 4, 0xC02020), 0, 0, "doNotDispose")), None)
+    val got = Media.sampleFrames("disp", gif, 0, 0, nFrames = 0, every = 1)
+    assert(got.length == 2)
+    def px(img: graft.media.DecodedImage, x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * img.w + x) * 3
+      ((img.rgb(o) & 0xFF), (img.rgb(o + 1) & 0xFF), (img.rgb(o + 2) & 0xFF))
+    }
+    assert(px(got(0), 8, 6)._2 > 150, "frame 0 not green")
+    assert(px(got(1), 1, 1)._1 > 150, "frame 1 patch not red")
+    assert(px(got(1), 8, 6)._2 < 60,
+      s"frame 0's pixels survived its restoreToBackgroundColor disposal: ${px(got(1), 8, 6)}")
+
+    // decompression bomb: a ~200-byte GIF declaring a 50000x50000
+    // logical screen must stub, not allocate a 7.5 GB canvas
+    val bomb = writeGif(Seq((solid(2, 2, 0x112233), 0, 0, "none")), Some((50000, 50000)))
+    val stub = Media.sampleFrames("bomb", bomb, 4, 4, nFrames = 2, every = 1)
+    assert(stub.map(_.image_id) == Seq("bomb#f0", "bomb#f1") && stub.forall(_.rgb.length == 48),
+      "oversized logical screen did not degrade to the stub")
+  }
+
+  test("dedup state append: single-writer lease rejects concurrent writers, steals stale ones") {
+    import spark.implicits._
+    val originals = (0L until 20L).map(i => ImageTable.row(77L, i))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_lease").toString + "/state"
+    val tbl = "dedup_lease_bands"
+    Media.writeImageDedupState(spark.createDataset(originals.take(10)).toDF(), dir, tbl, buckets = 4)
+    val bRows = originals.drop(10)
+    val (bl, _) = Media.incrementalImageDedup(spark.createDataset(bRows).toDF(), tbl)
+    val blC = bl.localCheckpoint(true)
+    // a FRESH lease held by "another writer" must reject the append
+    val lease = java.nio.file.Paths.get(dir, ".writer_lease")
+    java.nio.file.Files.createFile(lease)
+    val ex = intercept[IllegalStateException] {
+      Media.appendImageDedupState(spark.createDataset(bRows).toDF(), blC, tbl, dir, buckets = 4)
+    }
+    assert(ex.getMessage.contains("another writer"), ex.getMessage)
+    // a STALE lease (crashed writer, mtime beyond the lease window) is stolen
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    Media.appendImageDedupState(spark.createDataset(bRows).toDF(), blC, tbl, dir, buckets = 4)
+    assert(!java.nio.file.Files.exists(lease), "lease not released after append")
+    // the append landed (a B hash has its 6 band rows)
+    val h = Media.dhash64(Media.decode(bRows.head.image_id, bRows.head.bytes,
+      bRows.head.w, bRows.head.h, bRows.head.fmt))
+    assert(spark.table(tbl).filter(col("dhash") === h).count() == 6)
+  }
+
   test("audio/video payload plumbing: features + frame sampling") {
     import spark.implicits._
     val audio = (0 until 50).map { i =>
