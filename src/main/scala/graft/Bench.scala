@@ -104,6 +104,29 @@ object Bench {
   def rowsFor(spark: SparkSession, sfDir: String): Long =
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+  /** Seconds for a fixed amount of pure-JVM integer work split across
+    * `threads` threads; min of 2 reps. No allocation, no I/O — measures
+    * only what this shared host's cores deliver at this parallelism
+    * RIGHT NOW. Emitted into the bench JSON so a contended run is
+    * self-labeling (the probe ceiling swings 0.68-0.94 by hour here);
+    * Scaling captures the same probe alongside each level's CSV. */
+  def cpuProbe(threads: Int): Double = {
+    def once(): Double = {
+      val work = 6000000000L / threads
+      val ts = (0 until threads).map { _ =>
+        new Thread(() => {
+          var s = 1L; var j = 0L
+          while (j < work) { s = s * 6364136223846793005L + 1442695040888963407L; j += 1 }
+          if (s == 42L) print("")
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   def prepareImages(spark: SparkSession, rows: Long, path: String): Unit = {
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       graft.tables.ImageTable.generate(spark, rows,
@@ -152,17 +175,30 @@ object Bench {
     val total = tEnc + tPip + tRen
     val tps = tiles / total
 
+    // same-hour raw-CPU control, captured between the headline and the
+    // query loop: divides engine noise from host noise in the artifact
+    // (round 4's q48 read 28s in the driver run vs 2.2s committed —
+    // a contended run must be self-labeling)
+    val probeSec = cpuProbe(cpus)
+
     // per-query timings (count() forces the plan) — BEFORE the dedup
     // phase, so its 600k+ image decodes can't leave GC/page-cache
-    // residue in query timings (the r3 q06-q10 inflation). A failing
-    // query must be VISIBLE in the output, not disguised as a fast
-    // success.
+    // residue in query timings (the r3 q06-q10 inflation), and
+    // MIN-OF-2 passes like headline/dedup: a single sample on this
+    // shared host swings >10x on unlucky queries (the r4 q48 artifact).
+    // A failing query must be VISIBLE in the output, not disguised as a
+    // fast success.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed ::= name }
-      name -> (System.nanoTime() - q0) / 1e9
-    }
+    def queryPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
+        name -> (System.nanoTime() - q0) / 1e9
+      }.toMap
+    val pass1 = queryPass()
+    val pass2 = queryPass()
+    val results = pass1.keys.toSeq.sorted.map(k => k -> math.min(pass1(k), pass2(k)))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -178,6 +214,24 @@ object Bench {
         pairs("q40_ann_ivf").intersect(exact).size.toDouble / exact.size)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // bucketed embedding store (Ann.writeBucketedEmbeddings): the
+    // shuffle-free rerank path — corpus side reads bucket-aligned from
+    // the catalog table, only the candidate side exchanges (PlanSpec
+    // asserts the exchange count). Store build is untimed (build-once
+    // index); the near-dup rerank over it is timed min-of-2 — compare
+    // against the plain-path q39_neardup_lsh entry in `queries`.
+    val bucketedSec = try {
+      graft.ann.Ann.writeBucketedEmbeddings(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "bench_bucketed_emb", s"/tmp/graft_bench/bucketed_emb_$tag", cpus)
+      (0 until 2).map { _ =>
+        val b0 = System.nanoTime()
+        val n = graft.ann.Ann.nearDupLsh(spark.table("bench_bucketed_emb"), minCos = 0.25).count()
+        require(n > 0, "bucketed near-dup returned no pairs")
+        (System.nanoTime() - b0) / 1e9
+      }.min
+    } catch { case _: Throwable => -1.0 }
+
     // --- perceptual image dedup over the payloads: decode -> dhash ->
     // banded pairs -> connected components. Planted re-encoded copies
     // give a recall floor (every one must be found). Reported in detail
@@ -190,9 +244,10 @@ object Bench {
     // path as the timed run (CLAUDE.md bench invariant: first-use JIT
     // must not land in the measurement, which it otherwise would on
     // every cache-hit run where prepareDedupInput skips the synth)
-    graft.media.Media.imageDupClusters(
-      spark.read.parquet(dedupPath).limit(2000), maxHamming = 2).count()
+    graft.media.Media.imageDupClustersPhased(
+      spark.read.parquet(dedupPath).limit(2000), maxHamming = 2)._1.count()
     var tDedup = Double.MaxValue
+    var dedupPhases = (0.0, 0.0, 0.0) // decode / band / components+label
     var dedupRows = 0L
     var dupFound = 0L
     var clusters: DataFrame = null
@@ -200,10 +255,17 @@ object Bench {
       val t3 = System.nanoTime()
       val dedupInput = spark.read.parquet(dedupPath)
       val rows = dedupInput.count()
-      val cl = graft.media.Media.imageDupClusters(dedupInput, maxHamming = 2)
-        .localCheckpoint(true)
+      // phased timings so the NEXT driver-vs-builder divergence names
+      // its phase (decode / band / components) instead of the whole block
+      val (cl0, tDec, tBand) = graft.media.Media
+        .imageDupClustersPhased(dedupInput, maxHamming = 2)
+      val cl = cl0.localCheckpoint(true)
       val found = cl.filter(col("image_id") =!= col("rep")).count()
-      tDedup = math.min(tDedup, (System.nanoTime() - t3) / 1e9)
+      val total3 = (System.nanoTime() - t3) / 1e9
+      if (total3 < tDedup) {
+        tDedup = total3
+        dedupPhases = (tDec, tBand, total3 - tDec - tBand)
+      }
       dedupRows = rows; dupFound = found; clusters = cl
     }
     // recall floor: EVERY planted copy must co-cluster with its source
@@ -218,7 +280,7 @@ object Bench {
       s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"dedup_sec":$tDedup%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)

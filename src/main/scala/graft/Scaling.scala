@@ -76,25 +76,10 @@ object Scaling {
     }
   }
 
-  /** Seconds for a fixed amount of pure-JVM integer work split across
-    * `threads` threads; min of 2 reps. No allocation, no I/O — measures
-    * only what the host's cores deliver at this parallelism right now. */
-  private def cpuProbe(threads: Int): Double = {
-    def once(): Double = {
-      val work = 6000000000L / threads
-      val ts = (0 until threads).map { _ =>
-        new Thread(() => {
-          var s = 1L; var j = 0L
-          while (j < work) { s = s * 6364136223846793005L + 1442695040888963407L; j += 1 }
-          if (s == 42L) print("")
-        })
-      }
-      val t0 = System.nanoTime()
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once(), once())
-  }
+  /** Shared with the bench JSON's cpu_probe_sec field — ONE probe
+    * definition, so scaling CSV ceilings and bench self-labels are
+    * comparable numbers. */
+  private def cpuProbe(threads: Int): Double = Bench.cpuProbe(threads)
 
   private def report(sfDir: String): Unit = {
     def read(cpus: Int): Option[Array[Double]] = {

@@ -386,22 +386,51 @@ object Media {
         .localCheckpoint(true),
       maxHamming)
 
-  /** [[imageDupClusters]] over a precomputed (image_id, dhash, nid)
-    * projection — state builders that also need the hashes pay the
-    * payload-decode pass ONCE. */
-  def imageDupClustersFromIds(ids: DataFrame, maxHamming: Int = 2): DataFrame = {
+  /** Duplicate-graph edges (exact pregroup stars + banded near-dup
+    * pairs) of a precomputed (image_id, dhash, nid) projection. */
+  private def dupEdges(ids: DataFrame, maxHamming: Int): DataFrame = {
     val (exactEdges, repDf) = exactPregroup(ids)
     val nearEdges = imageNearDupPairs(repDf, maxHamming)
       .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
       .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
       .select("a", "b")
+    exactEdges.unionByName(nearEdges)
+  }
+
+  /** Components + name labeling over a dup-edge list (see
+    * [[imageDupClustersFromIds]] for the output contract). */
+  private def labelsFromEdges(ids: DataFrame, edges: DataFrame): DataFrame = {
     val labels = graft.ops.Components
-      .connectedComponents(exactEdges.unionByName(nearEdges))
+      .connectedComponents(edges)
       .withColumnRenamed("node", "nid")
     val repNames = ids.select(col("nid").as("rep"), col("image_id").as("rep_id"))
     ids.select(col("image_id"), col("nid")).join(labels, Seq("nid"), "left")
       .join(repNames, Seq("rep"), "left")
       .select(col("image_id"), coalesce(col("rep_id"), col("image_id")).as("rep"))
+  }
+
+  /** [[imageDupClusters]] over a precomputed (image_id, dhash, nid)
+    * projection — state builders that also need the hashes pay the
+    * payload-decode pass ONCE. */
+  def imageDupClustersFromIds(ids: DataFrame, maxHamming: Int = 2): DataFrame =
+    labelsFromEdges(ids, dupEdges(ids, maxHamming))
+
+  /** [[imageDupClusters]] with per-phase wall timings for the bench:
+    * returns (labels, decodeSec, bandSec) — decode = payload scan ->
+    * dhash projection (checkpoint-forced), band = pregroup + recursive
+    * banding + Hamming verify to the edge list (checkpoint-forced);
+    * the remaining components+labeling cost is what the caller's
+    * terminal action pays. Same results as [[imageDupClusters]] (the
+    * phase boundaries are the checkpoints both paths already imply). */
+  def imageDupClustersPhased(images: DataFrame, maxHamming: Int = 2): (DataFrame, Double, Double) = {
+    val t0 = System.nanoTime()
+    val ids = dhashes(images).withColumn("nid", xxhash64(col("image_id")))
+      .localCheckpoint(true)
+    val tDecode = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val edges = dupEdges(ids, maxHamming).localCheckpoint(true)
+    val tBand = (System.nanoTime() - t1) / 1e9
+    (labelsFromEdges(ids, edges), tDecode, tBand)
   }
 
   // ---------- incremental image dedup against persisted state ----------
