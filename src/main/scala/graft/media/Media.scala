@@ -263,11 +263,20 @@ object Media {
 
   /** One banding level over `bits`-bit residuals: each (doc_id, key,
     * resid) row explodes into the six chunk-pair sub-bands of its
-    * residual (chunk = bits/4). Output key nests the parent key with
+    * residual (chunk = bits/4). Output key extends the parent key with
     * (band, chunk_i, chunk_j); output resid packs the complementary two
     * chunks (bits/2 wide). Pigeonhole: <= 2 differing bits touch at
     * most two of the four chunks, so two hashes at Hamming <= 2 share
-    * at least one sub-band whose key matches EXACTLY. */
+    * at least one sub-band whose key matches EXACTLY.
+    *
+    * Key encoding: EXACT (lossless) packed Longs wherever the widths
+    * fit — the level-1 key is 3+32 bits and level 2 appends 3+16 more
+    * (54 total), so both pack into one shifted Long and the dominant
+    * level-1 groupBy/join shuffles 8-byte keys, not nested structs.
+    * The terminal level would need 65 bits, so it keys on a
+    * (parent-Long, sub-Long) struct pair — still exact, preserving the
+    * unconditional terminal all-pairs bound (a terminal bucket fixes
+    * 56 of 64 hash bits -> <= 2^8 distinct-hash members). */
   private def subBands(members: DataFrame, bits: Int): DataFrame = {
     val cs = bits / 4
     val mask = (1L << cs) - 1
@@ -275,9 +284,12 @@ object Media {
     members.select(col("doc_id"),
         explode(array(chunkPairs.zipWithIndex.map { case ((i, j), b) =>
           val (k, l) = otherTwo(i, j)
-          struct(
-            struct(col("key").as("pk"), lit(b).as("b"),
-              chunk(i).as("ci"), chunk(j).as("cj")).as("key"),
+          val sub = lit(b.toLong << (2 * cs))
+            .bitwiseOR(shiftleft(chunk(i), cs)).bitwiseOR(chunk(j)) // 3 + 2*cs bits
+          val key =
+            if (bits == 16) struct(col("key").as("pk"), sub.as("sk"))
+            else shiftleft(col("key").cast("long"), 3 + 2 * cs).bitwiseOR(sub)
+          struct(key.as("key"),
             shiftleft(chunk(k), cs).bitwiseOR(chunk(l)).as("resid"))
         }: _*)).as("x"))
       .select(col("doc_id"), col("x.key").as("key"), col("x.resid").as("resid"))
@@ -359,16 +371,38 @@ object Media {
     * hash aggregation, a star edge per member, so banding sees ONE
     * representative per distinct hash (a million-copy image contributes
     * one band row, never a mega-bucket). Returns (star edges (a, b) as
-    * nids, repDf (image_id, dhash)). SINGLE source for the batch and
-    * incremental clustering paths — the rep choice (min nid) must never
-    * diverge between them. */
+    * nids, repIds (image_id, nid, dhash)). The grouped projection is
+    * eagerly checkpointed: its four consumers (star edges + the
+    * banding/verify sides) would each re-run the groupBy+join
+    * otherwise. SINGLE source for the batch and incremental clustering
+    * paths — the rep choice (min nid) must never diverge between
+    * them. */
   private def exactPregroup(ids: DataFrame): (DataFrame, DataFrame) = {
     val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
-    val withRep = ids.join(groups, "dhash")
+    val withRep = ids.join(groups, "dhash").localCheckpoint(true)
     (withRep.filter(col("nid") =!= col("grep"))
         .select(col("nid").as("a"), col("grep").as("b")),
       withRep.filter(col("nid") === col("grep"))
-        .select(col("image_id"), col("dhash")))
+        .select(col("image_id"), col("nid"), col("dhash")))
+  }
+
+  /** Near-dup edges as (a, b) nid pairs straight from the pregroup's
+    * distinct-hash rep table. Unlike the public [[imageNearDupPairs]]
+    * (which must accept arbitrary inputs), this skips the re-distinct
+    * and exact-star passes — the input is one row per distinct hash BY
+    * CONSTRUCTION — and every banding/verify shuffle carries 8-byte
+    * nids instead of image_id strings, so the downstream string->nid
+    * mapping joins disappear entirely. */
+  private def nearDupEdges(repIds: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 2, "chunk-pair banding only guarantees recall for Hamming <= 2")
+    val members = repIds.select(col("nid").as("doc_id"),
+      lit(0L).as("key"), col("dhash").as("resid"))
+    val cand = bandPairs(members, 64, cap = 64).distinct()
+    val ha = repIds.select(col("nid").as("img_a"), col("dhash").as("dh_a"))
+    val hb = repIds.select(col("nid").as("img_b"), col("dhash").as("dh_b"))
+    cand.join(ha, "img_a").join(hb, "img_b")
+      .filter(graft.text.TextOps.hamming64(col("dh_a"), col("dh_b")) <= maxHamming)
+      .select(col("img_a").as("a"), col("img_b").as("b"))
   }
 
   /** Full image dedup: decode -> dhash -> banded pairs -> connected
@@ -387,14 +421,11 @@ object Media {
       maxHamming)
 
   /** Duplicate-graph edges (exact pregroup stars + banded near-dup
-    * pairs) of a precomputed (image_id, dhash, nid) projection. */
+    * pairs) of a precomputed (image_id, dhash, nid) projection —
+    * everything in nid space (no string ids ride any shuffle). */
   private def dupEdges(ids: DataFrame, maxHamming: Int): DataFrame = {
-    val (exactEdges, repDf) = exactPregroup(ids)
-    val nearEdges = imageNearDupPairs(repDf, maxHamming)
-      .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
-      .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
-      .select("a", "b")
-    exactEdges.unionByName(nearEdges)
+    val (exactEdges, repIds) = exactPregroup(ids)
+    exactEdges.unionByName(nearDupEdges(repIds, maxHamming))
   }
 
   /** Components + name labeling over a dup-edge list (see
@@ -461,9 +492,13 @@ object Media {
     val ids = dhashes(images)
       .withColumn("nid", xxhash64(col("image_id")))
       .localCheckpoint(true)
-    val labels = imageDupClustersFromIds(ids, maxHamming).localCheckpoint(true)
-    val distinctHash = ids.groupBy(col("dhash"))
-      .agg(min(col("image_id")).as("member_id"))
+    val (exactEdges, repIds) = exactPregroup(ids)
+    val labels = labelsFromEdges(ids,
+      exactEdges.unionByName(nearDupEdges(repIds, maxHamming))).localCheckpoint(true)
+    // index rows look up each distinct hash's label through its rep
+    // member — repIds already holds one (image_id, dhash) per distinct
+    // hash, so no extra distinct pass runs here
+    val distinctHash = repIds.select(col("dhash"), col("image_id").as("member_id"))
       .join(labels.withColumnRenamed("image_id", "member_id"), "member_id")
       .select(col("dhash"), col("rep"), xxhash64(col("rep")).as("rep_nid"))
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -511,11 +546,8 @@ object Media {
   def incrementalImageDedupFromIds(ids: DataFrame, bandsTable: String,
                                    maxHamming: Int = 2): (DataFrame, DataFrame) = {
     val spark = ids.sparkSession
-    val (exactEdges, repDf) = exactPregroup(ids)
-    val newNewEdges = imageNearDupPairs(repDf, maxHamming)
-      .join(ids.select(col("image_id").as("img_a"), col("nid").as("a")), "img_a")
-      .join(ids.select(col("image_id").as("img_b"), col("nid").as("b")), "img_b")
-      .select("a", "b")
+    val (exactEdges, repIds) = exactPregroup(ids)
+    val newNewEdges = nearDupEdges(repIds, maxHamming)
     // boundary probe: new distinct hashes explode their 6 band keys and
     // join the BUCKETED index — corpus side shuffle-free — then verify
     // by exact Hamming against the matched member hash. The hit set is
@@ -523,8 +555,7 @@ object Media {
     // the old-rep name map below derive from it, and everything this
     // function knows about the corpus flows through it — the index is
     // never scanned or aggregated in full.
-    val probes = repDf
-      .join(ids.select(col("image_id"), col("nid")), "image_id")
+    val probes = repIds
       .select(col("nid"), col("dhash").as("new_dhash"),
         explode(packedBandKeys(col("dhash"))).as("band_key"))
     val index = spark.table(bandsTable)
