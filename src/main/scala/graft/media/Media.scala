@@ -70,18 +70,20 @@ object Media {
       javax.imageio.ImageIO.setUseCache(false) // never touch disk
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) null
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val dw = reader.getWidth(0).toLong
-          val dh = reader.getHeight(0).toLong
-          if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) null
-          else reader.read(0)
-        } finally reader.dispose()
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val dw = reader.getWidth(0).toLong
+            val dh = reader.getHeight(0).toLong
+            if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close() // dispose() never closes the reader's input
     } catch { case scala.util.control.NonFatal(_) => null }
 
   private def bufferedToDecoded(id: String, bi: java.awt.image.BufferedImage): DecodedImage = {
@@ -600,18 +602,31 @@ object Media {
     (newLabels, merges)
   }
 
+  /** A held single-writer lease: the file, this writer's owner token,
+    * and the heartbeat thread that keeps the lease fresh. */
+  private[media] final case class StateLease(path: java.nio.file.Path, token: String,
+                                             heartbeat: Thread)
+
   /** Single-writer lease for the persisted dedup state: a concurrent
     * append would interleave band files under the same bucket spec and
-    * corrupt the bucketing silently. Atomic create-file acquisition; a
-    * holder older than `leaseMs` is presumed dead (crashed writer) and
-    * its lease is stolen. Callers release in a finally. */
+    * corrupt the bucketing silently. Atomic create-file acquisition
+    * with an OWNER TOKEN in the file body; a HEARTBEAT thread touches
+    * the lease mtime every leaseMs/3, so a live append — however
+    * long — is never mistaken for a crashed writer; only a lease whose
+    * mtime is older than `leaseMs` (heartbeat dead == holder dead) is
+    * stolen. Callers release in a finally; release deletes the file
+    * only when the token still matches (never a successor's lease). */
   private[media] def acquireStateLease(dir: String,
-                                       leaseMs: Long = 15 * 60 * 1000L): java.nio.file.Path = {
+                                       leaseMs: Long = 15 * 60 * 1000L): StateLease = {
     val p = java.nio.file.Paths.get(dir, ".writer_lease")
     java.nio.file.Files.createDirectories(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try { java.nio.file.Files.createFile(p); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try {
+        java.nio.file.Files.writeString(p, token,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!tryAcquire()) {
       val age = System.currentTimeMillis() -
         java.nio.file.Files.getLastModifiedTime(p).toMillis
@@ -620,15 +635,34 @@ object Media {
           s"dedup state at $dir is held by another writer (lease age ${age}ms); " +
             "appends must be serialized per corpus — a concurrent append would " +
             "corrupt the band bucketing")
-      java.nio.file.Files.deleteIfExists(p) // stale: holder presumed crashed
+      java.nio.file.Files.deleteIfExists(p) // stale: holder's heartbeat is dead
       if (!tryAcquire())
         throw new IllegalStateException(s"lost the lease race for $dir after a stale steal")
     }
-    p
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(leaseMs / 3, 1000L))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        }
+      } catch { case _: InterruptedException => () case scala.util.control.NonFatal(_) => () }
+    }, s"dedup-state-lease-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    StateLease(p, token, hb)
   }
 
-  private[media] def releaseStateLease(p: java.nio.file.Path): Unit =
-    java.nio.file.Files.deleteIfExists(p)
+  private[media] def releaseStateLease(l: StateLease): Unit = {
+    l.heartbeat.interrupt()
+    // delete only OUR lease: if a (buggy or force-) successor replaced
+    // it, removing theirs would let a third writer in mid-write
+    try {
+      if (java.nio.file.Files.exists(l.path) &&
+        java.nio.file.Files.readString(l.path) == l.token)
+        java.nio.file.Files.deleteIfExists(l.path)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Fold a processed batch into the persisted dedup state so the NEXT
     * batch's probes see it: appends band rows for the batch's distinct
@@ -979,6 +1013,12 @@ object Media {
       var prevRect: java.awt.Rectangle = null
       var prevSnapshot: java.awt.image.BufferedImage = null
       for (f <- 0 until n) {
+        // frame-dimension bomb check BEFORE decode, every frame: a
+        // descriptor declaring 46000x46000 would otherwise allocate
+        // ~2 GB inside reader.read (the canvas cap below only guards
+        // the composite, and only once)
+        if (reader.getWidth(f).toLong * reader.getHeight(f) > MaxDecodePixels)
+          return Seq.empty
         val frame = reader.read(f)
         val meta = reader.getImageMetadata(f)
         val tree = meta.getAsTree("javax_imageio_gif_image_1.0")

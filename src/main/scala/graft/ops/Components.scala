@@ -170,10 +170,15 @@ object Components {
       cur = next
       it += 1
       // negative hubNodes = hub set exceeded the broadcast cap and the
-      // round fell back to the plain join (AQE skew split territory)
-      stats = stats :+ RoundStats(it, nfp._1, math.max(lsHubs, ssHubs))
+      // round fell back to the plain join (AQE skew split territory).
+      // A fallback in EITHER star phase must survive into the stat —
+      // max() would mask -N behind the other phase's healthy 0.
+      val roundHubs =
+        if (lsHubs < 0 || ssHubs < 0) math.min(lsHubs, ssHubs)
+        else math.max(lsHubs, ssHubs)
+      stats = stats :+ RoundStats(it, nfp._1, roundHubs)
       log.info(s"connectedComponents round $it: ${nfp._1} edges (input $inputEdges, " +
-        s"hub nodes ${math.max(lsHubs, ssHubs)})")
+        s"hub nodes $roundHubs)")
       // star rounds can transiently inflate the edge set; sustained
       // blow-up is the giant-component signature — surface it loudly
       if (nfp._1 > 8 * inputEdges)

@@ -111,11 +111,35 @@ object StreamOps {
     * rewrites the same rows instead of duplicating them. The state's
     * own labels append is skipped (labelsOut IS the durable label
     * record for a streamed corpus). */
+  /** Move any flat part files at a sink's root into a `batch=legacy`
+    * partition dir, so a stream upgraded from the old flat-append
+    * layout keeps its history readable next to the new batchId
+    * partitions (partition discovery rejects files mixed with
+    * partition dirs). No-op after the first call / on fresh dirs. */
+  private def migrateFlatSink(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    val flat = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    if (flat.nonEmpty) {
+      val legacy = new java.io.File(root, "batch=legacy")
+      legacy.mkdirs()
+      flat.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(legacy.getPath, f.getName))
+      }
+      // drop writer metadata from the flat era; the partitioned reads
+      // don't use it and a stale _SUCCESS at root confuses nothing but
+      // humans — keep it, only data files had to move
+    }
+  }
+
   def incrementalDedupStream(images: DataFrame, bandsTable: String, stateDir: String,
                              buckets: Int, labelsOut: String, mergesOut: String,
                              checkpointDir: String): StreamingQuery =
     images.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        migrateFlatSink(labelsOut)
+        migrateFlatSink(mergesOut)
         val ids = graft.media.Media.dhashes(batch)
           .withColumn("nid", xxhash64(col("image_id")))
           .localCheckpoint(true)

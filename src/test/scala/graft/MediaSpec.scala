@@ -582,6 +582,21 @@ class MediaSpec extends AnyFunSuite {
     val stub = Media.sampleFrames("bomb", bomb, 4, 4, nFrames = 2, every = 1)
     assert(stub.map(_.image_id) == Seq("bomb#f0", "bomb#f1") && stub.forall(_.rgb.length == 48),
       "oversized logical screen did not degrade to the stub")
+
+    // FRAME-descriptor bomb: patch the 2x2 frame's ImageDescriptor to
+    // claim 50000x50000 (the canvas cap alone would miss this — the
+    // allocation happens inside reader.read). Descriptor layout:
+    // 0x2C left(2) top(2) w(2) h(2); patch w/h little-endian.
+    val plain = writeGif(Seq((solid(2, 2, 0x112233), 0, 0, "none")), None)
+    val pat = Array[Byte](0x2C, 0, 0, 0, 0, 2, 0, 2, 0)
+    val at = plain.indices.find(i => i + pat.length <= plain.length &&
+      pat.indices.forall(j => plain(i + j) == pat(j))).get
+    val fbomb = plain.clone()
+    fbomb(at + 5) = 0x50.toByte; fbomb(at + 6) = 0xC3.toByte // w = 50000
+    fbomb(at + 7) = 0x50.toByte; fbomb(at + 8) = 0xC3.toByte // h = 50000
+    val stub2 = Media.sampleFrames("fbomb", fbomb, 4, 4, nFrames = 2, every = 1)
+    assert(stub2.map(_.image_id) == Seq("fbomb#f0", "fbomb#f1") && stub2.forall(_.rgb.length == 48),
+      "oversized frame descriptor did not degrade to the stub")
   }
 
   test("dedup state append: single-writer lease rejects concurrent writers, steals stale ones") {
