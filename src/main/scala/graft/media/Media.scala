@@ -570,98 +570,10 @@ object Media {
     val oldReps = probeHits.select(col("rep_nid"), col("rep")).distinct()
     val comp = graft.ops.Components.connectedComponents(
       exactEdges.unionByName(newNewEdges).unionByName(newOldEdges))
-    // sticky labels: a component containing old reps labels to the
-    // MINIMUM old rep nid (deterministic), not the component min
-    val compOld = comp.join(oldReps.select(col("rep_nid").as("node"),
-        col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
-      .groupBy(col("rep").as("crep"))
-      .agg(min(struct(col("old_nid"), col("old_rep"))).as("m"))
-      .select(col("crep"), col("m.old_rep").as("sticky_rep"))
-    val labeled = comp.withColumnRenamed("rep", "crep")
-      .join(compOld, Seq("crep"), "left")
-    // component-min NEW image id for components with no old anchor
-    val nidNames = ids.select(col("nid").as("node"), col("image_id").as("node_id"))
-    val newRepNames = labeled.join(nidNames, "node")
-      .groupBy(col("crep")).agg(min(struct(col("node"), col("node_id"))).as("mn"))
-      .select(col("crep"), col("mn.node_id").as("new_rep"))
-    val nodeLabel = labeled.join(newRepNames, Seq("crep"), "left")
-      .select(col("node").as("nid"), coalesce(col("sticky_rep"), col("new_rep")).as("lbl"))
-    val newLabels = ids.select(col("image_id"), col("nid"))
-      .join(nodeLabel, Seq("nid"), "left")
-      .select(col("image_id"), coalesce(col("lbl"), col("image_id")).as("rep"))
-    // merges: components holding >= 2 distinct old reps; merged_rep is
-    // the SAME min-by-nid choice the sticky labels above made
-    val merges = comp.join(oldReps.select(col("rep_nid").as("node"),
-        col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
-      .groupBy(col("rep").as("crep"))
-      .agg(collect_set(col("old_rep")).as("reps"),
-        min(struct(col("old_nid"), col("old_rep"))).as("m"))
-      .filter(size(col("reps")) >= 2)
-      .select(explode(col("reps")).as("rep_a"), col("m.old_rep").as("merged_rep"))
-      .filter(col("rep_a") =!= col("merged_rep"))
-    (newLabels, merges)
-  }
-
-  /** A held single-writer lease: the file, this writer's owner token,
-    * and the heartbeat thread that keeps the lease fresh. */
-  private[media] final case class StateLease(path: java.nio.file.Path, token: String,
-                                             heartbeat: Thread)
-
-  /** Single-writer lease for the persisted dedup state: a concurrent
-    * append would interleave band files under the same bucket spec and
-    * corrupt the bucketing silently. Atomic create-file acquisition
-    * with an OWNER TOKEN in the file body; a HEARTBEAT thread touches
-    * the lease mtime every leaseMs/3, so a live append — however
-    * long — is never mistaken for a crashed writer; only a lease whose
-    * mtime is older than `leaseMs` (heartbeat dead == holder dead) is
-    * stolen. Callers release in a finally; release deletes the file
-    * only when the token still matches (never a successor's lease). */
-  private[media] def acquireStateLease(dir: String,
-                                       leaseMs: Long = 15 * 60 * 1000L): StateLease = {
-    val p = java.nio.file.Paths.get(dir, ".writer_lease")
-    java.nio.file.Files.createDirectories(p.getParent)
-    val token = java.util.UUID.randomUUID().toString
-    def tryAcquire(): Boolean =
-      try {
-        java.nio.file.Files.writeString(p, token,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!tryAcquire()) {
-      val age = System.currentTimeMillis() -
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
-      if (age <= leaseMs)
-        throw new IllegalStateException(
-          s"dedup state at $dir is held by another writer (lease age ${age}ms); " +
-            "appends must be serialized per corpus — a concurrent append would " +
-            "corrupt the band bucketing")
-      java.nio.file.Files.deleteIfExists(p) // stale: holder's heartbeat is dead
-      if (!tryAcquire())
-        throw new IllegalStateException(s"lost the lease race for $dir after a stale steal")
-    }
-    val hb = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
-          Thread.sleep(math.max(leaseMs / 3, 1000L))
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        }
-      } catch { case _: InterruptedException => () case scala.util.control.NonFatal(_) => () }
-    }, s"dedup-state-lease-heartbeat")
-    hb.setDaemon(true)
-    hb.start()
-    StateLease(p, token, hb)
-  }
-
-  private[media] def releaseStateLease(l: StateLease): Unit = {
-    l.heartbeat.interrupt()
-    // delete only OUR lease: if a (buggy or force-) successor replaced
-    // it, removing theirs would let a third writer in mid-write
-    try {
-      if (java.nio.file.Files.exists(l.path) &&
-        java.nio.file.Files.readString(l.path) == l.token)
-        java.nio.file.Files.deleteIfExists(l.path)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // sticky labels + merge events: shared resolution (ops.StickyLabels,
+    // one source with the text path)
+    graft.ops.StickyLabels.resolve(comp, oldReps,
+      ids.select(col("image_id"), col("nid")), "image_id")
   }
 
   /** Fold a processed batch into the persisted dedup state so the NEXT
@@ -692,9 +604,9 @@ object Media {
   def appendImageDedupStateFromIds(ids: DataFrame, newLabels: DataFrame,
                                    bandsTable: String, dir: String, buckets: Int,
                                    writeLabels: Boolean = true): Unit = {
-    val lease = acquireStateLease(dir)
+    val lease = graft.ops.StateLease.acquire(dir)
     try appendImageDedupStateLocked(ids, newLabels, bandsTable, dir, buckets, writeLabels)
-    finally releaseStateLease(lease)
+    finally graft.ops.StateLease.release(lease)
   }
 
   private def appendImageDedupStateLocked(ids: DataFrame, newLabels: DataFrame,

@@ -1,0 +1,66 @@
+package graft.ops
+
+/**
+ * Single-writer lease for persisted incremental-dedup state (image band
+ * index, text band index): a concurrent append would interleave files
+ * under the same bucket spec and corrupt the bucketing silently, so
+ * appends must be serialized per corpus and this lease ENFORCES it.
+ *
+ * Acquisition is an atomic create-file with an OWNER TOKEN in the body;
+ * a daemon HEARTBEAT thread touches the lease mtime every leaseMs/3, so
+ * a live append — however long — is never mistaken for a crashed
+ * writer; only a lease whose mtime is older than `leaseMs` (heartbeat
+ * dead == holder dead) is stolen. Release deletes the file only while
+ * the token still matches (never a successor's lease). Callers release
+ * in a finally.
+ */
+object StateLease {
+  final case class Lease(path: java.nio.file.Path, token: String, heartbeat: Thread)
+
+  def acquire(dir: String, leaseMs: Long = 15 * 60 * 1000L): Lease = {
+    val p = java.nio.file.Paths.get(dir, ".writer_lease")
+    java.nio.file.Files.createDirectories(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    def tryAcquire(): Boolean =
+      try {
+        java.nio.file.Files.writeString(p, token,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryAcquire()) {
+      val age = System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (age <= leaseMs)
+        throw new IllegalStateException(
+          s"dedup state at $dir is held by another writer (lease age ${age}ms); " +
+            "appends must be serialized per corpus — a concurrent append would " +
+            "corrupt the band bucketing")
+      java.nio.file.Files.deleteIfExists(p) // stale: holder's heartbeat is dead
+      if (!tryAcquire())
+        throw new IllegalStateException(s"lost the lease race for $dir after a stale steal")
+    }
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(leaseMs / 3, 1000L))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        }
+      } catch { case _: InterruptedException => () case scala.util.control.NonFatal(_) => () }
+    }, "dedup-state-lease-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    Lease(p, token, hb)
+  }
+
+  def release(l: Lease): Unit = {
+    l.heartbeat.interrupt()
+    // delete only OUR lease: if a (buggy or force-) successor replaced
+    // it, removing theirs would let a third writer in mid-write
+    try {
+      if (java.nio.file.Files.exists(l.path) &&
+        java.nio.file.Files.readString(l.path) == l.token)
+        java.nio.file.Files.deleteIfExists(l.path)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+}

@@ -159,6 +159,36 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous TEXT near-dup dedup with persisted state — the text
+    * analog of [[incrementalDedupStream]], same idempotency contract:
+    * labels/merges land in batchId-keyed overwrite paths (flat-era
+    * files auto-migrate to batch=legacy), the band fold skips
+    * already-indexed texts, the state's own labels append is skipped.
+    * Each micro-batch tokenizes/hashes ONLY its own docs; the corpus
+    * never re-shuffles (bucketed index probes). */
+  def incrementalTextDedupStream(docs: DataFrame, bandsTable: String, stateDir: String,
+                                 buckets: Int, labelsOut: String, mergesOut: String,
+                                 checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        migrateFlatSink(labelsOut)
+        migrateFlatSink(mergesOut)
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) {
+          val (labels, merges) = graft.text.TextDedupState
+            .incrementalTextDedup(b, bandsTable)
+          val l = labels.localCheckpoint(true)
+          l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
+          merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
+          graft.text.TextDedupState.appendTextDedupState(
+            b, l, bandsTable, stateDir, buckets, writeLabels = false)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Incremental tileset maintenance — the reference's "encode new
     * files, merge, re-render" loop (README.md:97-107) as ONE streaming
     * query. Per micro-batch: (1) append the new (cell, meta) rows to the
