@@ -79,11 +79,11 @@ object SparkEntry {
   /** MinHash LSH candidate pairs (shared by q28_minhash_lsh and the
     * q42 cluster rollup). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val eligible = docs(s, d)
-      .filter(length(regexp_replace(col("text"), "[^a-z ]", "")) >= 5)
+    val eligible = docs(s, d).filter(TextOps.lshEligible(col("text")))
     val bands = eligible.select(col("doc_id"),
-      explode(TextOps.minhashBandKeys(col("text"), 5, 4, 4)).as("band_key"))
-    TextOps.cappedCandidatePairs(bands, "band_key", cap = 64)
+      explode(TextOps.minhashBandKeys(col("text"),
+        TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows)).as("band_key"))
+    TextOps.cappedCandidatePairs(bands, "band_key", cap = TextOps.LshCap)
   }
 
   private def emb(spark: SparkSession, dir: String): DataFrame =

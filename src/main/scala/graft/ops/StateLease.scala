@@ -35,18 +35,36 @@ object StateLease {
           s"dedup state at $dir is held by another writer (lease age ${age}ms); " +
             "appends must be serialized per corpus — a concurrent append would " +
             "corrupt the band bucketing")
-      java.nio.file.Files.deleteIfExists(p) // stale: holder's heartbeat is dead
+      // stale steal via ATOMIC RENAME: exactly one of N concurrent
+      // stealers wins the move (the losers' moves throw), so a rival's
+      // freshly re-acquired lease can never be deleted out from under
+      // it (the delete-then-create steal had that TOCTOU)
+      try {
+        val grave = p.resolveSibling(s".writer_lease_stale_$token")
+        java.nio.file.Files.move(p, grave,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.deleteIfExists(grave)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          throw new IllegalStateException(
+            s"lost the stale-lease steal race for $dir (another writer took it)")
+      }
       if (!tryAcquire())
         throw new IllegalStateException(s"lost the lease race for $dir after a stale steal")
     }
     val hb = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
+      // transient IO errors (NFS hiccup) must NOT kill the heartbeat —
+      // a silent stop would let a live long append be "stale"-stolen
+      while (!Thread.currentThread().isInterrupted) {
+        try {
           Thread.sleep(math.max(leaseMs / 3, 1000L))
           java.nio.file.Files.setLastModifiedTime(p,
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        } catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => () // retry next tick
         }
-      } catch { case _: InterruptedException => () case scala.util.control.NonFatal(_) => () }
+      }
     }, "dedup-state-lease-heartbeat")
     hb.setDaemon(true)
     hb.start()

@@ -95,22 +95,6 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("dhash")
   }
 
-  /** Continuous perceptual dedup with PERSISTED content-addressed
-    * state: each micro-batch dedups against the band index built by
-    * Media.writeImageDedupState (corpus side never shuffles), lands its
-    * labels and merge events in parquet sinks, and folds its fresh
-    * hashes back into the state so LATER batches see it. Complements
-    * [[streamingImageDedup]], whose watermark bounds state by TIME —
-    * this state is permanent and cross-restart.
-    *
-    * EVERY write is idempotent under batch replay (a crash between the
-    * sink writes and the checkpoint commit replays the batch): labels
-    * and merges land in batchId-keyed subdirectories with overwrite
-    * (readers see a `batch` partition column under labelsOut/mergesOut),
-    * and the band-index fold skips already-present hashes — so a replay
-    * rewrites the same rows instead of duplicating them. The state's
-    * own labels append is skipped (labelsOut IS the durable label
-    * record for a streamed corpus). */
   /** Move any flat part files at a sink's root into a `batch=legacy`
     * partition dir, so a stream upgraded from the old flat-append
     * layout keeps its history readable next to the new batchId
@@ -133,6 +117,22 @@ object StreamOps {
     }
   }
 
+  /** Continuous perceptual dedup with PERSISTED content-addressed
+    * state: each micro-batch dedups against the band index built by
+    * Media.writeImageDedupState (corpus side never shuffles), lands its
+    * labels and merge events in parquet sinks, and folds its fresh
+    * hashes back into the state so LATER batches see it. Complements
+    * [[streamingImageDedup]], whose watermark bounds state by TIME —
+    * this state is permanent and cross-restart.
+    *
+    * EVERY write is idempotent under batch replay (a crash between the
+    * sink writes and the checkpoint commit replays the batch): labels
+    * and merges land in batchId-keyed subdirectories with overwrite
+    * (readers see a `batch` partition column under labelsOut/mergesOut),
+    * and the band-index fold skips already-present hashes — so a replay
+    * rewrites the same rows instead of duplicating them. The state's
+    * own labels append is skipped (labelsOut IS the durable label
+    * record for a streamed corpus). */
   def incrementalDedupStream(images: DataFrame, bandsTable: String, stateDir: String,
                              buckets: Int, labelsOut: String, mergesOut: String,
                              checkpointDir: String): StreamingQuery =
@@ -175,13 +175,15 @@ object StreamOps {
         migrateFlatSink(mergesOut)
         val b = batch.localCheckpoint(true)
         if (b.count() > 0) {
-          val (labels, merges) = graft.text.TextDedupState
-            .incrementalTextDedup(b, bandsTable)
+          // Prepared variant: the dedup's band rows feed the state fold
+          // too, so every doc is tokenized/minhashed exactly ONCE
+          val (labels, merges, bands) = graft.text.TextDedupState
+            .incrementalTextDedupPrepared(b, bandsTable)
           val l = labels.localCheckpoint(true)
           l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
           merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
-          graft.text.TextDedupState.appendTextDedupState(
-            b, l, bandsTable, stateDir, buckets, writeLabels = false)
+          graft.text.TextDedupState.appendTextDedupStateFromBands(
+            bands, l, bandsTable, stateDir, buckets, writeLabels = false)
         }
         ()
       }

@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
  * re-hashing, or re-shuffling the old corpus.
  *
  * Match semantics are EXACTLY the batch MinHash-LSH pipeline's
- * (q28/q42): two documents are near-dups iff they share any LSH band
- * key of their minhash signatures (the fused codegen kernel
- * TextOps.minhashBandKeys; ineligible docs — fewer clean chars than the
- * shingle width — are singletons). The persisted state is
+ * (q28/q42, geometry single-sourced from TextOps.Lsh*): two documents
+ * are near-dups iff they share any LSH band key of their minhash
+ * signatures; additionally EVERY distinct text — including docs too
+ * short/non-latin for LSH banding — carries one md5 "band" row
+ * (band = -1, key in a disjoint >= 2^62 namespace, match verified by
+ * exact text_md5 equality), so cross-batch EXACT copies link no matter
+ * their eligibility and the incremental partition equals one-shot
+ * clustering regardless of batch boundaries. The persisted state is
  *  - `<table>` (catalog, parquet at `dir/bands`): one row per
- *    (distinct-md5 rep doc x band) — (band, band_key, text_md5, rep) —
- *    BUCKETED by band_key so incremental probes join the corpus-sized
- *    side with ZERO shuffle (read via spark.table, never read.parquet:
- *    bucket metadata lives in the catalog);
+ *    (distinct-md5 rep doc x (bands + 1)) — (band, band_key, text_md5,
+ *    rep) — BUCKETED by band_key so incremental probes join the
+ *    corpus-sized side with ZERO shuffle (read via spark.table, never
+ *    read.parquet: bucket metadata lives in the catalog);
  *  - `dir/labels`: (doc_id, rep) for every doc.
  *
  * Exact duplicates (identical text — the bulk of web duplication)
@@ -34,18 +38,20 @@ import org.apache.spark.sql.functions._
  * (it IS the graph node id — no separate nid hash needed).
  */
 object TextDedupState {
-  /** Default LSH geometry — the q28/q42 parameters. */
-  final val Shingle = 5
-  final val Bands = 4
-  final val Rows = 4
+  /** md5 "band" key: xxhash64 of the md5 string forced into a
+    * namespace disjoint from the < 2^31 LSH band keys. The key only
+    * SEEDS the bucket join — matches verify by exact text_md5
+    * equality, so a 64-bit collision can never merge clusters. */
+  private def md5Key(md5Col: Column): Column =
+    xxhash64(md5Col).bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL)).bitwiseOR(lit(1L << 62))
 
-  private def eligible(text: Column): Column =
-    length(regexp_replace(text, "[^a-z ]", "")) >= Shingle
-
-  /** (doc_id, text_md5, band, band_key) rows for the batch's
-    * distinct-md5 rep docs + the pregroup star edges + the rep
-    * projection. Band rows only exist for ELIGIBLE rep docs. */
-  private def pregroupAndBands(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** Batch preparation: (star edges from the md5 pregroup, rep
+    * projection, CHECKPOINTED band rows). Band rows = the LSH bands of
+    * eligible reps PLUS one md5 row (band = -1) for EVERY rep; the
+    * checkpoint matters — bands feed the pair join (which scans twice)
+    * plus the probe/index writes (CLAUDE.md multi-consumer
+    * invariant). */
+  private[text] def prepareBatch(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val hashed = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
       md5(col("text")).as("text_md5"))
     val groups = hashed.groupBy(col("text_md5")).agg(min(col("doc_id")).as("grep"))
@@ -54,12 +60,25 @@ object TextDedupState {
       .select(col("doc_id").as("a"), col("grep").as("b"))
     val reps = withRep.filter(col("doc_id") === col("grep"))
       .select(col("doc_id"), col("text"), col("text_md5"))
-    val bands = reps.filter(eligible(col("text")))
+    val lshBands = reps.filter(TextOps.lshEligible(col("text")))
       .select(col("doc_id"), col("text_md5"),
-        posexplode(TextOps.minhashBandKeys(col("text"), Shingle, Bands, Rows))
+        posexplode(TextOps.minhashBandKeys(col("text"),
+          TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows))
           .as(Seq("band", "band_key")))
+    val md5Bands = reps.select(col("doc_id"), col("text_md5"),
+      lit(-1).as("band"), md5Key(col("text_md5")).as("band_key"))
+    val bands = lshBands.unionByName(md5Bands).localCheckpoint(true)
     (starEdges, reps, bands)
   }
+
+  /** In-batch near-dup pairs from prepared band rows: the capped LSH
+    * pair join over the LSH rows only (md5 rows are redundant in-batch
+    * — identical texts already collapsed into one rep). */
+  private def batchPairs(bands: DataFrame): DataFrame =
+    TextOps.cappedCandidatePairs(
+      bands.filter(col("band") =!= -1).select(col("doc_id"), col("band_key")),
+      "band_key", cap = TextOps.LshCap)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
 
   /** Build the persisted state: batch-cluster `docs` (md5 pregroup +
     * capped LSH pairs + connected components — the q42 partition),
@@ -67,11 +86,9 @@ object TextDedupState {
   def writeTextDedupState(docs: DataFrame, dir: String, table: String,
                           buckets: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (starEdges, reps, bands) = pregroupAndBands(docs)
-    val pairs = TextOps.cappedCandidatePairs(
-      bands.select(col("doc_id"), col("band_key")), "band_key", cap = 64)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val comp = graft.ops.Components.connectedComponents(starEdges.unionByName(pairs))
+    val (starEdges, _, bands) = prepareBatch(docs)
+    val comp = graft.ops.Components
+      .connectedComponents(starEdges.unionByName(batchPairs(bands)))
       .withColumnRenamed("node", "doc_id")
     val labels = docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -90,64 +107,81 @@ object TextDedupState {
 
   /** Dedup a NEW batch against the persisted band index WITHOUT
     * touching the old corpus: within the batch, the full md5-pregroup +
-    * capped-LSH clustering; across the boundary, the batch's rep band
-    * keys probe the BUCKETED index (corpus side never shuffles; only
-    * (doc_id, band_key) rows do) — a shared band key IS a match, the
-    * same criterion the batch pipeline uses, so boundary semantics
-    * equal re-clustering the union. Old labels are sticky; bridges
-    * emit merges (see ops.StickyLabels). Returns (labels(doc_id, rep),
+    * capped-LSH clustering; across the boundary, the batch's band rows
+    * (LSH + md5) probe the BUCKETED index (corpus side never shuffles;
+    * only (doc_id, band_key) rows do) — a shared LSH band key IS a
+    * match (the batch criterion) and md5 rows match on verified exact
+    * text, so boundary semantics equal re-clustering the union for
+    * eligible AND ineligible docs. Old labels are sticky; bridges emit
+    * merges (see ops.StickyLabels). Returns (labels(doc_id, rep),
     * merges(rep_a, merged_rep)). */
   def incrementalTextDedup(newDocs: DataFrame, bandsTable: String):
       (DataFrame, DataFrame) = {
+    val (labels, merges, _) = incrementalTextDedupPrepared(newDocs, bandsTable)
+    (labels, merges)
+  }
+
+  /** [[incrementalTextDedup]] that also returns the batch's prepared
+    * band rows, so a caller that will fold the batch into the state
+    * (the streaming wrapper) hashes each document ONCE. */
+  def incrementalTextDedupPrepared(newDocs: DataFrame, bandsTable: String):
+      (DataFrame, DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
-    val (starEdges, _, bands) = pregroupAndBands(newDocs)
-    val bandsC = bands.localCheckpoint(true) // feeds pairs + the probe
-    val pairs = TextOps.cappedCandidatePairs(
-      bandsC.select(col("doc_id"), col("band_key")), "band_key", cap = 64)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    // boundary probe: batch band keys join the bucketed index; the hit
-    // set is candidate-sized and checkpointed — the edge list AND the
-    // old-rep set both derive from it, and nothing ever scans the
-    // index in full
-    val probeHits = bandsC.select(col("doc_id"), col("band_key"))
-      .join(spark.table(bandsTable).select(col("band_key"), col("rep")), "band_key")
+    val (starEdges, _, bands) = prepareBatch(newDocs)
+    // boundary probe: batch band rows join the bucketed index; md5-band
+    // hits additionally verify exact text equality. The hit set is
+    // candidate-sized and checkpointed — the edge list AND the old-rep
+    // set both derive from it, and nothing ever scans the index in full
+    val idx = spark.table(bandsTable)
+      .select(col("band").as("i_band"), col("band_key"),
+        col("text_md5").as("i_md5"), col("rep"))
+    val probeHits = bands.select(col("doc_id"), col("text_md5"), col("band_key"))
+      .join(idx, "band_key")
+      .filter(col("i_band") =!= -1 || col("i_md5") === col("text_md5"))
       .select(col("doc_id"), col("rep"))
       .distinct()
       .localCheckpoint(true)
     val newOldEdges = probeHits.select(col("doc_id").as("a"), col("rep").as("b"))
     val oldReps = probeHits.select(col("rep").as("rep_nid"), col("rep")).distinct()
     val comp = graft.ops.Components.connectedComponents(
-      starEdges.unionByName(pairs).unionByName(newOldEdges))
+      starEdges.unionByName(batchPairs(bands)).unionByName(newOldEdges))
     val ids = newDocs.select(col("doc_id").cast("long").as("doc_id"))
       .withColumn("nid", col("doc_id"))
-    graft.ops.StickyLabels.resolve(comp, oldReps, ids, "doc_id")
+    val (labels, merges) = graft.ops.StickyLabels.resolve(comp, oldReps, ids, "doc_id")
+    (labels, merges, bands)
   }
 
   /** Fold a processed batch into the state so the NEXT batch sees it:
     * append band rows for the batch's distinct-md5 rep docs whose text
     * is NOT already indexed (presence = exact text_md5 match through
-    * the band-0 bucket join — identical texts share every band key, so
-    * one band suffices and the corpus side stays shuffle-free),
-    * labeled with the batch's FINAL reps; plus the labels (skippable
-    * via `writeLabels` for callers with their own idempotent label
-    * sink). Single-writer per corpus, enforced by ops.StateLease. */
+    * the md5-band bucket join — covers LSH-ineligible docs too, and
+    * the corpus side stays shuffle-free), labeled with the batch's
+    * FINAL reps; plus the labels (skippable via `writeLabels` for
+    * callers with their own idempotent label sink). Single-writer per
+    * corpus, enforced by ops.StateLease. */
   def appendTextDedupState(newDocs: DataFrame, newLabels: DataFrame,
                            bandsTable: String, dir: String, buckets: Int,
-                           writeLabels: Boolean = true): Unit = {
+                           writeLabels: Boolean = true): Unit =
+    appendTextDedupStateFromBands(prepareBatch(newDocs)._3, newLabels,
+      bandsTable, dir, buckets, writeLabels)
+
+  /** [[appendTextDedupState]] over band rows already prepared by
+    * [[incrementalTextDedupPrepared]] — one hashing pass per batch. */
+  def appendTextDedupStateFromBands(bands: DataFrame, newLabels: DataFrame,
+                                    bandsTable: String, dir: String, buckets: Int,
+                                    writeLabels: Boolean = true): Unit = {
     val lease = graft.ops.StateLease.acquire(dir)
     try {
-      val spark = newDocs.sparkSession
-      val (_, _, bands) = pregroupAndBands(newDocs)
-      val bandsC = bands.localCheckpoint(true)
-      val idx0 = spark.table(bandsTable).filter(col("band") === 0)
+      val spark = bands.sparkSession
+      val idxMd5 = spark.table(bandsTable).filter(col("band") === -1)
         .select(col("band_key"), col("text_md5").as("old_md5"))
-      val fresh = bandsC.filter(col("band") === 0)
-        .join(idx0, Seq("band_key"), "left")
+      val fresh = bands.filter(col("band") === -1)
+        .join(idxMd5, Seq("band_key"), "left")
         .groupBy(col("doc_id"), col("text_md5"))
         .agg(max(when(col("old_md5") === col("text_md5"), 1).otherwise(0)).as("present"))
         .filter(col("present") === 0)
         .select(col("doc_id"))
-      bandsC.join(fresh, "doc_id")
+      bands.join(fresh, "doc_id")
         .join(newLabels.select(col("doc_id").cast("long").as("doc_id"), col("rep")), "doc_id")
         .select(col("band"), col("band_key"), col("text_md5"), col("rep"))
         .write.mode("append").format("parquet")

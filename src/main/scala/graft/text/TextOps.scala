@@ -227,6 +227,19 @@ object TextOps {
 
   import org.apache.spark.sql.graft.Bridge.{column, expression}
 
+  /** THE batch MinHash-LSH geometry (q28/q42) — single source shared
+    * with the persisted incremental state (TextDedupState), whose
+    * boundary-vs-batch equivalence silently breaks if these drift. */
+  final val LshShingle = 5
+  final val LshBands = 4
+  final val LshRows = 4
+  final val LshCap = 64
+
+  /** Eligibility for LSH banding: enough sanitized chars for one
+    * shingle (the SQL oracle filters identically). */
+  def lshEligible(text: Column): Column =
+    length(regexp_replace(text, "[^a-z ]", "")) >= LshShingle
+
   /** MinHash signature over character `shingle`-grams of the sanitized
     * ([a-z ]-only) text: array of `perms` affine-permuted minima.
     * Callers must exclude texts with < `shingle` clean chars (the SQL

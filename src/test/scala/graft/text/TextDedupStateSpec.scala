@@ -68,6 +68,25 @@ class TextDedupStateSpec extends AnyFunSuite {
       "incremental partition differs from one-shot clustering")
   }
 
+  test("LSH-ineligible exact copies link across batches via md5 band rows") {
+    // "X 9!" sanitizes to < 5 [a-z ] chars: no LSH bands at all. An
+    // exact copy in a later batch must STILL adopt the old label —
+    // the md5 band row (band = -1, exact-verified) carries it.
+    val base = java.nio.file.Files.createTempDirectory("textdedup_inelig").toString
+    val tbl = "text_dedup_bands_inelig"
+    val a = Seq((0L, "X 9!"), (1L, doc(1, 0)))
+    val aLabels = labelsMap(TextDedupState.writeTextDedupState(df(a), s"$base/state", tbl, buckets = 4))
+    val (bl, _) = TextDedupState.incrementalTextDedup(
+      df(Seq((10L, "X 9!"), (11L, doc(9, 0)))), tbl)
+    val bLabels = labelsMap(bl)
+    assert(bLabels(10L) == aLabels(0L),
+      s"ineligible exact copy got ${bLabels(10L)}, expected ${aLabels(0L)}")
+    assert(bLabels(11L) == 11L, "unrelated doc must stay a singleton")
+    // and an ineligible NON-copy never false-matches through the md5 band
+    val (cl, _) = TextDedupState.incrementalTextDedup(df(Seq((20L, "Y 7?"))), tbl)
+    assert(labelsMap(cl)(20L) == 20L)
+  }
+
   test("append chain: later batches see earlier folds; re-seen text doesn't bloat the index") {
     val a = (0 until 8).map(i => (i.toLong, doc(i, 0)))
     val b = (20 until 24).map(i => (i.toLong, doc(i, 0))) :+ ((300L, doc(2, 0))) // re-seen A text
@@ -82,13 +101,15 @@ class TextDedupStateSpec extends AnyFunSuite {
     assert(labelsMap(cl)(400L) == blM(21L),
       "C's near-dup of a B doc did not resolve through B's folded state")
     // no-bloat: doc 2's text was indexed by A; B's exact copy (id 300)
-    // must not add band rows — its bands stay at exactly Bands rows
+    // must not add band rows — its bands stay at exactly LshBands + 1
+    // rows (the LSH bands plus the md5 band)
+    val perDoc = TextOps.LshBands + 1
     val md5_2 = spark.sql(s"SELECT md5('${doc(2, 0)}')").head().getString(0)
-    assert(spark.table(tbl).filter(col("text_md5") === md5_2).count() == TextDedupState.Bands,
+    assert(spark.table(tbl).filter(col("text_md5") === md5_2).count() == perDoc,
       "re-seen text bloated the band index")
     // B's fresh docs DID land
     val md5_21 = spark.sql(s"SELECT md5('${doc(21, 0)}')").head().getString(0)
-    assert(spark.table(tbl).filter(col("text_md5") === md5_21).count() == TextDedupState.Bands)
+    assert(spark.table(tbl).filter(col("text_md5") === md5_21).count() == perDoc)
   }
 
   test("streaming wrapper: micro-batches resolve against folded state, idempotent sinks") {
