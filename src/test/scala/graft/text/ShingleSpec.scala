@@ -44,7 +44,8 @@ class ShingleSpec extends AnyFunSuite {
       "one  two   three four five  ",
       "short one",
       "",
-      "unicode café naïve résumé tokens here").toDF("text")
+      "unicode café naïve résumé tokens here",
+      "astral 😀 pairs 🚀 must iterate 😀🚀 codepoints not chars").toDF("text")
     // string kernel == HOF strings
     val both = docs.select(
       TextOps.tokenShingles(col("text"), 4).as("kern"),
@@ -85,7 +86,7 @@ class ShingleSpec extends AnyFunSuite {
       }
     }
     for {
-      s <- Seq("the quick brown fox", "aaaaaaaaaa", "café naïve", "ab", "")
+      s <- Seq("the quick brown fox", "aaaaaaaaaa", "café naïve", "ab", "", "a😀b🚀c")
       n <- Seq(1, 3, 5)
     } {
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
