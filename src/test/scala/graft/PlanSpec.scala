@@ -338,6 +338,11 @@ class PlanSpec extends AnyFunSuite {
       .asofJoin(clicks, views, "user_id", "t", "event_id", "view_id", span)
       .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
     val plain = run(0)
+    // span sweep: tiny spans (every row its own chunk), misaligned,
+    // huge (one chunk == degenerate to the plain shape) — all must
+    // reproduce the single-window result exactly
+    for (span <- Seq(1L, 7L, 997L, 10000L, 10000000L))
+      assert(run(span) == plain, s"chunked as-of diverges at span=$span")
     val chunked = run(10000) // ~10 chunks across the ts range
     assert(chunked == plain && plain.nonEmpty, "chunked as-of diverges from single-window")
     assert(plain.values.exists(_.nonEmpty))
