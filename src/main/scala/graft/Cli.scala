@@ -231,7 +231,10 @@ object Cli {
             Seq("z", "tx", "ty"), "left")
             .na.fill(0.0, Seq("len"))
         withLen
-          .select(col("z"), col("tx"), col("ty"), col("cnt"), col("xsum"), col("ysum"), col("len"))
+          // xsum/ysum accumulate in DECIMAL(38) for 10^12-row safety;
+          // CLI-scale totals fit a Long (the reference prints the same)
+          .select(col("z"), col("tx"), col("ty"), col("cnt"),
+            col("xsum").cast("long").as("xsum"), col("ysum").cast("long").as("ysum"), col("len"))
           .orderBy(col("z"), col("tx"), col("ty"))
           .as[(Int, Long, Long, Long, Long, Long, Double)]
       }

@@ -131,7 +131,12 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("x32"), col("y32"))),
 
     // A3: enumerate rollup over zooms 0..8 with exact centroid sums
-    "q04_enum_rollup" -> ((s, d) => TileOps.enumerateRollup(points(s, d), 0, 8)),
+    // (accumulation is DECIMAL(38) inside enumerateRollup — the 10^12-row
+    // shape; the oracle-scale output casts back to BIGINT for the
+    // bit-exact compare)
+    "q04_enum_rollup" -> ((s, d) => TileOps.enumerateRollup(points(s, d), 0, 8)
+      .select(col("z"), col("tx"), col("ty"), col("cnt"),
+        col("xsum").cast("long").as("xsum"), col("ysum").cast("long").as("ysum"))),
 
     // P3: bbox filter in world coords (the Z-range decomposition variant
     // is exercised in PlanSpec over a stored sorted table, where the

@@ -23,8 +23,16 @@ object Ann {
     column(graft.functions.DotProductExpr(expression(a), expression(b)))
   }
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  /** Cosine with a zero-magnitude guard: a zero vector scores 0.0
+    * (orthogonal-to-everything) instead of NaN — Spark sorts NaN as
+    * LARGEST, so an unguarded zero corpus vector would rank as the #1
+    * neighbor of every query and pass every cos >= minCos filter. The
+    * oracle data contains no zero vectors, so DuckDB parity (which
+    * reproduces the unguarded arithmetic) is unaffected. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = dot(a, a) * dot(b, b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / sqrt(denom))
+  }
 
   /** Exact cosine top-k: broadcast the (small) query set, window top-k
     * per query. At scale this is the rerank stage after LSH prefilter. */
@@ -53,7 +61,12 @@ object Ann {
     * at round-1's 16/4 the 4-bit keys made every bucket hold n/16 of
     * the corpus, i.e. near-all-pairs at scale. */
   def rhpBandCols(sig: Column, planes: Int, bands: Int): Column = {
+    require(bands >= 1 && planes % bands == 0,
+      s"bands ($bands) must divide planes ($planes) — a non-dividing split silently drops signature bits")
     val rows = planes / bands
+    require(rows <= 32,
+      s"rows per band ($rows) must be <= 32: 1L << 64 wraps to 1 in Scala, collapsing " +
+        "every band key to 0 and turning the LSH join into an all-pairs cross product")
     val mask = (1L << rows) - 1
     array((0 until bands).map(b =>
       struct(lit(b).as("band"), shiftrightunsigned(sig, b * rows).bitwiseAND(mask).as("key"))): _*)
@@ -77,7 +90,11 @@ object Ann {
     * and the rerank's corpus side reads pre-hashed with NO shuffle. */
   def nearDupLsh(vecs: DataFrame, minCos: Double,
                  planes: Int = 64, bands: Int = 8): DataFrame = {
-    val b = rhpBands(vecs, planes, bands)
+    // eager checkpoint: BOTH self-join sides consume the band rows, and
+    // aliased projections defeat exchange reuse — without this the RHP
+    // signature pass over the full corpus runs twice (CLAUDE.md
+    // multi-consumer invariant)
+    val b = rhpBands(vecs, planes, bands).localCheckpoint(true)
     val a2 = b.select(col("vec_id").as("vec_a"), col("bk"))
     val b2 = b.select(col("vec_id").as("vec_b"), col("bk"))
     val pairs = a2.join(b2, Seq("bk")).filter(col("vec_a") < col("vec_b"))
@@ -231,8 +248,17 @@ object Ann {
       .localCheckpoint(true)
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     val asg = spark.read.parquet(s"$dir/vectors")
-      .filter(col("cell").isin(cells: _*))
-    val cand = asg.join(broadcast(probes), Seq("cell"))
+    // partition-column type inference may read cell back as INT (small
+    // cids): isin with Long literals would wrap the column in a cast,
+    // which can defeat the plan-time pruning this collect exists to
+    // guarantee — match the literals to the INFERRED type instead
+    val typedCells: Seq[Any] = asg.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cells.toSeq.map(_.toInt)
+      case _ => cells.toSeq
+    }
+    val pruned = asg.filter(col("cell").isin(typedCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val cand = pruned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("qvec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -258,7 +284,11 @@ object Ann {
     val init = vecs.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(k).collect()
     val cids = init.map(_.getLong(0))
-    var cvecs = init.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // accept array<float> OR array<double>, like collectCentroids
+    var cvecs = init.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
     val qd = quant.toDouble
     var it = 0
     while (it < iters) {
@@ -291,6 +321,9 @@ object Ann {
     * bit flip of an LSH band key. Cost rides on the QUERY band rows
     * only — the huge vector side is untouched. */
   def probeMasks(rows: Int, maxFlips: Int): Seq[Long] = {
+    require(maxFlips >= 0 && maxFlips <= 2,
+      s"maxFlips=$maxFlips unsupported: only <=2-flip masks are generated — a silent " +
+        "cap would deliver less recall than the documented collision model promises")
     val one = (0 until rows).map(i => 1L << i)
     val two = for { i <- 0 until rows; j <- i + 1 until rows } yield (1L << i) | (1L << j)
     Seq(0L) ++ (if (maxFlips >= 1) one else Nil) ++ (if (maxFlips >= 2) two else Nil)

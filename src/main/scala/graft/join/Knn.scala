@@ -35,6 +35,15 @@ object Knn {
       min(col("x").cast("long")).as("x0"), max(col("x").cast("long")).as("x1"),
       min(col("y").cast("long")).as("y0"), max(col("y").cast("long")).as("y1")).head()
     if (r.isNullAt(1)) return 16 // empty table: any shift works
+    // d2 exactness contract (enforced here for free — the agg already
+    // ran): |coord| < 2^30 keeps dx^2 + dy^2 < 2^63 under ANSI. Raw
+    // 32-bit world coords must be pre-shifted (>> 2 or more).
+    val bound = 1L << 30
+    require(Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        .forall(v => v > -bound && v < bound),
+      s"knnJoin coords must satisfy |coord| < 2^30 for exact d2 " +
+        s"(got extent [${r.getLong(1)}, ${r.getLong(2)}] x [${r.getLong(3)}, ${r.getLong(4)}]); " +
+        "shift raw 32-bit coords right first")
     val n = math.max(r.getLong(0), 1L)
     val ex = math.max(r.getLong(2) - r.getLong(1), 1L).toDouble
     val ey = math.max(r.getLong(4) - r.getLong(3), 1L).toDouble
@@ -115,7 +124,10 @@ object Knn {
 
     // ring guarantee: everything within guard of the query is in the ring
     val guard = (ring.toLong) << tileShift // min distance to outside the ring
-    val guard2 = guard * guard
+    // a ring wider than the coordinate space trivially resolves every
+    // query; guard*guard would wrap negative for tileShift >= 31 and
+    // mark EVERYTHING unresolved (full-corpus fallback)
+    val guard2 = if (guard >= (1L << 31)) Long.MaxValue else guard * guard
     val resolved = cand.groupBy("qid")
       .agg(count(lit(1)).as("n"), max(col("d2")).as("kth"))
       .filter(col("n") >= k && col("kth") <= guard2)

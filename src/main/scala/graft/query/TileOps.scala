@@ -28,8 +28,12 @@ object TileOps {
       .groupBy("z", "tx", "ty")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("x32")).as("xsum"),
-        sum(col("y32")).as("ysum"))
+        // DECIMAL(38) accumulation: a z=0 tile sums EVERY row's 32-bit
+        // coord — at 10^12 rows that is ~2^71, past BIGINT, and Spark
+        // 4's default ANSI mode would kill the job mid-aggregation
+        // (the oracle sums in HUGEINT and casts the same way)
+        sum(col("x32").cast("decimal(38,0)")).as("xsum"),
+        sum(col("y32").cast("decimal(38,0)")).as("ysum"))
   }
 
   /** Feature-level rollup incl. the clipped segment-length stat of
@@ -83,7 +87,12 @@ object TileOps {
   def bboxRangeScan(points: DataFrame, left: Long, top: Long, right: Long, bottom: Long,
                     maxRanges: Int = 32): DataFrame = {
     val ranges = Cell.coverRanges(left, right, top, bottom, maxRanges)
-    val rangePred = ranges.map { case (lo, hi) => col("cell").between(lo, hi) }.reduce(_ || _)
+    // degenerate/inverted bbox (e.g. left > right): no covering ranges
+    // -> empty result, matching bboxFilter on the same input (reduce on
+    // an empty seq would throw at plan-build time instead)
+    val rangePred =
+      if (ranges.isEmpty) lit(false)
+      else ranges.map { case (lo, hi) => col("cell").between(lo, hi) }.reduce(_ || _)
     points.filter(rangePred)
       .filter(col("x32") >= left && col("x32") <= right &&
         col("y32") >= top && col("y32") <= bottom)
