@@ -83,8 +83,16 @@ object Cell {
 
   /** Single Long key for a (z,x,y) tile: z in the top byte-ish bits plus
     * the Morton code of the tile coords. Used as a compact groupBy key. */
-  def tileKey(z: Int, tx: Int, ty: Int): Long =
+  /** Packed (z, tile-Morton) grouping key: 6 bits of zoom + 58 Morton
+    * bits => 2*29 tile bits. z > 29 CANNOT be represented (its Morton
+    * code needs > 58 bits and the silent mask would collide tiles half
+    * a world apart, merging their canvases); callers render deeper
+    * zooms per-tile (Cli single-tile path), never through grouped
+    * pyramids. */
+  def tileKey(z: Int, tx: Int, ty: Int): Long = {
+    require(z <= 29, s"tileKey cannot pack z=$z (> 29): 2*$z Morton bits exceed the 58-bit field")
     (z.toLong << 58) | ((spread(ty) << 1 | spread(tx)) & ((1L << 58) - 1))
+  }
 
   def tileKeyZ(key: Long): Int = (key >>> 58).toInt
   def tileKeyX(key: Long): Int = compact(key & 0x0155555555555555L)

@@ -95,11 +95,17 @@ object AsofJoin {
         .withColumn("__carry", last(col("__last_rid"), ignoreNulls = true).over(wc))
         .select(col(key), col("__chunk"), col("__carry"))
       // phase 3: join the (small) carry table back on (key, chunk) —
-      // the hot key spreads across chunks here too
-      inChunk.filter(col("__side") === 1)
-        .join(carry, Seq(key, "__chunk"), "left")
-        .select(col("__lid").as(leftId), col(key),
-          coalesce(col("__rid_l"), col("__carry")).as(rightId))
+      // the hot key spreads across chunks here too. NULL-SAFE key
+      // equality: the windows group null keys together (phase 1 and
+      // the unchunked path both match null-key rows), so a plain
+      // equi-join here would silently drop their cross-chunk carry
+      val lhs = inChunk.filter(col("__side") === 1).alias("l")
+      val rhs = carry.alias("c")
+      lhs.join(rhs,
+          col(s"l.$key") <=> col(s"c.$key") && col("l.__chunk") === col("c.__chunk"),
+          "left")
+        .select(col("l.__lid").as(leftId), col(s"l.$key").as(key),
+          coalesce(col("l.__rid_l"), col("c.__carry")).as(rightId))
     }
   }
 }

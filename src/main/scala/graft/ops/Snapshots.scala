@@ -34,8 +34,18 @@ object Snapshots {
 
   /** Commit a DataFrame as the next snapshot. `parents` lists the
     * snapshot ids whose data files this snapshot carries forward
-    * (append semantics: pass currentSnapshot). Returns the new id. */
+    * (append semantics: pass currentSnapshot). Returns the new id.
+    * Committers serialize on a StateLease under `root`: two concurrent
+    * commits would otherwise both read snapshot N and both write
+    * data/N+1 (interleaved part files, last manifest wins — a silently
+    * corrupted chain). */
   def commit(root: String, df: DataFrame, parents: Seq[Long] = Nil): Long = {
+    val lease = StateLease.acquire(root)
+    try commitLocked(root, df, parents)
+    finally StateLease.release(lease)
+  }
+
+  private def commitLocked(root: String, df: DataFrame, parents: Seq[Long]): Long = {
     val snap = currentSnapshot(root).getOrElse(0L) + 1
     val dataDir = s"$root/data/$snap"
     df.write.mode("overwrite").parquet(dataDir)
@@ -75,9 +85,14 @@ object Snapshots {
 
   /** Append: commit new data whose read() also includes the current
     * snapshot's files — the reference's encode-new + merge
-    * incrementality (README.md:97-107) without rewriting history. */
-  def append(root: String, df: DataFrame): Long =
-    commit(root, df, currentSnapshot(root).toSeq)
+    * incrementality (README.md:97-107) without rewriting history.
+    * The parent pointer is read INSIDE the lease — reading it before
+    * acquisition would reintroduce the lost-parent race. */
+  def append(root: String, df: DataFrame): Long = {
+    val lease = StateLease.acquire(root)
+    try commitLocked(root, df, currentSnapshot(root).toSeq)
+    finally StateLease.release(lease)
+  }
 }
 
 /** One lineage record per completed work unit (bucket of the tile
@@ -132,7 +147,20 @@ object CheckpointedTiles {
     val L = bucketLevel
     val nSide = 1 << L
     var ran = 0
-    val table = Snapshots.read(spark, snapshotRoot)
+    val params = graft.core.RenderParams()
+    // step-sampled zooms (z < dotBase) draw every step-th record by
+    // GLOBAL rank: rank once over the whole snapshot (outside the
+    // bucket loop, so every bucket sees the same total order) — a bare
+    // (cell, meta) projection would make pointCmds' rank filter throw
+    val needRank = params.pointParams(z)._1 > 1
+    val raw = Snapshots.read(spark, snapshotRoot)
+    val table = if (needRank)
+      graft.render.Render.withGlobalRank(raw.select(col("cell"), col("meta")))
+    else raw
+    val ptCols =
+      if (needRank) Seq(col("cell"), col("meta"), col("rank"))
+      else Seq(col("cell"), col("meta"))
+    try {
     for (by <- 0 until nSide; bx <- 0 until nSide) {
       val b = by * nSide + bx
       if (!done.contains(b)) {
@@ -142,7 +170,7 @@ object CheckpointedTiles {
         val ranges = Cell.kRing(L, bx, by, 1)
           .map { case (rx, ry) => (Cell.tileRangeLo(L, rx, ry), Cell.tileRangeHi(L, rx, ry)) }
         val cond = ranges.map { case (lo, hi) => col("cell").between(lo, hi) }.reduce(_ || _)
-        val pts = table.filter(cond).select(col("cell"), col("meta"))
+        val pts = table.filter(cond).select(ptCols: _*)
         val rows = pts.count()
         // output: only tiles whose level-L ancestor is this bucket
         val shift = z - L
@@ -163,6 +191,7 @@ object CheckpointedTiles {
         ran += 1
       }
     }
+    } finally if (needRank) table.unpersist()
     ran
   }
 }

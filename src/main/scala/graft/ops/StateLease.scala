@@ -28,8 +28,17 @@ object StateLease {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!tryAcquire()) {
-      val age = System.currentTimeMillis() -
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      // the holder may release between our failed CREATE_NEW and this
+      // stat: a vanished lease is FREE — retry the clean acquire
+      val mtime =
+        try java.nio.file.Files.getLastModifiedTime(p).toMillis
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            if (tryAcquire()) return finishAcquire(p, token, leaseMs)
+            else throw new IllegalStateException(
+              s"lost the lease race for $dir (freed and re-taken mid-acquire)")
+        }
+      val age = System.currentTimeMillis() - mtime
       if (age <= leaseMs)
         throw new IllegalStateException(
           s"dedup state at $dir is held by another writer (lease age ${age}ms); " +
@@ -52,6 +61,10 @@ object StateLease {
       if (!tryAcquire())
         throw new IllegalStateException(s"lost the lease race for $dir after a stale steal")
     }
+    finishAcquire(p, token, leaseMs)
+  }
+
+  private def finishAcquire(p: java.nio.file.Path, token: String, leaseMs: Long): Lease = {
     val hb = new Thread(() => {
       // transient IO errors (NFS hiccup) must NOT kill the heartbeat —
       // a silent stop would let a live long append be "stale"-stolen

@@ -280,7 +280,14 @@ object Render {
           } else {
             // tiles = z-descendants of the line's level-c tile touched by
             // any segment bbox (with the clip margin)
-            val margin = ((1.0 + p.lineThick) * (1L << (32 - z)).toDouble / p.tilesize).ceil.toLong
+            // margin from the thickness ACTUALLY DRAWN at this zoom:
+            // lineRamp > 1 widens strokes beyond dotBase, and a
+            // base-thickness margin would skip emitting the feature to
+            // neighbor tiles its ramped stroke spills into (visible
+            // seams). max() keeps the default-params arithmetic — and
+            // the q38 oracle replica — bit-identical (lineRamp = 1).
+            val marginThick = math.max(p.lineThick, p.lineParams(z)._1)
+            val margin = ((1.0 + marginThick) * (1L << (32 - z)).toDouble / p.tilesize).ceil.toLong
             val nTiles = 1L << z
             val pcx = if (c0 == 0) 0L else xs(0) >>> (32 - c0)
             val pcy = if (c0 == 0) 0L else ys(0) >>> (32 - c0)
@@ -404,48 +411,11 @@ object Render {
       (if (hasMeta) col("meta") else lit(0L)).as("meta"),
       (if (needRank) col("rank") else lit(0L)).as("rank"))
       .as[(Long, Long, Long)]
-    val cmds = src.flatMap { case (cell, meta, rank) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
-      var zi = 0
-      while (zi < zArr.length) {
-        if (rank % steps(zi) == 0) {
-          val z = zArr(zi)
-          val tx = Cell.tileX(cell, z)
-          val ty = Cell.tileY(cell, z)
-          out += FeatCmd(Cell.tileKey(z, tx, ty), -1, Array(cell), meta, own = true)
-          if (spills(zi)) {
-            val n = 1L << z
-            var dx = -1
-            while (dx <= 1) {
-              var dy = -1
-              while (dy <= 1) {
-                if (dx != 0 || dy != 0) {
-                  val nx = tx + dx; val ny = ty + dy
-                  if (ny >= 0 && ny < n && nx >= 0 && nx < n)
-                    out += FeatCmd(Cell.tileKey(z, nx, ny), (-dx + 1) * 3 + (-dy + 1), Array(cell), meta, own = false)
-                }
-                dy += 1
-              }
-              dx += 1
-            }
-          }
-        }
-        zi += 1
-      }
-      out
-    }
-    processGrouped(cmds) { (tkey, recs) =>
-      val z = Cell.tileKeyZ(tkey)
-      val tx = Cell.tileKeyX(tkey)
-      val ty = Cell.tileKeyY(tkey)
-      sortRecs(recs)
-      if (!recs.exists(_.own)) Iterator.empty
-      else {
-        val canvas = renderCanvas(recs, z, tx, ty, mapbits, p)
-        val rgba = ToneMap(canvas, p)
-        Iterator.single(TileOut(z, tx, ty, Png.encode(rgba, p.tilesize, p.tilesize)))
-      }
-    }
+    // one shared command emitter + finisher (pyramidCmds/renderOne) —
+    // an earlier inline copy here drifted from the salted path's once
+    val cmds = pyramidCmds(src, zArr,
+      zArr.zip(steps).toMap, zArr.zip(spills).toMap)
+    processGrouped(cmds)(renderOne(_, _, mapbits, p, requireOwn = true))
   }
 
   /** Leaflet-retina tiles (`render -r`, render.c:900-914): tile (z,x,y)
@@ -720,14 +690,29 @@ object Render {
       (if (hasMeta) col("meta") else lit(0L)).as("meta"),
       (if (needRank) col("rank") else lit(0L)).as("rank")).as[(Long, Long, Long)]
     val zArr = zooms.toArray
-    val hot: Set[Long] = src0.flatMap { case (cell, _, rank) =>
+    // per-tile: own-record count (hot detection) AND whether any own
+    // record would set `further` (draw a bb>1 brush) — the spill gate.
+    // The unsalted path sets `further` while scanning own records
+    // (which sort before every spill record), so the gate is exactly
+    // "some own record with meta <= maxmeta has bb > 1"; each salt
+    // group sees only a slice of the tile, so the gate must be
+    // precomputed over ALL own records, not ignored (ignoreFurther=true
+    // drew spill brushes on tiles where the unsalted/reference path
+    // draws none — e.g. metabrush tiles whose metas are all 0/1).
+    val hotAgg: Map[Long, Boolean] = src0.flatMap { case (cell, meta, rank) =>
       zArr.iterator.filter(z => rank % steps(z) == 0)
-        .map(z => Cell.tileKey(z, Cell.tileX(cell, z), Cell.tileY(cell, z)))
-    }.groupByKey(identity).count()
-      .filter(_._2 > hotThreshold).map(_._1).collect().toSet
+        .map { z =>
+          val ty = Cell.tileY(cell, z)
+          (Cell.tileKey(z, Cell.tileX(cell, z), ty), ownSetsFurther(z, ty, meta, p))
+        }
+    }.groupByKey(_._1)
+      .agg(count(lit(1)).as[Long], max(col("_2")).as[Boolean])
+      .filter(_._2 > hotThreshold)
+      .map(t => (t._1, t._3))
+      .collect().toMap
 
-    if (hot.isEmpty) return renderPyramid(points, zooms, mapbits, p)
-    val hotB = spark.sparkContext.broadcast(hot)
+    if (hotAgg.isEmpty) return renderPyramid(points, zooms, mapbits, p)
+    val hotB = spark.sparkContext.broadcast(hotAgg)
 
     val cmds = pyramidCmds(src0, zArr, steps, zooms.map(z => z -> brushSpills(p, z)).toMap)
     val cold = processGrouped(cmds.filter(c => !hotB.value.contains(c.tkey))) { (tkey, recs) =>
@@ -742,8 +727,14 @@ object Render {
         sortRecs(recs)
         val z = Cell.tileKeyZ(tkey)
         val canvas = renderCanvasFresh(recs, z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), mapbits, p,
-          ignoreFurther = true)
-        (tkey, canvas.image, canvas.cx, canvas.cy)
+          ignoreFurther = hotB.value(tkey))
+        // ship hue planes only when a color ramp actually touched them:
+        // accessing cx/cy unconditionally would allocate and serialize
+        // two all-zero tilesize^2 double arrays per partial (3x the
+        // shuffle bytes of the hot path for nothing)
+        (tkey, canvas.image,
+          if (canvas.hasHue) canvas.cx else null,
+          if (canvas.hasHue) canvas.cy else null)
       }
     val hotTiles = partials.groupByKey(_._1).mapGroups { (tkey, it) =>
       val z = Cell.tileKeyZ(tkey)
@@ -753,15 +744,31 @@ object Render {
       merged.maxY = p.tilesize - 1
       it.foreach { case (_, img, cx, cy) =>
         var i = 0
-        while (i < img.length) {
-          merged.image(i) += img(i); merged.cx(i) += cx(i); merged.cy(i) += cy(i)
-          i += 1
+        while (i < img.length) { merged.image(i) += img(i); i += 1 }
+        if (cx != null) {
+          val mcx = merged.cx; val mcy = merged.cy // allocates on first hue partial
+          i = 0
+          while (i < img.length) { mcx(i) += cx(i); mcy(i) += cy(i); i += 1 }
         }
       }
       val rgba = ToneMap(merged, p)
       TileOut(z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), Png.encode(rgba, p.tilesize, p.tilesize))
     }
     cold.union(hotTiles)
+  }
+
+  /** Would an own point record with this meta set the renderer's
+    * `further` flag on tile (z, ty)? Mirrors renderCanvasInto's brush
+    * arithmetic: bb = pointParams brush x mercator row scale x
+    * (tilesize/256)^2 [x meta under metabrush]; brushes with bb > 1
+    * draw and gate neighbor-spill drawing. */
+  private def ownSetsFurther(z: Int, ty: Int, meta: Long, p: RenderParams): Boolean = {
+    if (meta > p.maxmeta) return false
+    val (_, brush0, _) = p.pointParams(z)
+    val bb0 = brush0 * p.mercatorBrushScale(z, ty) *
+      (p.tilesize / 256.0) * (p.tilesize / 256.0)
+    val bb = if (p.metabrush) bb0 * meta else bb0
+    bb > 1
   }
 
   /** Emit pyramid commands from a typed (cell, meta, rank) source. */

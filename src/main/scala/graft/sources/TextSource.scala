@@ -29,9 +29,13 @@ object TextSource {
         } catch { case _: NumberFormatException => return None }
       } else {
         // ":v" or "bits:v" — first token's value becomes the record meta
-        // (the common single-token case of encode.c:58-82)
-        val v = t.split(":").last
-        try { if (!haveMeta) { meta = v.toLong; haveMeta = true } }
+        // (the common single-token case of encode.c:58-82). A bare ":"
+        // (or "::") splits to an EMPTY array in Java — .last would
+        // throw and kill the ingest task on one adversarial line; drop
+        // the record instead (the reference's sscanf also fails there)
+        val parts = t.split(":")
+        if (parts.isEmpty) return None
+        try { if (!haveMeta) { meta = parts.last.toLong; haveMeta = true } }
         catch { case _: NumberFormatException => return None }
       }
     }
