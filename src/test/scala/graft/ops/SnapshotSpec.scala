@@ -68,4 +68,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(lin.map(_.rows).sum >= 3000) // ring overlap counts rows more than once
     assert(lin.map(_.tiles).sum == tiles(out1).size)
   }
+
+  test("checkpointed tiling at a STEP-SAMPLED zoom ranks the snapshot (was: rank-column crash)") {
+    import spark.implicits._
+    val root = tmpDir()
+    val out = tmpDir() + "/tiles_lowz"
+    val geo = graft.tables.ImageTable.generateGeo(spark, 3000).toDF()
+      .select(col("cell"), col("meta"))
+    Snapshots.commit(root, geo)
+    // z=10 < default dotBase(13): pointParams step > 1 -> pointCmds
+    // filters on rank; the bucket job must supply a GLOBAL rank
+    val ran = CheckpointedTiles.run(spark, root, out, z = 10, mapbits = 48, bucketLevel = 1)
+    assert(ran == 4)
+    val tiles = spark.read.parquet(s"$out/bucket=*")
+      .select("z", "x", "y").as[(Int, Int, Int)].collect().toSet
+    assert(tiles.nonEmpty && tiles.forall(_._1 == 10))
+    // tile SET equals the plain pyramid render at the same zoom (pixel
+    // equality isn't pinned: the checkpointed job's global rank total
+    // order may tie-break differently from this ad-hoc render's)
+    val ranked = graft.render.Render.withGlobalRank(geo)
+    try {
+      val expect = graft.render.Render
+        .renderPyramid(ranked, Seq(10), 48, graft.core.RenderParams())
+        .collect().map(t => (t.z, t.x, t.y)).toSet
+      assert(tiles == expect, s"${tiles.size} vs ${expect.size} tiles")
+    } finally ranked.unpersist()
+  }
 }
