@@ -59,14 +59,22 @@ object Cli {
       if (done || !t.startsWith("-") || t == "-") pos :+= t
       else if (t == "--") done = true
       else {
-        val c = t(1)
-        if (takesArg(c)) {
-          val v = if (t.length > 2) t.substring(2) else { val h = rest.head; rest = rest.tail; h }
-          opts += c -> v
-          multi += c -> (multi.getOrElse(c, Nil) :+ v)
-        } else {
-          // bundled boolean flags: -adg
-          t.drop(1).foreach(f => flags :+= f)
+        // getopt bundle scan: boolean flags accumulate until a
+        // value-taking flag — the REMAINDER of the token (or the next
+        // token) is its value, so "-az16" == -a -z16 (the old
+        // first-char-only test silently turned "16" into bogus
+        // boolean flags '1','6' and lost the zoom)
+        var i = 1
+        var consumed = false
+        while (i < t.length && !consumed) {
+          val f = t(i)
+          if (takesArg(f)) {
+            val v = if (i + 1 < t.length) t.substring(i + 1)
+                    else { val h = rest.head; rest = rest.tail; h }
+            opts += f -> v
+            multi += f -> (multi.getOrElse(f, Nil) :+ v)
+            consumed = true
+          } else { flags :+= f; i += 1 }
         }
       }
     }
@@ -106,33 +114,74 @@ object Cli {
     }
   }
 
-  /** Whole-tileset build: points + polylines, every zoom in [min..max],
-    * ONE shuffle (renderPyramidAll) -> z/x/y.png + metadata.json. */
-  private def tileset(args: List[String]): Unit = {
-    val (opts, flags, pos, _) = parse(args, Set('o', 'z', 'T', 'G', 'b', 'c', 'S', 'B', 'C', 'p'))
-    val out = opts.getOrElse('o', sys.error("tileset: -o output required"))
-    val zr = opts.getOrElse('z', "0..8").split("\\.\\.").map(_.toInt)
-    val zooms = zr(0) to zr(zr.length - 1)
+  /** RenderParams flags shared by `render` and `tileset`: ONE takesArg
+    * set and ONE switch — the earlier copy in tileset drifted (narrower
+    * takesArg silently pushed values of render-only flags onto the
+    * positional list, corrupting the dataset path). */
+  private val RenderParamArgs =
+    Set('t', 'C', 'c', 'S', 'B', 'O', 'G', 'l', 'L', 'M', 'b', 'T', 'x', 'e', 'p')
+
+  private def renderParamsFrom(opts: Map[Char, String], multi: Map[Char, List[String]],
+                               flags: List[Char]): RenderParams = {
     var p = RenderParams()
+    opts.get('t').foreach(v => p = p.copy(transparency = v.toInt))
     opts.get('G').foreach(v => p = p.copy(gamma = v.toDouble))
-    opts.get('T').foreach(v => p = p.copy(tilesize = v.toInt))
     opts.get('b').foreach(v => p = p.copy(bg = java.lang.Long.parseLong(v, 16).toInt))
     opts.get('c').foreach(v => p = p.copy(color = java.lang.Long.parseLong(v, 16).toInt))
     opts.get('S').foreach(v => p = p.copy(color2 = java.lang.Long.parseLong(v, 16).toInt))
-    opts.get('p').foreach { v =>
-      if (v.startsWith("g")) p = p.copy(pointSize = v.drop(1).toDouble, gaussian = true)
-      else p = p.copy(pointSize = v.toDouble)
-    }
+    opts.get('T').foreach(v => p = p.copy(tilesize = v.toInt))
+    opts.get('e').foreach(v => p = p.copy(exponent = v.toDouble))
+    opts.get('M').foreach(v => p = p.copy(mercatorLat = v.toDouble))
+    opts.get('L').foreach(v => p = p.copy(lineThick = v.toDouble))
+    opts.get('l').foreach(v => p = p.copy(lineRamp = v.toDouble))
+    opts.get('O').foreach(v => p = p.copy(gpsDist = v.toDouble))
     opts.get('B').foreach { v =>
       val Array(zb, br, ra) = v.split(":")
       p = p.copy(dotBase = zb.toInt, dotBright = br.toDouble, dotRamp = ra.toDouble)
+    }
+    opts.get('p').foreach { v =>
+      if (v.startsWith("g")) p = p.copy(pointSize = v.drop(1).toDouble, gaussian = true)
+      else p = p.copy(pointSize = v.toDouble)
     }
     opts.get('C').foreach { v =>
       val Array(m1, h1, m2, h2) = v.split(":").map(_.toDouble)
       p = p.copy(colorRampActive = true, colorMeta1 = m1.toLong, colorHue1 = h1,
         colorMeta2 = m2.toLong, colorHue2 = h2)
     }
+    multi.getOrElse('x', Nil).foreach {
+      case "b" => p = p.copy(metabright = true)
+      case "r" => p = p.copy(metabrush = true)
+      case "u" => p = p.copy(cie = true)
+      case v if v.startsWith("l") => p = p.copy(maxmeta = v.drop(1).toLong)
+      case v if v.startsWith("s") => p = p.copy(colorCap = v.drop(1).toDouble)
+      case v if v.startsWith("c") =>
+        // the reference's sscanf("c%f%c") REQUIRES a unit: only feet
+        // ('f') or meters ('m'); a unitless "-x c100" errored there and
+        // must not silently parse as 10 feet here
+        val unit = v.last
+        val numStr = v.drop(1).dropRight(1)
+        if (numStr.isEmpty || (unit != 'f' && unit != 'm'))
+          sys.error(s"render: can't understand unit in -x $v (c<dist>f or c<dist>m)")
+        val num = numStr.toDouble
+        p = p.copy(circle = if (unit == 'm') num * 3.28 else num)
+      case v => sys.error(s"render: can't understand -x $v")
+    }
+    if (flags.contains('a')) p = p.copy(antialias = false)
+    if (flags.contains('m')) p = p.copy(mask = true)
+    if (flags.contains('s')) p = p.copy(saturate = false)
+    if (flags.contains('g')) p = p.copy(gps = true)
     if (flags.contains('w')) p = p.copy(bg = 0xFFFFFF, invert = true)
+    p
+  }
+
+  /** Whole-tileset build: points + polylines, every zoom in [min..max],
+    * ONE shuffle (renderPyramidAll) -> z/x/y.png + metadata.json. */
+  private def tileset(args: List[String]): Unit = {
+    val (opts, flags, pos, multi) = parse(args, RenderParamArgs + 'o' + 'z')
+    val out = opts.getOrElse('o', sys.error("tileset: -o output required"))
+    val zr = opts.getOrElse('z', "0..8").split("\\.\\.").map(_.toInt)
+    val zooms = zr(0) to zr(zr.length - 1)
+    val p = renderParamsFrom(opts, multi, flags)
     withSession { spark =>
       import spark.implicits._
       val feats = DatamapsSource.read(spark, pos.head)
@@ -223,10 +272,21 @@ object Cli {
       // stat joins in distributively (no pyramid-sized driver map).
       def rolledSorted = {
         val base = query.TileOps.enumerateRollup(inb, minz, maxz)
+        // the len stat honors -b exactly like cnt/xsum: the reference
+        // adds tile.len only when the record's FIRST vertex is in
+        // bounds (enumerate.c include gate) — the unbounded feature set
+        // would overcount tiles straddling the bbox edge
+        lazy val featsForLen = bounded match {
+          case Some((l, t, r, b)) => feats.filter { f: Feature =>
+            val x = Cell.decodeX(f.cell); val y = Cell.decodeY(f.cell)
+            x >= l && x <= r && y >= t && y <= b
+          }
+          case None => feats
+        }
         val withLen =
           if (!showdist) base.withColumn("len", lit(0.0))
           else base.join(
-            query.TileOps.enumerateRollupFeatures(feats, minz, maxz)
+            query.TileOps.enumerateRollupFeatures(featsForLen, minz, maxz)
               .select(col("z"), col("tx").cast("long"), col("ty").cast("long"), col("len")),
             Seq("z", "tx", "ty"), "left")
             .na.fill(0.0, Seq("len"))
@@ -272,50 +332,8 @@ object Cli {
   }
 
   private def render(args: List[String]): Unit = {
-    val (opts, flags, pos, multi) = parse(args,
-      Set('t', 'C', 'c', 'S', 'B', 'O', 'G', 'l', 'L', 'M', 'b', 'f', 'T', 'o', 'x', 'e', 'p'))
-    var p = RenderParams()
-    opts.get('t').foreach(v => p = p.copy(transparency = v.toInt))
-    opts.get('G').foreach(v => p = p.copy(gamma = v.toDouble))
-    opts.get('b').foreach(v => p = p.copy(bg = java.lang.Long.parseLong(v, 16).toInt))
-    opts.get('c').foreach(v => p = p.copy(color = java.lang.Long.parseLong(v, 16).toInt))
-    opts.get('S').foreach(v => p = p.copy(color2 = java.lang.Long.parseLong(v, 16).toInt))
-    opts.get('T').foreach(v => p = p.copy(tilesize = v.toInt))
-    opts.get('e').foreach(v => p = p.copy(exponent = v.toDouble))
-    opts.get('M').foreach(v => p = p.copy(mercatorLat = v.toDouble))
-    opts.get('L').foreach(v => p = p.copy(lineThick = v.toDouble))
-    opts.get('l').foreach(v => p = p.copy(lineRamp = v.toDouble))
-    opts.get('O').foreach(v => p = p.copy(gpsDist = v.toDouble))
-    opts.get('B').foreach { v =>
-      val Array(zb, br, ra) = v.split(":")
-      p = p.copy(dotBase = zb.toInt, dotBright = br.toDouble, dotRamp = ra.toDouble)
-    }
-    opts.get('p').foreach { v =>
-      if (v.startsWith("g")) p = p.copy(pointSize = v.drop(1).toDouble, gaussian = true)
-      else p = p.copy(pointSize = v.toDouble)
-    }
-    opts.get('C').foreach { v =>
-      val Array(m1, h1, m2, h2) = v.split(":").map(_.toDouble)
-      p = p.copy(colorRampActive = true, colorMeta1 = m1.toLong, colorHue1 = h1,
-        colorMeta2 = m2.toLong, colorHue2 = h2)
-    }
-    multi.getOrElse('x', Nil).foreach {
-      case "b" => p = p.copy(metabright = true)
-      case "r" => p = p.copy(metabrush = true)
-      case "u" => p = p.copy(cie = true)
-      case v if v.startsWith("l") => p = p.copy(maxmeta = v.drop(1).toLong)
-      case v if v.startsWith("s") => p = p.copy(colorCap = v.drop(1).toDouble)
-      case v if v.startsWith("c") =>
-        val num = v.drop(1).dropRight(1).toDouble
-        val unit = v.last
-        p = p.copy(circle = if (unit == 'm') num * 3.28 else num)
-      case v => sys.error(s"render: can't understand -x $v")
-    }
-    if (flags.contains('a')) p = p.copy(antialias = false)
-    if (flags.contains('m')) p = p.copy(mask = true)
-    if (flags.contains('s')) p = p.copy(saturate = false)
-    if (flags.contains('g')) p = p.copy(gps = true)
-    if (flags.contains('w')) p = p.copy(bg = 0xFFFFFF, invert = true)
+    val (opts, flags, pos, multi) = parse(args, RenderParamArgs + 'f' + 'o')
+    val p = renderParamsFrom(opts, multi, flags)
 
     if (flags.contains('v')) { print(Sinks.mapnikStylesheet(p)); return }
 

@@ -25,33 +25,60 @@ object StreamOps {
 
   case class Session(userId: Long, nEvents: Long, startTs: Long, endTs: Long)
 
-  /** Stateful sessionization with a gap timeout (flatMapGroupsWithState):
-    * closes a session when no event arrives within `gapMs`. */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long): DataFrame = {
+  /** Stateful sessionization with a gap timeout (flatMapGroupsWithState
+    * + EventTimeTimeout): a session closes when a LATER event arrives
+    * beyond the gap, OR when the event-time watermark passes its
+    * endTs + gapMs — so a user who simply stops sending events still
+    * flushes their last session (a NoTimeout formulation held it in
+    * state forever and never emitted it), and state is bounded by the
+    * watermark, not by user count. Late in-gap events extend a session
+    * without REWINDING it (endTs = max, startTs = min — an
+    * out-of-order arrival inside the gap must not shrink the window
+    * and cause a spurious split). `watermark` is the lateness bound. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
+                 watermark: String = "0 seconds"): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"),
-      expr("unix_millis(CAST(ts AS TIMESTAMP))").cast("long"))
-      .as[(Long, Long)]
+    // the watermark rides as attribute METADATA on the ts column: it
+    // must survive into the typed Dataset (projecting ts away through
+    // unix_millis strips it and the event-time timeout is rejected)
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Session, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[Session]) =>
-          val sorted = it.map(_._2).toSeq.sorted
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { t =>
-            cur match {
-              case Some(s) if t - s.endTs <= gapMs =>
-                cur = Some(s.copy(nEvents = s.nEvents + 1, endTs = t))
-              case Some(s) =>
-                closed += s
-                cur = Some(Session(uid, 1, t, t))
-              case None =>
-                cur = Some(Session(uid, 1, t, t))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.map(_._2.getTime).toSeq.sorted
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endTs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    startTs = math.min(s.startTs, t), endTs = math.max(s.endTs, t)))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(Session(uid, 1, t, t))
+                case None =>
+                  cur = Some(Session(uid, 1, t, t))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // the registered timestamp must be beyond the current
+              // watermark (Spark rejects past timestamps for late data)
+              state.setTimeoutTimestamp(
+                math.max(s.endTs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }.toDF()
   }
 
@@ -228,7 +255,13 @@ object StreamOps {
         val b = batch.select(col("cell"), col("meta")).persist()
         try {
           if (b.count() > 0) {
-            b.write.mode("append").parquet(snapshotDir)
+            // batchId-keyed overwrite: foreachBatch is at-least-once,
+            // and a replayed flat append would duplicate (cell, meta)
+            // rows in the snapshot FOREVER (double brightness on every
+            // later render). Same idempotency shape as the dedup
+            // streams; flat-era snapshots migrate like their sinks.
+            migrateFlatSink(snapshotDir)
+            b.write.mode("overwrite").parquet(s"$snapshotDir/batch=$batchId")
             // The whole affected-tile scan/render block is guarded on
             // zArr.nonEmpty: when every requested zoom is step-sampled
             // (all low zooms), there is nothing to re-render per batch —

@@ -19,11 +19,17 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Distinct character n-gram set of a text column (sorted for
-    * determinism). */
+    * determinism). Texts shorter than n have NO n-grams: the explicit
+    * guard matters because Spark's sequence(1, 0) DESCENDS ([1, 0] —
+    * step defaults to -1 when start > stop) where DuckDB's
+    * generate_series(1, 0) is empty, so the unguarded transform
+    * fabricated [text] for short docs and diverged from the q21
+    * oracle. */
   def ngrams(c: Column, n: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(length(c) - (n - 1), lit(0))),
-      i => c.substr(i, lit(n)))))
+    when(length(c) < n, typedLit(Array.empty[String])).otherwise(
+      array_sort(array_distinct(transform(
+        sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n))))))
 
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, b: Column, n: Int): Column = {

@@ -254,25 +254,52 @@ class StreamingSaltSpec extends AnyFunSuite {
     }
   }
 
-  test("stateful sessionization closes sessions on gaps") {
+  test("stateful sessionization closes sessions on gaps AND flushes idle users via the watermark") {
     import spark.implicits._
     val now = 1700000000000L
-    val events = Seq(
-      (1L, now), (1L, now + 1000), (1L, now + 500000), // gap closes first session
-      (2L, now + 10)).toDF("user_id", "ms")
-      .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"))
-    val stream = spark.readStream.schema(events.schema)
-      .parquet {
-        val p = java.nio.file.Files.createTempDirectory("sess").toString
-        events.write.mode("overwrite").parquet(p)
-        p
-      }
-    val sessions = StreamOps.sessionize(spark, stream, gapMs = 60000)
-    val q = sessions.writeStream.outputMode("append").format("memory").queryName("sess").start()
-    q.processAllAvailable(); q.stop()
-    val closed = spark.sql("SELECT userId, nEvents FROM sess").as[(Long, Long)].collect().toSet
-    // only user 1's first session closed (2 events); open sessions stay in state
-    assert(closed == Set((1L, 2L)))
+    val base = java.nio.file.Files.createTempDirectory("sess").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val ckpt = s"$base/ckpt"
+    def feed(rows: Seq[(Long, Long)], tag: String): Unit = {
+      val df = rows.toDF("user_id", "ms")
+        .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"))
+      val tmp = s"$base/stage_$tag"
+      df.coalesce(1).write.parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(in, s"${tag}_${f.getName}")))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Set[(Long, Long)] = {
+      val sessions = StreamOps.sessionize(spark,
+        spark.readStream.schema(schema).parquet(in), gapMs = 60000)
+      // parquet sink: the memory sink cannot recover from a checkpoint,
+      // and resuming across query restarts is what this test exercises
+      val q = sessions.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out")
+        .select("userId", "nEvents").as[(Long, Long)].collect().toSet
+    }
+    feed(Seq((1L, now), (1L, now + 1000), (1L, now + 500000), // gap closes first session
+      (2L, now + 10)), "b1")
+    val closed1 = runOnce()
+    // user 1's first session closed by the in-stream gap
+    assert(closed1.contains((1L, 2L)), closed1.toString)
+    // a later batch advances the watermark past user 2's endTs + gap:
+    // the IDLE user's session must flush via the event-time timeout
+    // (the old NoTimeout formulation held it in state forever)
+    feed(Seq((3L, now + 700000)), "b2")
+    val closed2 = runOnce()
+    assert(closed2.contains((2L, 1L)),
+      s"idle user 2's session never flushed: $closed2")
+    // user 1's last session (endTs now+500000, timeout now+560000 <
+    // watermark now+700000) flushes too; user 3's stays open
+    assert(closed2.contains((1L, 1L)), closed2.toString)
+    assert(!closed2.contains((3L, 1L)), closed2.toString)
   }
 
   test("circle/cloud mode: scatter density is deterministic and conserves dot counts") {
