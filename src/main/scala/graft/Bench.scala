@@ -20,7 +20,9 @@ object Bench {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+    // NOTE: the actual heap comes from build.sbt's forked-JVM
+    // -Xmx${SPARK_DRIVER_MEM:-8g} — setting spark.driver.memory here
+    // would be a silent no-op (the JVM is already running in local mode)
     .getOrCreate()
 
   /** The headline pipeline at `rows` scale. Returns (tiles, seconds
@@ -210,7 +212,10 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id").collect()
           .map { case Row(q: Long, v: Long) => (q, v) }.toSet
       val exact = pairs("q27_ann_topk")
-      (pairs("q28_ann_lsh").intersect(exact).size.toDouble / exact.size,
+      // 0/0 would print a bare NaN token into the JSON line and break
+      // the driver's json.load — the same sentinel as a failed block
+      if (exact.isEmpty) (-1.0, -1.0)
+      else (pairs("q28_ann_lsh").intersect(exact).size.toDouble / exact.size,
         pairs("q40_ann_ivf").intersect(exact).size.toDouble / exact.size)
     } catch { case _: Throwable => (-1.0, -1.0) }
 

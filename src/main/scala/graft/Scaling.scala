@@ -59,13 +59,16 @@ object Scaling {
           Some(Files.readString(path).trim.split(",")) else None
         val newRow = f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f,$probe%.3f\n"
         stored match {
-          case Some(s) if s(6).toDouble <= total =>
-            // stored min stands. A probe is NEVER backfilled onto an
-            // earlier run's timing — the ceiling swings by hour, so a
-            // mixed-epoch (timing, probe) pair would be exactly the
-            // stale mismatch this column exists to prevent; a
-            // probe-less row simply makes the report fall back to a
-            // report-time probe with the honest label.
+          case Some(s) if s(1).toLong == rows && s(6).toDouble <= total =>
+            // stored min stands — but ONLY for the same input size: a
+            // CSV left by a run at a different SF would otherwise win
+            // min-of-reps forever and the report would publish stale
+            // timings under the new input's label. A probe is NEVER
+            // backfilled onto an earlier run's timing — the ceiling
+            // swings by hour, so a mixed-epoch (timing, probe) pair
+            // would be exactly the stale mismatch this column exists
+            // to prevent; a probe-less row simply makes the report
+            // fall back to a report-time probe with the honest label.
             ()
           case _ => Files.writeString(path, newRow)
         }
@@ -86,9 +89,13 @@ object Scaling {
       val p = Paths.get(resultPath(cpus))
       if (Files.exists(p)) Some(Files.readString(p).trim.split(",").map(_.toDouble)) else None
     }
-    val rLo = read(LoCpus).get
-    val rHi = read(HiCpus).get
+    def must(cpus: Int): Array[Double] = read(cpus).getOrElse(sys.error(
+      s"missing ${resultPath(cpus)} — run `runMain graft.Scaling $cpus` " +
+        s"(the report needs the primary pair: levels $LoCpus and $HiCpus)"))
+    val rLo = must(LoCpus)
+    val rHi = must(HiCpus)
     require(rLo(2) == rHi(2), s"tile counts differ: ${rLo(2)} vs ${rHi(2)}")
+    require(rLo(1) == rHi(1), s"input rows differ: ${rLo(1)} vs ${rHi(1)} (stale CSV from another SF?)")
     val rows = rLo(1).toLong
     val tiles = rLo(2).toLong
     val tLo = rLo(6); val tHi = rHi(6)

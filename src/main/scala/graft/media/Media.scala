@@ -106,9 +106,20 @@ object Media {
     DecodedImage(id, dw, dh, rgb)
   }
 
+  /** Clamp caller-supplied stub dimensions: metadata is as untrusted as
+    * payload bytes — w*h*3 can overflow Int (wrapped undersized arrays
+    * -> downstream index crashes) or allocate gigabytes past the
+    * MaxDecodePixels cap the real decoders enforce. Degenerate or
+    * oversized dims degrade to a small deterministic raster. */
+  private def clampStubDims(w: Int, h: Int): (Int, Int) = {
+    val px = w.toLong * h
+    if (w <= 0 || h <= 0 || px > MaxDecodePixels) (8, 8) else (w, h)
+  }
+
   /** STUB decode (no codec for this fmt in-container): deterministic
     * fake pixels from a hash of the payload. */
-  private def stubDecode(id: String, bytes: Array[Byte], w: Int, h: Int): DecodedImage = {
+  private def stubDecode(id: String, bytes: Array[Byte], w0: Int, h0: Int): DecodedImage = {
+    val (w, h) = clampStubDims(w0, h0)
     var s = java.util.Arrays.hashCode(bytes).toLong
     val rgb = new Array[Byte](w * h * 3)
     var i = 0
@@ -685,6 +696,11 @@ object Media {
       val avail = b.length - off - 8
       val len = math.min(u32(off + 4), avail.toLong).toInt
       if (tag == "fmt ") {
+        // a fmt chunk needs its full 16-byte body: a truncated or
+        // short-declared one must not read past the clamped length
+        // (raw index crash) or parse the NEXT chunk's bytes as
+        // blockAlign/bits (garbage decode parameters)
+        require(len >= 16, s"$id: malformed wav (fmt chunk len $len < 16)")
         fmtTag = u16(off + 8)
         channels = u16(off + 10)
         sampleRate = u32(off + 12).toInt
@@ -837,6 +853,9 @@ object Media {
   case class AudioFeatures(media_id: String, rms: Double, zeroCrossings: Long, durSec: Double)
 
   def audioFeatures(a: DecodedAudio): AudioFeatures = {
+    // zero-length audio (empty data chunk / n_samples = 0) is a valid
+    // degenerate row, not a task-killer
+    if (a.samples.isEmpty) return AudioFeatures(a.media_id, 0.0, 0L, 0.0)
     var sq = 0.0
     var zc = 0L
     var i = 1
@@ -858,7 +877,7 @@ object Media {
     * chunk walk, frame dims come from the bytes. Other containers
     * (mp4/mkv/inter-coded codecs need native libs absent from this
     * container) keep the documented deterministic STUB. */
-  def sampleFrames(id: String, bytes: Array[Byte], w: Int, h: Int,
+  def sampleFrames(id: String, bytes: Array[Byte], w0: Int, h0: Int,
                    nFrames: Int, every: Int): Seq[DecodedImage] = {
     val real =
       if (isAvi(bytes)) aviFrames(id, bytes, every)
@@ -866,6 +885,7 @@ object Media {
       else Seq.empty
     if (real.nonEmpty) real
     else (0 until nFrames by every).map { f =>
+      val (w, h) = clampStubDims(w0, h0) // untrusted metadata: cap like decode
       var s = java.util.Arrays.hashCode(bytes).toLong ^ (f.toLong * 0x9E3779B97F4A7C15L)
       val rgb = new Array[Byte](w * h * 3)
       var i = 0
