@@ -447,7 +447,14 @@ object Media {
     val labels = graft.ops.Components
       .connectedComponents(edges)
       .withColumnRenamed("node", "nid")
+      .localCheckpoint(true) // duplicate-node-sized; feeds two joins + the rep set
+    // rep names: only nids that ARE a component rep need resolving — a
+    // component-count-sized set. Restricting the name map to it keeps
+    // both joins broadcastable (the unrestricted map was the FULL id
+    // table, a corpus x corpus shuffle join at scale).
+    val repSet = labels.select(col("rep")).distinct()
     val repNames = ids.select(col("nid").as("rep"), col("image_id").as("rep_id"))
+      .join(repSet, "rep")
     ids.select(col("image_id"), col("nid")).join(labels, Seq("nid"), "left")
       .join(repNames, Seq("rep"), "left")
       .select(col("image_id"), coalesce(col("rep_id"), col("image_id")).as("rep"))
