@@ -326,7 +326,14 @@ object Media {
     val stats = banded.groupBy(col("key"))
       .agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") >= 2)
-    val collided = banded.join(stats, Seq("key"))
+    // EAGER checkpoint of the (collided-members-only, candidate-sized)
+    // join result: its three consumers — the self-join's two sides and
+    // the hot-bucket recursion — would otherwise each re-evaluate the
+    // FULL corpus explode+groupBy, and every recursion level would
+    // re-derive its ancestors' (profiled: the level-1 pass alone ran
+    // ~4x per action, >half the dedup band phase, to produce pairs
+    // from a few thousand collided rows)
+    val collided = banded.join(stats, Seq("key")).localCheckpoint(true)
     val terminal = bits <= 16
     val allowAll = if (terminal) collided else collided.filter(col("bcnt") <= cap)
     val allPairs = allowAll.as("a").join(allowAll.as("b"),

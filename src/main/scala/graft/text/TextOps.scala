@@ -297,7 +297,11 @@ object TextOps {
     val bstats = bands.groupBy(col(keyCol))
       .agg(count(lit(1)).as("bcnt"), min(col("doc_id")).as("bmin"))
       .filter(col("bcnt") >= 2)
-    val stats = bands.join(bstats, Seq(keyCol))
+    // eager checkpoint: collided members only (candidate-sized). The
+    // self-join's two sides and the star branch would otherwise EACH
+    // re-evaluate the upstream band computation — for minhash callers
+    // that is the fused signature kernel over every document, run 3x
+    val stats = bands.join(bstats, Seq(keyCol)).localCheckpoint(true)
     val small = stats.filter(col("bcnt") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
       col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc_id") < col("b.doc_id"))
