@@ -630,8 +630,13 @@ object Media {
                                    bandsTable: String, dir: String, buckets: Int,
                                    writeLabels: Boolean = true): Unit = {
     val lease = graft.ops.StateLease.acquire(dir)
-    try appendImageDedupStateLocked(ids, newLabels, bandsTable, dir, buckets, writeLabels)
-    finally graft.ops.StateLease.release(lease)
+    try {
+      graft.ops.StateLease.checkFenced(lease)
+      appendImageDedupStateLocked(ids, newLabels, bandsTable, dir, buckets, writeLabels)
+      // post-write fence check: a steal DURING the append must fail the
+      // job loudly — the successor may have interleaved bucket files
+      graft.ops.StateLease.checkFenced(lease)
+    } finally graft.ops.StateLease.release(lease)
   }
 
   private def appendImageDedupStateLocked(ids: DataFrame, newLabels: DataFrame,
@@ -934,10 +939,16 @@ object Media {
     val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!it.hasNext) return Seq.empty
     val reader = it.next()
+    // g is disposed in the FINALLY: the bomb early-returns and NonFatal
+    // exits would otherwise leak the Graphics2D (pinning its canvas
+    // until GC) on every adversarial GIF an executor sees
+    var g: java.awt.Graphics2D = null
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
       javax.imageio.ImageIO.setUseCache(false)
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes)))
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n <= 0) return Seq.empty
       // canvas dims come from the LOGICAL SCREEN descriptor, not frame 0:
@@ -952,7 +963,6 @@ object Media {
           lsd.getAttribute("logicalScreenHeight").toInt))
       } catch { case scala.util.control.NonFatal(_) => None }
       var canvas: java.awt.image.BufferedImage = null
-      var g: java.awt.Graphics2D = null
       // previous frame's disposal obligation, applied BEFORE the next
       // frame composites (disposal describes what happens after display)
       var prevDisposal = "none"
@@ -1011,10 +1021,14 @@ object Media {
         prevRect = new java.awt.Rectangle(x, y, frame.getWidth, frame.getHeight)
         if (f % every == 0) out += bufferedToDecoded(s"$id#f$f", canvas)
       }
-      if (g != null) g.dispose()
       out.toSeq
     } catch { case scala.util.control.NonFatal(_) => Seq.empty } // corrupt GIF: caller stubs
-    finally reader.dispose()
+    finally {
+      if (g != null) g.dispose()
+      reader.dispose()
+      if (iis != null)
+        try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private def isAvi(b: Array[Byte]): Boolean =

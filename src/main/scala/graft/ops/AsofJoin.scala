@@ -90,8 +90,16 @@ object AsofJoin {
         .select(col(key), col("__chunk"), col("__m.__rid_in").as("__last_rid"))
       val wc = Window.partitionBy(col(key)).orderBy(col("__chunk"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = chunked.select(col(key), col("__chunk")).distinct()
-        .join(chunkLast, Seq(key, "__chunk"), "left")
+      // NULL-SAFE key equality here too: the windows group null keys
+      // together, so a usingColumns equi-join (null != null) would hand
+      // null-key rows a null carry and diverge from the unchunked path
+      val keyChunks = chunked.select(col(key), col("__chunk")).distinct().alias("k")
+      val carry = keyChunks
+        .join(chunkLast.alias("cl"),
+          col(s"k.$key") <=> col(s"cl.$key") && col("k.__chunk") === col("cl.__chunk"),
+          "left")
+        .select(col(s"k.$key").as(key), col("k.__chunk").as("__chunk"),
+          col("cl.__last_rid").as("__last_rid"))
         .withColumn("__carry", last(col("__last_rid"), ignoreNulls = true).over(wc))
         .select(col(key), col("__chunk"), col("__carry"))
       // phase 3: join the (small) carry table back on (key, chunk) —

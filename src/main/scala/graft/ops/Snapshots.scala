@@ -41,8 +41,12 @@ object Snapshots {
     * corrupted chain). */
   def commit(root: String, df: DataFrame, parents: Seq[Long] = Nil): Long = {
     val lease = StateLease.acquire(root)
-    try commitLocked(root, df, parents)
-    finally StateLease.release(lease)
+    try {
+      StateLease.checkFenced(lease)
+      val r = commitLocked(root, df, parents)
+      StateLease.checkFenced(lease)
+      r
+    } finally StateLease.release(lease)
   }
 
   private def commitLocked(root: String, df: DataFrame, parents: Seq[Long]): Long = {
@@ -90,8 +94,12 @@ object Snapshots {
     * acquisition would reintroduce the lost-parent race. */
   def append(root: String, df: DataFrame): Long = {
     val lease = StateLease.acquire(root)
-    try commitLocked(root, df, currentSnapshot(root).toSeq)
-    finally StateLease.release(lease)
+    try {
+      StateLease.checkFenced(lease)
+      val r = commitLocked(root, df, currentSnapshot(root).toSeq)
+      StateLease.checkFenced(lease)
+      r
+    } finally StateLease.release(lease)
   }
 }
 

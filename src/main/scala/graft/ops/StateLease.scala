@@ -13,9 +13,31 @@ package graft.ops
  * dead == holder dead) is stolen. Release deletes the file only while
  * the token still matches (never a successor's lease). Callers release
  * in a finally.
+ *
+ * FENCING: a live writer whose heartbeat stalls past leaseMs (long GC,
+ * NFS pause) can be legitimately stale-stolen. When its heartbeat
+ * resumes it must NOT blindly touch the path — that is now the
+ * successor's lease, and refreshing it while the original writer keeps
+ * appending recreates the two-writer corruption. So every tick READS
+ * the lease and compares the token: on mismatch (or a vanished file)
+ * the heartbeat sets a `fenced` flag and exits without touching
+ * anything; appenders call [[checkFenced]] around their writes and the
+ * fenced writer FAILS instead of silently double-writing.
  */
 object StateLease {
-  final case class Lease(path: java.nio.file.Path, token: String, heartbeat: Thread)
+  final case class Lease(path: java.nio.file.Path, token: String, heartbeat: Thread,
+                         fenced: java.util.concurrent.atomic.AtomicBoolean)
+
+  /** Throw if this lease was stolen out from under a stalled heartbeat.
+    * Appenders call this before AND after the guarded write: before =
+    * don't start doomed work; after = a steal DURING the write must
+    * fail the job loudly (the successor may have interleaved files). */
+  def checkFenced(l: Lease): Unit =
+    if (l.fenced.get())
+      throw new IllegalStateException(
+        s"lease ${l.path} was stale-stolen by another writer while this " +
+          "append ran (heartbeat stalled past the lease window); state may " +
+          "have two writers — verify the band index before further appends")
 
   def acquire(dir: String, leaseMs: Long = 15 * 60 * 1000L): Lease = {
     val p = java.nio.file.Paths.get(dir, ".writer_lease")
@@ -65,23 +87,35 @@ object StateLease {
   }
 
   private def finishAcquire(p: java.nio.file.Path, token: String, leaseMs: Long): Lease = {
+    val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
       // transient IO errors (NFS hiccup) must NOT kill the heartbeat —
       // a silent stop would let a live long append be "stale"-stolen
-      while (!Thread.currentThread().isInterrupted) {
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
         try {
           Thread.sleep(math.max(leaseMs / 3, 1000L))
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          // verify the lease is still OURS before touching it: after a
+          // stall-steal the path is the successor's lease, and touching
+          // it would keep the successor "fresh" while we double-write
+          val cur =
+            try Some(java.nio.file.Files.readString(p))
+            catch { case _: java.nio.file.NoSuchFileException => None }
+          if (!cur.contains(token)) {
+            fenced.set(true)
+            live = false // never touch the successor's file
+          } else
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
         } catch {
           case _: InterruptedException => Thread.currentThread().interrupt()
-          case scala.util.control.NonFatal(_) => () // retry next tick
+          case scala.util.control.NonFatal(_) => () // transient read/touch error: retry next tick
         }
       }
     }, "dedup-state-lease-heartbeat")
     hb.setDaemon(true)
     hb.start()
-    Lease(p, token, hb)
+    Lease(p, token, hb, fenced)
   }
 
   def release(l: Lease): Unit = {

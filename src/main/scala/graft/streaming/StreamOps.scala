@@ -34,7 +34,12 @@ object StreamOps {
     * watermark, not by user count. Late in-gap events extend a session
     * without REWINDING it (endTs = max, startTs = min — an
     * out-of-order arrival inside the gap must not shrink the window
-    * and cause a spurious split). `watermark` is the lateness bound. */
+    * and cause a spurious split). Only events inside
+    * [startTs - gap, endTs + gap] merge: a late event wholly BEFORE the
+    * live session sessionizes among its fellow strays (batch semantics
+    * would emit it separately, not rewind startTs by hours), and a
+    * stray run that reaches within gap of the live session's start
+    * bridges into it. `watermark` is the lateness bound. */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
                  watermark: String = "0 seconds"): DataFrame = {
     import spark.implicits._
@@ -57,19 +62,43 @@ object StreamOps {
           } else {
             val sorted = it.map(_._2.getTime).toSeq.sorted
             var cur = state.getOption
+            // strays: late events wholly before the live session
+            // (t < startTs - gap). They sessionize among themselves;
+            // the LAST stray run may bridge into the live session.
+            var stray: Option[Session] = None
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            def bridgeStray(into: Session): Session = stray match {
+              case Some(st) if into.startTs - st.endTs <= gapMs =>
+                stray = None
+                into.copy(nEvents = into.nEvents + st.nEvents, startTs = st.startTs)
+              case Some(st) =>
+                closed += st; stray = None; into
+              case None => into
+            }
             sorted.foreach { t =>
               cur match {
+                case Some(s) if t < s.startTs - gapMs =>
+                  stray match {
+                    case Some(st) if t - st.endTs <= gapMs =>
+                      stray = Some(st.copy(nEvents = st.nEvents + 1, endTs = t))
+                    case Some(st) =>
+                      closed += st
+                      stray = Some(Session(uid, 1, t, t))
+                    case None =>
+                      stray = Some(Session(uid, 1, t, t))
+                  }
                 case Some(s) if t - s.endTs <= gapMs =>
                   cur = Some(s.copy(nEvents = s.nEvents + 1,
                     startTs = math.min(s.startTs, t), endTs = math.max(s.endTs, t)))
                 case Some(s) =>
-                  closed += s
+                  closed += bridgeStray(s)
                   cur = Some(Session(uid, 1, t, t))
                 case None =>
                   cur = Some(Session(uid, 1, t, t))
               }
             }
+            cur = cur.map(bridgeStray)
+            stray.foreach(closed += _) // only when cur was None
             cur.foreach { s =>
               state.update(s)
               // the registered timestamp must be beyond the current
@@ -127,16 +156,27 @@ object StreamOps {
     * layout keeps its history readable next to the new batchId
     * partitions (partition discovery rejects files mixed with
     * partition dirs). No-op after the first call / on fresh dirs. */
-  private def migrateFlatSink(dir: String): Unit = {
-    val root = new java.io.File(dir)
-    val flat = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+  private def migrateFlatSink(spark: SparkSession, dir: String): Unit = {
+    // Hadoop FileSystem, NOT java.io: the sink may live on hdfs://s3a://
+    // — a local-only listing would silently no-op there and the next
+    // batch=N write would land beside the flat files, producing exactly
+    // the mixed layout partition discovery rejects
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val flat = fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
     if (flat.nonEmpty) {
-      val legacy = new java.io.File(root, "batch=legacy")
-      legacy.mkdirs()
-      flat.foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(legacy.getPath, f.getName))
+      val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+      fs.mkdirs(legacy)
+      flat.foreach { s =>
+        val dst = new org.apache.hadoop.fs.Path(legacy, s.getPath.getName)
+        if (!fs.rename(s.getPath, dst))
+          throw new java.io.IOException(
+            s"migrateFlatSink: rename ${s.getPath} -> $dst failed; " +
+              "refusing to mix flat files with batch= partition dirs")
       }
       // drop writer metadata from the flat era; the partitioned reads
       // don't use it and a stale _SUCCESS at root confuses nothing but
@@ -165,8 +205,8 @@ object StreamOps {
                              checkpointDir: String): StreamingQuery =
     images.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        migrateFlatSink(labelsOut)
-        migrateFlatSink(mergesOut)
+        migrateFlatSink(batch.sparkSession, labelsOut)
+        migrateFlatSink(batch.sparkSession, mergesOut)
         val ids = graft.media.Media.dhashes(batch)
           .withColumn("nid", xxhash64(col("image_id")))
           .localCheckpoint(true)
@@ -198,8 +238,8 @@ object StreamOps {
                                  checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        migrateFlatSink(labelsOut)
-        migrateFlatSink(mergesOut)
+        migrateFlatSink(batch.sparkSession, labelsOut)
+        migrateFlatSink(batch.sparkSession, mergesOut)
         val b = batch.localCheckpoint(true)
         if (b.count() > 0) {
           // Prepared variant: the dedup's band rows feed the state fold
@@ -260,7 +300,7 @@ object StreamOps {
             // rows in the snapshot FOREVER (double brightness on every
             // later render). Same idempotency shape as the dedup
             // streams; flat-era snapshots migrate like their sinks.
-            migrateFlatSink(snapshotDir)
+            migrateFlatSink(spark, snapshotDir)
             b.write.mode("overwrite").parquet(s"$snapshotDir/batch=$batchId")
             // The whole affected-tile scan/render block is guarded on
             // zArr.nonEmpty: when every requested zoom is step-sampled

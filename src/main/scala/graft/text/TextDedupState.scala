@@ -172,6 +172,7 @@ object TextDedupState {
                                     writeLabels: Boolean = true): Unit = {
     val lease = graft.ops.StateLease.acquire(dir)
     try {
+      graft.ops.StateLease.checkFenced(lease)
       val spark = bands.sparkSession
       val idxMd5 = spark.table(bandsTable).filter(col("band") === -1)
         .select(col("band_key"), col("text_md5").as("old_md5"))
@@ -188,6 +189,9 @@ object TextDedupState {
         .bucketBy(buckets, "band_key").sortBy("band_key")
         .option("path", s"$dir/bands").saveAsTable(bandsTable)
       if (writeLabels) newLabels.write.mode("append").parquet(s"$dir/labels")
+      // post-write fence check (see StateLease scaladoc): fail loudly if
+      // the lease was stale-stolen while this append ran
+      graft.ops.StateLease.checkFenced(lease)
     } finally graft.ops.StateLease.release(lease)
   }
 }

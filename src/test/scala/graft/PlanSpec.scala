@@ -358,6 +358,22 @@ class PlanSpec extends AnyFunSuite {
       .asofJoin(clicks, views, "user_id", "t", "event_id", "view_id", 10000)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("__chunk"), plan.take(1500))
+
+    // NULL keys cross chunks: the windows group null keys together, so
+    // the chunked path must carry a null-key view into a LATER chunk's
+    // null-key click exactly like the single-window path (the carry
+    // joins are null-safe; a plain equi-join would return null here)
+    val nClicks = Seq((Option.empty[Long], 50000L, 1L), (Some(3L), 50001L, 2L))
+      .toDF("user_id", "t", "event_id")
+    val nViews = Seq((Option.empty[Long], 100L, 10L), (Some(3L), 101L, 11L))
+      .toDF("user_id", "t", "view_id")
+    def runN(span: Long) = graft.ops.AsofJoin
+      .asofJoin(nClicks, nViews, "user_id", "t", "event_id", "view_id", span)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val nPlain = runN(0)
+    assert(nPlain == Map(1L -> Some(10L), 2L -> Some(11L)), s"null-key baseline wrong: $nPlain")
+    for (span <- Seq(7L, 1000L))
+      assert(runN(span) == nPlain, s"chunked as-of drops null-key carry at span=$span: ${runN(span)}")
   }
 
   test("range join: bucketed equi-join, never a cartesian/nested-loop; matches brute force") {

@@ -302,6 +302,92 @@ class StreamingSaltSpec extends AnyFunSuite {
     assert(!closed2.contains((3L, 1L)), closed2.toString)
   }
 
+  test("sessionize: a late event wholly BEFORE the live session emits separately, never rewinds it") {
+    import spark.implicits._
+    val now = 1700000000000L
+    val base = java.nio.file.Files.createTempDirectory("sess_stray").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val ckpt = s"$base/ckpt"
+    def feed(rows: Seq[(Long, Long)], tag: String): Unit = {
+      val df = rows.toDF("user_id", "ms")
+        .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"))
+      val tmp = s"$base/stage_$tag"
+      df.coalesce(1).write.parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(in, s"${tag}_${f.getName}")))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Set[(Long, Long, Long, Long)] = {
+      // generous lateness bound so the hours-old stray is NOT dropped
+      // by the watermark — the stray-vs-rewind logic must handle it
+      val sessions = StreamOps.sessionize(spark,
+        spark.readStream.schema(schema).parquet(in), gapMs = 60000,
+        watermark = "8 hours")
+      val q = sessions.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out")
+        .select("userId", "nEvents", "startTs", "endTs")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val h = 3600 * 1000L
+    // batch 1: live session at now+6h (two events)
+    feed(Seq((1L, now + 6 * h), (1L, now + 6 * h + 1000)), "b1")
+    runOnce()
+    // batch 2: strays hours BEFORE the session — two in-gap (merge with
+    // each other), one separated by > gap (its own session). Batch
+    // semantics: neither rewinds the live session's startTs.
+    feed(Seq((1L, now), (1L, now + 30000), (1L, now + 200000)), "b2")
+    val out2 = runOnce()
+    assert(out2.contains((1L, 2L, now, now + 30000)),
+      s"adjacent strays did not sessionize together: $out2")
+    assert(out2.contains((1L, 1L, now + 200000, now + 200000)),
+      s"separated stray not emitted alone: $out2")
+    // batch 3: close the live session via gap — it must still hold
+    // ONLY its two original events (no stray absorbed, no rewind)
+    feed(Seq((1L, now + 7 * h)), "b3")
+    val out3 = runOnce()
+    assert(out3.contains((1L, 2L, now + 6 * h, now + 6 * h + 1000)),
+      s"live session rewound or absorbed strays: $out3")
+    // a stray run that reaches within gap of the live session BRIDGES in
+    val base2 = java.nio.file.Files.createTempDirectory("sess_bridge").toString
+    val in2 = s"$base2/in"; new java.io.File(in2).mkdirs()
+    def feed2(rows: Seq[(Long, Long)], tag: String): Unit = {
+      val df = rows.toDF("user_id", "ms")
+        .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"))
+      val tmp = s"$base2/stage_$tag"
+      df.coalesce(1).write.parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(in2, s"${tag}_${f.getName}")))
+    }
+    def runOnce2(): Set[(Long, Long, Long, Long)] = {
+      val sessions = StreamOps.sessionize(spark,
+        spark.readStream.schema(schema).parquet(in2), gapMs = 60000,
+        watermark = "8 hours")
+      val q = sessions.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base2/out").option("checkpointLocation", s"$base2/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base2/out")
+        .select("userId", "nEvents", "startTs", "endTs")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    feed2(Seq((9L, now + 6 * h)), "b1"); runOnce2()
+    // strays at -90s and -45s: the -45s one is within gap of the live
+    // start, so the whole stray run merges (batch semantics: one session)
+    feed2(Seq((9L, now + 6 * h - 90000), (9L, now + 6 * h - 45000)), "b2")
+    runOnce2()
+    feed2(Seq((9L, now + 7 * h)), "b3")
+    val out4 = runOnce2()
+    assert(out4.contains((9L, 3L, now + 6 * h - 90000, now + 6 * h)),
+      s"stray run within gap of live start did not bridge: $out4")
+  }
+
   test("circle/cloud mode: scatter density is deterministic and conserves dot counts") {
     import spark.implicits._
     val pts = (0 until 50).map { i =>
