@@ -189,18 +189,22 @@ object Bench {
     // MIN-OF-2 passes like headline/dedup: a single sample on this
     // shared host swings >10x on unlucky queries (the r4 q48 artifact).
     // A failing query must be VISIBLE in the output, not disguised as a
-    // fast success.
+    // fast success: a pass that threw records the SENTINEL -1.0, never
+    // its (meaningless) wall time, and the min-of-2 merge ignores
+    // sentinels — only if BOTH passes failed does -1.0 reach the JSON.
     var failed = List.empty[String]
     def queryPass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
-        name -> (System.nanoTime() - q0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name; false }
+        name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
       }.toMap
     val pass1 = queryPass()
     val pass2 = queryPass()
-    val results = pass1.keys.toSeq.sorted.map(k => k -> math.min(pass1(k), pass2(k)))
+    val results = pass1.keys.toSeq.sorted.map { k =>
+      k -> Seq(pass1(k), pass2(k)).filter(_ >= 0.0).minOption.getOrElse(-1.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -245,6 +249,16 @@ object Bench {
     // pollute anything else, and min-of-2 like the headline.
     val dedupPath = s"/tmp/graft_bench/images_dedup_$tag"
     val planted = prepareDedupInput(spark, imgPath, dedupPath)
+    // page-cache warmup for the DEDUP input too (headline warms only
+    // imgPath): r5's driver artifact read decode 27.5s where builder and
+    // judge read 1.4-1.6s on the same build — a cold/contended read of
+    // the 300+ MB payload is indistinguishable from a decode regression
+    // unless the input is warmed and the MB/s is reported alongside.
+    val dedupInputMb = new java.io.File(dedupPath).listFiles().map { f =>
+      if (f.getName.endsWith(".parquet")) {
+        java.nio.file.Files.readAllBytes(f.toPath).length.toLong
+      } else 0L
+    }.sum / 1e6
     // untimed warmup on a small slice — same decode/dhash/join code
     // path as the timed run (CLAUDE.md bench invariant: first-use JIT
     // must not land in the measurement, which it otherwise would on
@@ -285,7 +299,7 @@ object Bench {
       s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)

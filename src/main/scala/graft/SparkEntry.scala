@@ -452,6 +452,15 @@ object SparkEntry {
         all.filter(col("doc_id") >= 50), all.filter(col("doc_id") < 50), n = 30)
     }),
 
+    // intra-corpus duplicate-SPAN detection (corpus x corpus, the Lee
+    // et al. self-dedup step): pairs of docs sharing an exact 30-char
+    // substring, byte-verified, with the distinct shared-window count;
+    // frequency-capped so boilerplate can't go quadratic
+    "q51_dup_spans" -> ((s, d) => {
+      TextOps.duplicateSpans(
+        s.read.parquet(s"$d/documents.parquet"), n = 30, cap = 64)
+    }),
+
     // SQL sessionization: gap > 600s starts a new session (lag + cumsum)
     "q35_sessions" -> ((s, d) => {
       s.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events_v")
@@ -824,6 +833,24 @@ object SparkEntry {
          | corpus AS (SELECT doc_id, wh FROM w WHERE doc_id >= 50)
          | SELECT c.doc_id, count(*) AS hits, count(DISTINCT c.wh) AS distinct_hits
          | FROM corpus c JOIN probe p USING (wh) GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
+
+    // same hash + cap + star + byte-verify as TextOps.duplicateSpans;
+    // min(snip) per (doc, wh) keeps the collision case deterministic
+    "q51_dup_spans" -> {
+      import graft.text.PortableHash
+      s"""WITH w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 29, 0)), i -> substr(text, i, 30))) AS s FROM documents),
+         | w AS (SELECT doc_id, ${PortableHash.tokenHashSql("s")} AS wh, min(s) AS snip FROM w0 GROUP BY 1, 2),
+         | b AS (SELECT wh, count(*) AS bcnt, min(doc_id) AS bmin FROM w GROUP BY 1 HAVING count(*) >= 2),
+         | c AS (SELECT w.doc_id, w.wh, w.snip, b.bcnt, b.bmin FROM w JOIN b USING (wh)),
+         | smallp AS (SELECT a.wh, a.doc_id AS doc_a, a.snip AS snip_a, b2.doc_id AS doc_b, b2.snip AS snip_b
+         |   FROM c a JOIN c b2 ON a.wh = b2.wh AND a.doc_id < b2.doc_id WHERE a.bcnt <= 64),
+         | starp AS (SELECT m.wh, m.doc_id AS doc_a, m.snip AS snip_a, o.doc_id AS doc_b, o.snip AS snip_b
+         |   FROM (SELECT * FROM c WHERE bcnt > 64 AND doc_id = bmin) m
+         |   JOIN (SELECT * FROM c WHERE bcnt > 64 AND doc_id <> bmin) o USING (wh)),
+         | u AS (SELECT * FROM smallp UNION ALL SELECT * FROM starp)
+         | SELECT doc_a, doc_b, count(DISTINCT wh) AS shared_windows
+         | FROM u WHERE snip_a = snip_b GROUP BY 1, 2""".stripMargin.replace("\n", " ")
     },
 
     // auto-shift kNN is EXACT (the density heuristic only moves the

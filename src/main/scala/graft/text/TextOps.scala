@@ -226,6 +226,99 @@ object TextOps {
       .agg(count(lit(1)).as("hits"), countDistinct(col("wh")).as("distinct_hits"))
   }
 
+  /** Intra-corpus duplicate-SPAN detection (Lee et al.-style "dedup the
+    * corpus against itself at >= n-char granularity"): every pair of
+    * documents sharing at least one exact n-character substring, with
+    * the count of distinct shared windows — the standard training-data
+    * curation step that q50 (corpus-vs-probe) does not cover. Returns
+    * (doc_a, doc_b, shared_windows) with doc_a < doc_b; feed the pairs
+    * to [[duplicateSpanClusters]] for keep-one semantics.
+    *
+    * Scale shape (corpus x corpus, so every stage must be bounded):
+    *  1. (doc_id, window-hash) distinct rows — rolling
+    *     [[charNgramHashes]], one O(chars) pass; only 16-byte id rows
+    *     shuffle, never text.
+    *  2. Per-hash bucket stats (hash agg); only collided hashes
+    *     (bcnt >= 2) survive — the duplicated-window vocabulary,
+    *     candidate-sized.
+    *  3. EXACT verify without shuffling text: re-scan the corpus
+    *     map-side, broadcast-filter windows to the collided-hash set,
+    *     and emit each document's first n-char snippet per collided
+    *     hash — the only rows that carry text bytes are candidate-sized
+    *     n-char snippets. (62-bit hashes collide ~2^-62/pair, but at
+    *     10^12 windows the birthday count is material, and a false
+    *     positive here REMOVES a good document — the unsafe direction —
+    *     so pairs are verified on the actual bytes, not the hash.)
+    *  4. Frequency-capped pair expansion (the cappedCandidatePairs
+    *     pattern): buckets <= cap emit all pairs, hotter buckets emit
+    *     star pairs to the bucket-min doc — a boilerplate header shared
+    *     by a million docs can't go quadratic, and connectivity (hence
+    *     cluster dedup semantics) is preserved.
+    * The DuckDB oracle (q51) replicates hash, cap, star and verify
+    * exactly — same portable arithmetic as q50. */
+  def duplicateSpans(docs: DataFrame, n: Int, cap: Int = 64): DataFrame =
+    duplicateSpansImpl(docs, n, cap, checkpoint = true)
+
+  /** checkpoint=false keeps the whole lineage in ONE plan so PlanSpec
+    * can assert the shuffle shape (production always checkpoints: the
+    * collided-vocabulary and verified-member sets each feed multiple
+    * consumers, and the corpus window pass must run once, not 4x). */
+  private[graft] def duplicateSpansImpl(docs: DataFrame, n: Int, cap: Int,
+                                        checkpoint: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint(true) else df
+    val w = docs.select(col("doc_id"), explode(charNgramHashes(col("text"), n)).as("wh"))
+      .distinct()
+    // checkpoint: candidate-sized, consumed by the snippet broadcast AND
+    // the stats join — without it the full corpus window pass runs twice
+    val bstats = ckpt(w.groupBy("wh")
+      .agg(count(lit(1)).as("bcnt"), min(col("doc_id")).as("bmin"))
+      .filter(col("bcnt") >= 2))
+    // snippets map-side: text never shuffles — the broadcast carries only
+    // the 8-byte collided-hash vocabulary, and the rows leaving the scan
+    // are (doc_id, wh, n-char snip). min(snip) makes the collision case
+    // deterministic (same-hash different-bytes windows in one doc).
+    val snips = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
+      .join(broadcast(bstats.select(col("wh"))), "wh")
+      .select(col("doc_id"), col("wh"),
+        expr(s"substring(text, p0 + 1, $n)").as("snip"))
+      .groupBy("doc_id", "wh").agg(min(col("snip")).as("snip"))
+    val c = ckpt(snips.join(bstats, "wh"))
+    val small = c.filter(col("bcnt") <= cap)
+    val allPairs = small.as("a").join(small.as("b"),
+      col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.wh").as("wh"),
+        col("a.doc_id").as("doc_a"), col("a.snip").as("snip_a"),
+        col("b.doc_id").as("doc_b"), col("b.snip").as("snip_b"))
+    val hotMin = c.filter(col("bcnt") > cap && col("doc_id") === col("bmin"))
+      .select(col("wh"), col("doc_id").as("doc_a"), col("snip").as("snip_a"))
+    val starPairs = c.filter(col("bcnt") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("wh"), col("doc_id").as("doc_b"), col("snip").as("snip_b"))
+      .join(hotMin, "wh")
+    allPairs.unionByName(starPairs.select(allPairs.columns.map(col).toSeq: _*))
+      .filter(col("snip_a") === col("snip_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("wh")).as("shared_windows"))
+  }
+
+  /** Keep-one clustering over [[duplicateSpans]]: connected components
+    * of the pair graph restricted to pairs sharing >= minShared
+    * verified windows; every doc gets (doc_id, rep) with rep = the
+    * component minimum (singletons map to themselves) — "keep one per
+    * span-duplicate cluster" is filter(doc_id === rep). */
+  def duplicateSpanClusters(docs: DataFrame, n: Int, cap: Int = 64,
+                            minShared: Long = 1L): DataFrame = {
+    val pairs = duplicateSpans(docs, n, cap)
+      .filter(col("shared_windows") >= minShared)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = graft.ops.Components.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+  }
+
   // ---------- near-dup signatures (portable hashes: the same integer
   // arithmetic is generated as DuckDB SQL by PortableHash, so these get
   // full SQL oracles; the Spark side runs as one codegen'd kernel call

@@ -281,6 +281,77 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("duplicate spans: text never shuffles, snippet filter broadcasts, matches brute force incl. hot star") {
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // synthetic corpus: seeded-random unique filler (no accidental
+      // cross-doc 30-char windows) + a planted ~37-char span shared by
+      // doc pairs (2i, 2i+1), + one "boilerplate" 30-char window shared
+      // by 100 docs (> cap=64, exercising the star branch)
+      val boiler = "x" * 30
+      def rndStr(seed: Long): String = {
+        val r = new scala.util.Random(seed)
+        Seq.fill(40)(('a' + r.nextInt(26)).toChar).mkString
+      }
+      val docs = (0L until 300L).map { i =>
+        val span = s"planted span ${i / 2} " + "p" * 20
+        val head = if (i < 100) boiler + " " else ""
+        (i, s"$head${rndStr(i * 2 + 1)} $span ${rndStr(i * 2 + 2)}")
+      }.toDF("doc_id", "text")
+      // plan shape (uncheckpointed variant: one assertable tree)
+      val planDf = graft.text.TextOps.duplicateSpansImpl(docs, 30, 64, checkpoint = false)
+      val plan = planDf.queryExecution.executedPlan
+      val exchanges = allNodes(plan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          "text column shuffled: " + e.output.map(_.name).mkString(", "))
+      }
+      assert(plan.toString().contains("BroadcastHashJoin"), plan.toString().take(2000))
+
+      // independent truth: replicate the capped-pair algorithm on the
+      // actual 30-char WINDOW STRINGS (no hashes anywhere) — small
+      // buckets (<= 64 docs) all-pairs, hot buckets star to the min doc
+      val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+      val winDocs = rows.flatMap { case (id, t) =>
+        (0 to t.length - 30).map(j => t.substring(j, j + 30) -> id)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+        .filter(_._2.length >= 2)
+      val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      winDocs.foreach { case (_, ds) =>
+        if (ds.length <= 64)
+          for (i <- ds.indices; j <- i + 1 until ds.length)
+            expected((ds(i), ds(j))) = expected.getOrElse((ds(i), ds(j)), 0L) + 1
+        else ds.tail.foreach { d =>
+          expected((ds.head, d)) = expected.getOrElse((ds.head, d), 0L) + 1
+        }
+      }
+      val got = graft.text.TextOps.duplicateSpans(docs, 30, cap = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected.toMap,
+        s"pair/count mismatch: extra=${(got.keySet -- expected.keySet).take(5)} " +
+          s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+          s"diff=${got.keys.filter(k => expected.get(k).exists(_ != got(k))).take(5)}")
+      // planted pairs present; hot bucket (100-doc boiler window) did
+      // NOT go quadratic but every hot doc stays connected to doc 0
+      (100L until 300L by 2).foreach(a => assert(got.contains((a, a + 1)), s"planted ($a,${a + 1}) missing"))
+      (1L until 100L).foreach(d => assert(got.contains((0L, d)), s"hot doc $d lost connectivity"))
+      // clusters: every (2i, 2i+1) pair co-labeled; hot docs 0-99 in one
+      // component; reps are component minima
+      val reps = graft.text.TextOps.duplicateSpanClusters(docs, 30, cap = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reps.size == 300)
+      (0L until 100L).foreach(d => assert(reps(d) == 0L, s"hot doc $d rep=${reps(d)}"))
+      (100L until 300L by 2).foreach { a =>
+        assert(reps(a) == reps(a + 1), s"planted pair ($a,${a + 1}) split: ${reps(a)} vs ${reps(a + 1)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("as-of join: matches brute force, one exchange, no range join") {
     import spark.implicits._
     // synthetic: clicks/views with planted edge cases (click before any
