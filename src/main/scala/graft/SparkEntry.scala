@@ -228,6 +228,12 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("bpe_toks"),
         size(array_distinct(TextOps.bpeTokens(col("text")))).cast("long").as("vocab"))),
 
+    // token counts under a LEARNED vocab (GPT-2-format merges fixture,
+    // real merge-rank BPE in a codegen kernel) — the counts that drive
+    // token budgets; q41's regex split is only the pre-tokenizer bound
+    "q52_bpe_vocab_tokens" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextOps.bpeVocabTokenCount(col("text")).as("vocab_toks"))),
+
     "q23_lang_id" -> ((s, d) => {
       val scores = TextOps.langScores(col("text"))
       docs(s, d).select(
@@ -631,6 +637,17 @@ object SparkEntry {
       s"""SELECT doc_id, len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS bpe_toks,
          | len(list_distinct(regexp_extract_all(text, '${TextOps.BpePattern}'))) AS vocab
          | FROM documents""".stripMargin.replace("\n", " "),
+
+    // replays the SAME ranked merges as graft.text.Bpe (single-source
+    // fixture): 10 statically-unrolled rounds each applying the
+    // lowest-rank merge present — convergent for pre-tokens <= 11 chars
+    // (corpus max is 8); docs whose every pre-token count is summed
+    "q52_bpe_vocab_tokens" ->
+      s"""WITH ${graft.text.Bpe.dictSqlCtes(rounds = 10)},
+         | toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '${TextOps.BpePattern}')) AS word FROM documents),
+         | agg AS (SELECT t.doc_id, sum(d.n) AS s FROM toks t JOIN bpe_dict d USING (word) GROUP BY 1)
+         | SELECT documents.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS vocab_toks
+         | FROM documents LEFT JOIN agg a USING (doc_id)""".stripMargin.replace("\n", " "),
 
     "q23_lang_id" -> {
       def occ(w: String) = s"((len(text) - len(replace(text, '$w', ''))) // ${w.length})"

@@ -93,6 +93,19 @@ case class CharNgramHashesExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Learned-vocab BPE token count (graft.text.Bpe: GPT-2-format merges
+  * fixture, classic greedy lowest-rank merging, memoized per word). */
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.Bpe.tokenCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.Bpe.tokenCount($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane sign-bit signature of a float-array embedding. */
 case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType

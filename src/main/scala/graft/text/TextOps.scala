@@ -58,6 +58,15 @@ object TextOps {
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
 
+  /** Token count under the LEARNED vocab (graft.text.Bpe fixture):
+    * real merge-rank BPE in one codegen kernel call per row — the
+    * counts that actually drive token budgets, vs the pre-tokenizer
+    * upper bound above. */
+  def bpeVocabTokenCount(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.BpeTokenCountExpr(expression(c)))
+  }
+
   private val stopwords = Map(
     "en" -> Seq(" the ", " and ", " of "),
     "de" -> Seq(" der ", " und ", " die "),
