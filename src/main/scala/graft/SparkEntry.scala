@@ -44,6 +44,29 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Deterministic PII planting for q53 (harness, not operator): the
+    * synthetic corpus has no PII, so each doc gets an email always, an
+    * IP / phone / SSN-shape on doc_id residues, plus two hard NEGATIVES
+    * ("v256.1.1.1" — invalid octet and no word boundary; "1.2.3" — too
+    * few octets). [[piiPlantSql]] is the char-identical DuckDB replica. */
+  private def piiPlant(docId: Column, text: Column): Column = concat(
+    text,
+    lit(" contact user"), docId.cast("string"), lit("@example.com"),
+    when(docId % 2 === 0,
+      concat(lit(" from 10."), (docId % 200).cast("string"), lit(".0.1"))).otherwise(lit("")),
+    when(docId % 3 === 0,
+      concat(lit(" call (555) 867-"), lpad((docId % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(docId % 5 === 0,
+      concat(lit(" ssn 123-45-"), lpad((docId % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    lit(" v256.1.1.1 build 1.2.3"))
+
+  private val piiPlantSql: String =
+    """text || ' contact user' || doc_id::VARCHAR || '@example.com'
+      | || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.1' ELSE '' END
+      | || CASE WHEN doc_id % 3 = 0 THEN ' call (555) 867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+      | || ' v256.1.1.1 build 1.2.3'""".stripMargin.replace("\n", "")
+
   /** DuckDB CTE chain producing the same capped MinHash LSH candidate
     * pairs as [[minhashPairs]] (single source for q28/q42 oracles);
     * ends with `pairs(doc_a, doc_b)`, possibly with duplicates. */
@@ -233,6 +256,18 @@ object SparkEntry {
     // token budgets; q41's regex split is only the pre-tokenizer bound
     "q52_bpe_vocab_tokens" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.bpeVocabTokenCount(col("text")).as("vocab_toks"))),
+
+    // PII detection + redaction (standard curation pass): per-type hit
+    // counts + redacted text, all map-only. The corpus is synthetic
+    // word salad, so deterministic PII is PLANTED from doc_id first —
+    // identically in the oracle — exercising every regex shape plus
+    // hard negatives (256.x IPs, short version strings) on real rows.
+    "q53_pii" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        piiPlant(col("doc_id"), col("text")).as("text"))
+      planted.select((col("doc_id") +:
+        TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
+    }),
 
     "q23_lang_id" -> ((s, d) => {
       val scores = TextOps.langScores(col("text"))
@@ -648,6 +683,20 @@ object SparkEntry {
          | agg AS (SELECT t.doc_id, sum(d.n) AS s FROM toks t JOIN bpe_dict d USING (word) GROUP BY 1)
          | SELECT documents.doc_id, CAST(coalesce(a.s, 0) AS BIGINT) AS vocab_toks
          | FROM documents LEFT JOIN agg a USING (doc_id)""".stripMargin.replace("\n", " "),
+
+    // single-source: patterns + order come from TextOps.PiiTypes; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark replaces all by
+    // default), and RE2/Java agree on these lookaround-free shapes
+    "q53_pii" -> {
+      val counts = TextOps.PiiTypes.map { case (n, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$n"
+      }.mkString(", ")
+      val red = TextOps.PiiTypes.foldLeft("text") { case (acc, (_, pat, rep)) =>
+        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+      }
+      s"""WITH planted AS (SELECT doc_id, $piiPlantSql AS text FROM documents)
+         | SELECT doc_id, $counts, $red AS red_text FROM planted""".stripMargin.replace("\n", " ")
+    },
 
     "q23_lang_id" -> {
       def occ(w: String) = s"((len(text) - len(replace(text, '$w', ''))) // ${w.length})"

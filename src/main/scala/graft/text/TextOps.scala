@@ -112,6 +112,43 @@ object TextOps {
         .otherwise(lit(1)))
   }
 
+  // ---- PII detection / redaction ----------------------------------
+  // Public-knowledge regex shapes written to the subset Java regex and
+  // RE2 (DuckDB) interpret identically: no lookaround, no backrefs,
+  // ASCII \d, leftmost-first greedy matching in both engines. A
+  // leading \b cannot precede an optional '(' (two non-word chars form
+  // no boundary), hence the phone alternation.
+  final val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PiiIpv4 =
+    "\\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+      "(?:\\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b"
+  final val PiiPhone = "(?:\\(\\d{3}\\)|\\b\\d{3})[-. ]\\d{3}[-. ]\\d{4}\\b"
+  final val PiiId = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** (name, pattern, replacement) in REDACTION ORDER — the single
+    * source for both the Spark columns and the DuckDB oracle SQL.
+    * Counts are computed per type on the RAW text (order-independent);
+    * redaction chains in this order on both sides. Id precedes phone so
+    * the more specific shape wins where both could bite. */
+  final val PiiTypes: Seq[(String, String, String)] = Seq(
+    ("email", PiiEmail, "<EMAIL>"),
+    ("id", PiiId, "<ID>"),
+    ("phone", PiiPhone, "<PHONE>"),
+    ("ipv4", PiiIpv4, "<IP>"))
+
+  /** Per-type PII hit counts + the redacted text. Map-only column
+    * expressions — the text column never shuffles; at 100 TB this is a
+    * pure scan→project pipeline (plan-asserted exchange-free). */
+  def piiColumns(c: Column): Seq[(String, Column)] = {
+    val counts = PiiTypes.map { case (n, pat, _) =>
+      s"n_$n" -> size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    }
+    val red = PiiTypes.foldLeft(c) { case (acc, (_, pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    counts :+ ("red_text" -> red)
+  }
+
   /** Document fingerprint: polynomial rolling hash over the sanitized
     * character stream, mod 2^31-1 — computable identically in any
     * engine with a list fold. Sanitize to [a-z ] so ascii() semantics

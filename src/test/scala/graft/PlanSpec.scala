@@ -235,6 +235,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("pii columns are map-only: no exchange, no window") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "mail a@b.co from 1.2.3.4")).toDF("doc_id", "text")
+    val plan = docsDf.select((col("doc_id") +:
+      graft.text.TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan.take(1200))
+  }
+
   test("salient terms: the wide text column never rides a shuffle") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
