@@ -129,6 +129,45 @@ object Bench {
     math.min(once(), once())
   }
 
+  /** Seconds for a FIXED total volume of memory traffic — a
+    * STREAM-style triad a(i) = b(i) + 3*c(i) over three 128 MB arrays
+    * (far larger than any LLC here), each thread sweeping its own slice
+    * a fixed total number of times; min of 2 reps. cpuProbe is ALU-only
+    * but the render kernel is memory-BANDWIDTH-bound, so the tertiary
+    * scaling pair needs BOTH ceilings: shared-host bandwidth contention
+    * grows with thread count in a way the ALU probe cannot see. */
+  def memProbe(threads: Int): Double = {
+    val words = 1 << 24 // 3 x 128 MB
+    val a = new Array[Double](words)
+    val b = new Array[Double](words)
+    val c = new Array[Double](words)
+    java.util.Arrays.fill(b, 1.5)
+    java.util.Arrays.fill(c, 2.5)
+    val sweeps = 96 // ~38 GB of traffic per rep, split across threads
+    // (sized so even 32 threads on ~100 GB/s hosts measure >= 0.3 s —
+    // a few-ms sample would make the pair ratio pure timer noise)
+    def once(): Double = {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          val lo = (words.toLong * t / threads).toInt
+          val hi = (words.toLong * (t + 1) / threads).toInt
+          var s = 0
+          while (s < sweeps) {
+            var i = lo
+            while (i < hi) { a(i) = b(i) + 3.0 * c(i); i += 1 }
+            s += 1
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (a(words / 2) == 42.0) print("") // blackhole: keep the stores
+      dt
+    }
+    math.min(once(), once())
+  }
+
   def prepareImages(spark: SparkSession, rows: Long, path: String): Unit = {
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       graft.tables.ImageTable.generate(spark, rows,
@@ -182,6 +221,7 @@ object Bench {
     // (round 4's q48 read 28s in the driver run vs 2.2s committed —
     // a contended run must be self-labeling)
     val probeSec = cpuProbe(cpus)
+    val memProbeSec = memProbe(cpus)
 
     // per-query timings (count() forces the plan) — BEFORE the dedup
     // phase, so its 600k+ image decodes can't leave GC/page-cache
@@ -299,7 +339,7 @@ object Bench {
       s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"mem_probe_sec":$memProbeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)

@@ -55,9 +55,13 @@ object Scaling {
         // as the measurement it normalizes — a report-time probe hours
         // later would divide a stale efficiency by a fresh ceiling
         val probe = cpuProbe(cpus)
+        // bandwidth ceiling captured alongside the ALU ceiling: the
+        // render kernel is bandwidth-bound where the busy loop is not,
+        // so the tertiary pair's report cites BOTH (next-round item 5)
+        val memp = Bench.memProbe(cpus)
         val stored = if (Files.exists(path))
           Some(Files.readString(path).trim.split(",")) else None
-        val newRow = f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f,$probe%.3f\n"
+        val newRow = f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f,$probe%.3f,$memp%.3f\n"
         stored match {
           case Some(s) if s(1).toLong == rows && s(6).toDouble <= total =>
             // stored min stands — but ONLY for the same input size: a
@@ -118,12 +122,21 @@ object Scaling {
         val (ceiling, capturedWhen) =
           if (a.length > 7 && b.length > 7) ((a(7) / b(7)) / 4.0, "from the level CSVs")
           else ((cpuProbe(Lo3Cpus) / cpuProbe(Hi3Cpus)) / 4.0, "measured at report time")
+        // memory-BANDWIDTH ceiling (STREAM-style triad): the render
+        // kernel is bandwidth-bound, so this is the ceiling that
+        // actually binds at the widest pair — the ALU figure alone is
+        // only a lower-bound argument
+        val (bwCeiling, bwWhen) =
+          if (a.length > 8 && b.length > 8) ((a(8) / b(8)) / 4.0, "from the level CSVs")
+          else ((Bench.memProbe(Lo3Cpus) / Bench.memProbe(Hi3Cpus)) / 4.0, "measured at report time")
         val eff3 = (a(6) / b(6)) / 4.0
         f"| tertiary pair local[$Lo3Cpus] -> local[$Hi3Cpus] total sec | ${a(6)}%.2f -> ${b(6)}%.2f |\n" +
           f"| tertiary pair efficiency | ${eff3}%.3f |\n" +
           f"| raw-CPU control ($Lo3Cpus -> $Hi3Cpus threads, busy loop, $capturedWhen) | ${ceiling}%.3f ceiling |\n" +
-          f"| tertiary efficiency / hardware ceiling | ${eff3 / ceiling}%.3f |\n" +
-          "| note | the ALU-only probe ceiling swings 0.68-0.94 by hour on this shared 32-vCPU host, and the render kernel is memory-BANDWIDTH-bound where the probe is not — both contentions grow with thread count, which is what the narrow primary pair avoids; a quiet-hour ceiling UNDERSTATES the engine |\n"
+          f"| memory-bandwidth control ($Lo3Cpus -> $Hi3Cpus threads, STREAM triad, $bwWhen) | ${bwCeiling}%.3f ceiling |\n" +
+          f"| tertiary efficiency / ALU ceiling | ${eff3 / ceiling}%.3f |\n" +
+          f"| tertiary efficiency / bandwidth ceiling | ${eff3 / bwCeiling}%.3f |\n" +
+          "| note | both probe ceilings swing by hour on this shared 32-vCPU host (ALU 0.68-0.94); the render kernel is memory-BANDWIDTH-bound, so the bandwidth row is the binding ceiling at the widest pair — both contentions grow with thread count, which is what the narrow primary pair avoids; a quiet-hour ceiling UNDERSTATES the engine |\n"
       case _ => ""
     }
     val md =
