@@ -281,6 +281,29 @@ object Bench {
       }.min
     } catch { case _: Throwable => -1.0 }
 
+    // duplicate-span recall floor at BENCH scale (the image planted-
+    // recall gate's text analog): one shared 70-char span planted into
+    // every 50th doc makes its window hashes hot buckets (far past the
+    // cap), so star routing — not all-pairs — must carry connectivity;
+    // ALL planted docs are required to land in ONE cluster. A cap/star
+    // regression that only bites on hot buckets shows here first, at a
+    // bucket size the 300-doc unit spec can't reach.
+    val (spanPlanted, spanClusterSec) = {
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      val span = "shared boilerplate span planted for the bench recall floor 0123456789"
+      val plantedDocs = docsDf.select(col("doc_id"),
+        when(col("doc_id") % 50 === 7, concat(col("text"), lit(" " + span)))
+          .otherwise(col("text")).as("text"))
+      val s0 = System.nanoTime()
+      val cl = graft.text.TextOps.duplicateSpanClusters(plantedDocs, n = 30, cap = 64)
+        .filter(col("doc_id") % 50 === 7)
+        .agg(count(lit(1)).as("n"), countDistinct(col("rep")).as("reps")).head()
+      val sSec = (System.nanoTime() - s0) / 1e9
+      require(cl.getLong(1) == 1L,
+        s"planted span docs split across ${cl.getLong(1)} clusters (want 1)")
+      (cl.getLong(0), sSec)
+    }
+
     // --- perceptual image dedup over the payloads: decode -> dhash ->
     // banded pairs -> connected components. Planted re-encoded copies
     // give a recall floor (every one must be found). Reported in detail
@@ -339,7 +362,7 @@ object Bench {
       s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"mem_probe_sec":$memProbeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"mem_probe_sec":$memProbeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dup_span_planted":$spanPlanted,"dup_span_cluster_sec":$spanClusterSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)
