@@ -35,9 +35,7 @@ object Bench {
 
     // page-cache warmup: pre-read the input files (untimed) so the
     // first JVM measured isn't penalized for a cold cache
-    new java.io.File(imgPath).listFiles().foreach { f =>
-      if (f.getName.endsWith(".parquet")) java.nio.file.Files.readAllBytes(f.toPath)
-    }
+    warmPageCacheMb(imgPath)
     // JIT/codegen warmup on a small sample (untimed) — the same
     // snapshot-write + snapshot-read render path the timed section uses
     locally {
@@ -166,6 +164,26 @@ object Bench {
       dt
     }
     math.min(once(), once())
+  }
+
+  /** Warm the page cache for every parquet part under `path` and
+    * return the warmed MB. Streams through a bounded buffer — a
+    * readAllBytes here would put whole part files on the heap and die
+    * outright on a >2 GB part. */
+  def warmPageCacheMb(path: String): Double = {
+    val buf = new Array[Byte](1 << 20)
+    var bytes = 0L
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    files.foreach { f =>
+      if (f.getName.endsWith(".parquet")) {
+        val in = java.nio.file.Files.newInputStream(f.toPath)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { bytes += n; n = in.read(buf) }
+        } finally in.close()
+      }
+    }
+    bytes / 1e6
   }
 
   def prepareImages(spark: SparkSession, rows: Long, path: String): Unit = {
@@ -317,11 +335,7 @@ object Bench {
     // judge read 1.4-1.6s on the same build — a cold/contended read of
     // the 300+ MB payload is indistinguishable from a decode regression
     // unless the input is warmed and the MB/s is reported alongside.
-    val dedupInputMb = new java.io.File(dedupPath).listFiles().map { f =>
-      if (f.getName.endsWith(".parquet")) {
-        java.nio.file.Files.readAllBytes(f.toPath).length.toLong
-      } else 0L
-    }.sum / 1e6
+    val dedupInputMb = warmPageCacheMb(dedupPath)
     // untimed warmup on a small slice — same decode/dhash/join code
     // path as the timed run (CLAUDE.md bench invariant: first-use JIT
     // must not land in the measurement, which it otherwise would on

@@ -126,8 +126,16 @@ object Knn {
     // Broadcast the query-tile ring only while it plausibly fits in an
     // executor (rows ~ |queries| * (2r+1)^2); past that, fall back to a
     // shuffle hash join — still no cross product, just hashed on tile id.
-    val qCount = queries.count()
-    val ringRows = qCount * (2L * ring + 1) * (2L * ring + 1)
+    // one tiny action for BOTH sizes: ring rows for the broadcast-size
+    // decision scale with query ROWS, but the resolved/unresolved split
+    // is per DISTINCT qid (the API never forbids duplicate qid rows —
+    // a row count there would disable the all-resolved fast path and
+    // misreport the fallback count whenever duplicates exist)
+    val qAgg = q.agg(count(lit(1)).as("rows"),
+      countDistinct(col("qid")).as("qids")).head()
+    val qRows = qAgg.getLong(0)
+    val qCount = qAgg.getLong(1)
+    val ringRows = qRows * (2L * ring + 1) * (2L * ring + 1)
     val qSide = if (ringRows <= 4_000_000L) broadcast(qTiles) else qTiles
     // Eagerly localCheckpoint the (tiny, <= |queries|*k rows) top-k
     // candidate set: the resolved/good/unresolved consumers below would

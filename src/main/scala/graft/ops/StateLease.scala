@@ -31,13 +31,32 @@ object StateLease {
   /** Throw if this lease was stolen out from under a stalled heartbeat.
     * Appenders call this before AND after the guarded write: before =
     * don't start doomed work; after = a steal DURING the write must
-    * fail the job loudly (the successor may have interleaved files). */
-  def checkFenced(l: Lease): Unit =
-    if (l.fenced.get())
+    * fail the job loudly (the successor may have interleaved files).
+    *
+    * The check re-reads the lease file SYNCHRONOUSLY and compares the
+    * token, in addition to consulting the heartbeat's fenced flag: a
+    * GC pause that froze appender and heartbeat together can end with
+    * the appender reaching this check before the heartbeat thread is
+    * ever rescheduled — the flag alone would pass in exactly the
+    * stall-steal scenario this exists to catch. A transient read error
+    * leaves the flag as the only signal (same as before); only a
+    * readable-with-wrong-token or vanished lease fails here. */
+  def checkFenced(l: Lease): Unit = {
+    val stolen = l.fenced.get() || {
+      try !java.nio.file.Files.readString(l.path).equals(l.token)
+      catch {
+        case _: java.nio.file.NoSuchFileException => true
+        case scala.util.control.NonFatal(_) => false
+      }
+    }
+    if (stolen) {
+      l.fenced.set(true) // heartbeat must never touch the successor's file
       throw new IllegalStateException(
         s"lease ${l.path} was stale-stolen by another writer while this " +
           "append ran (heartbeat stalled past the lease window); state may " +
           "have two writers — verify the band index before further appends")
+    }
+  }
 
   def acquire(dir: String, leaseMs: Long = 15 * 60 * 1000L): Lease = {
     val p = java.nio.file.Paths.get(dir, ".writer_lease")
@@ -95,6 +114,10 @@ object StateLease {
       while (live && !Thread.currentThread().isInterrupted) {
         try {
           Thread.sleep(math.max(leaseMs / 3, 1000L))
+          // a synchronous checkFenced may have detected the steal while
+          // this thread slept — stop without touching anything
+          if (fenced.get()) { live = false }
+          else {
           // verify the lease is still OURS before touching it: after a
           // stall-steal the path is the successor's lease, and touching
           // it would keep the successor "fresh" while we double-write
@@ -107,6 +130,7 @@ object StateLease {
           } else
             java.nio.file.Files.setLastModifiedTime(p,
               java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          }
         } catch {
           case _: InterruptedException => Thread.currentThread().interrupt()
           case scala.util.control.NonFatal(_) => () // transient read/touch error: retry next tick

@@ -26,20 +26,22 @@ object StreamOps {
   case class Session(userId: Long, nEvents: Long, startTs: Long, endTs: Long)
 
   /** Stateful sessionization with a gap timeout (flatMapGroupsWithState
-    * + EventTimeTimeout): a session closes when a LATER event arrives
-    * beyond the gap, OR when the event-time watermark passes its
-    * endTs + gapMs — so a user who simply stops sending events still
-    * flushes their last session (a NoTimeout formulation held it in
-    * state forever and never emitted it), and state is bounded by the
-    * watermark, not by user count. Late in-gap events extend a session
-    * without REWINDING it (endTs = max, startTs = min — an
-    * out-of-order arrival inside the gap must not shrink the window
-    * and cause a spurious split). Only events inside
-    * [startTs - gap, endTs + gap] merge: a late event wholly BEFORE the
-    * live session sessionizes among its fellow strays (batch semantics
-    * would emit it separately, not rewind startTs by hours), and a
-    * stray run that reaches within gap of the live session's start
-    * bridges into it. `watermark` is the lateness bound. */
+    * + EventTimeTimeout), with Spark's own session-window append-mode
+    * semantics: state holds EVERY open session of the user (sorted,
+    * pairwise gap-separated), events merge into the session whose
+    * [startTs - gap, endTs + gap] window contains them (coalescing the
+    * neighbor a merge bridges), and a session is emitted ONLY once the
+    * event-time watermark passes its endTs + gapMs — the point after
+    * which no admissible event can still extend it. That makes the
+    * result batch-equivalent REGARDLESS of how events split across
+    * micro-batches: a late stray run, arriving hours before the live
+    * session and spread over several batches, still emits as ONE
+    * session (an emit-on-supersede formulation split it — one session
+    * per batch — and could never retract in append mode). The cost is
+    * the standard watermark tradeoff: emission latency equals the
+    * lateness bound. State stays bounded by the watermark horizon, not
+    * by user count; an idle user's last session flushes via the
+    * event-time timeout. `watermark` is the lateness bound. */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
                  watermark: String = "0 seconds"): DataFrame = {
     import spark.implicits._
@@ -52,61 +54,51 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[Session, Session](
+      .flatMapGroupsWithState[Seq[Session], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Session]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.iterator.toSeq
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = it.map(_._2.getTime).toSeq.sorted
-            var cur = state.getOption
-            // strays: late events wholly before the live session
-            // (t < startTs - gap). They sessionize among themselves;
-            // the LAST stray run may bridge into the live session.
-            var stray: Option[Session] = None
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            def bridgeStray(into: Session): Session = stray match {
-              case Some(st) if into.startTs - st.endTs <= gapMs =>
-                stray = None
-                into.copy(nEvents = into.nEvents + st.nEvents, startTs = st.startTs)
-              case Some(st) =>
-                closed += st; stray = None; into
-              case None => into
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Seq[Session]]) =>
+          val wm = state.getCurrentWatermarkMs
+          // emit what the watermark has finalized, keep the rest, arm
+          // the timeout for the earliest still-open close point (must
+          // register beyond the current watermark or Spark rejects it)
+          def flush(ss: Seq[Session]): Iterator[Session] = {
+            val (emit, keep) = ss.partition(_.endTs + gapMs <= wm)
+            if (keep.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(keep)
+              state.setTimeoutTimestamp(
+                math.max(keep.map(_.endTs + gapMs).min, wm + 1))
             }
-            sorted.foreach { t =>
-              cur match {
-                case Some(s) if t < s.startTs - gapMs =>
-                  stray match {
-                    case Some(st) if t - st.endTs <= gapMs =>
-                      stray = Some(st.copy(nEvents = st.nEvents + 1, endTs = t))
-                    case Some(st) =>
-                      closed += st
-                      stray = Some(Session(uid, 1, t, t))
-                    case None =>
-                      stray = Some(Session(uid, 1, t, t))
+            emit.sortBy(_.startTs).iterator
+          }
+          if (state.hasTimedOut) flush(state.getOption.getOrElse(Nil))
+          else {
+            var ss: List[Session] = state.getOption.getOrElse(Nil).toList
+            it.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              // sessions are sorted by startTs and > gap apart; find the
+              // first whose window t falls at-or-before
+              val (before, after) = ss.span(s => s.endTs + gapMs < t)
+              after match {
+                case s :: rest if t >= s.startTs - gapMs =>
+                  // extend without rewinding semantics: start=min, end=max
+                  val ext = s.copy(nEvents = s.nEvents + 1,
+                    startTs = math.min(s.startTs, t), endTs = math.max(s.endTs, t))
+                  // a forward extension may bridge the next session; the
+                  // sorted invariant means at most ONE merge per event (a
+                  // backward extension can't reach `before`: its sessions
+                  // all have endTs + gap < t = the new startTs)
+                  val merged = rest match {
+                    case n :: tail if n.startTs - ext.endTs <= gapMs =>
+                      ext.copy(nEvents = ext.nEvents + n.nEvents,
+                        endTs = math.max(ext.endTs, n.endTs)) :: tail
+                    case _ => ext :: rest
                   }
-                case Some(s) if t - s.endTs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1,
-                    startTs = math.min(s.startTs, t), endTs = math.max(s.endTs, t)))
-                case Some(s) =>
-                  closed += bridgeStray(s)
-                  cur = Some(Session(uid, 1, t, t))
-                case None =>
-                  cur = Some(Session(uid, 1, t, t))
+                  ss = before ++ merged
+                case _ =>
+                  ss = before ++ (Session(uid, 1, t, t) :: after)
               }
             }
-            cur = cur.map(bridgeStray)
-            stray.foreach(closed += _) // only when cur was None
-            cur.foreach { s =>
-              state.update(s)
-              // the registered timestamp must be beyond the current
-              // watermark (Spark rejects past timestamps for late data)
-              state.setTimeoutTimestamp(
-                math.max(s.endTs + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            closed.iterator
+            flush(ss)
           }
       }.toDF()
   }

@@ -338,21 +338,31 @@ class StreamingSaltSpec extends AnyFunSuite {
     // batch 1: live session at now+6h (two events)
     feed(Seq((1L, now + 6 * h), (1L, now + 6 * h + 1000)), "b1")
     runOnce()
-    // batch 2: strays hours BEFORE the session — two in-gap (merge with
-    // each other), one separated by > gap (its own session). Batch
-    // semantics: neither rewinds the live session's startTs.
-    feed(Seq((1L, now), (1L, now + 30000), (1L, now + 200000)), "b2")
+    // batch 2: strays hours BEFORE the session — one at now, one
+    // separated by > gap. batch 2b: a third stray IN-GAP of the first,
+    // arriving in a LATER micro-batch: it must merge into the same
+    // stray session (an emit-on-supersede formulation emitted the first
+    // stray at batch end and the run split into two 1-event sessions).
+    feed(Seq((1L, now), (1L, now + 200000)), "b2")
     val out2 = runOnce()
-    assert(out2.contains((1L, 2L, now, now + 30000)),
-      s"adjacent strays did not sessionize together: $out2")
-    assert(out2.contains((1L, 1L, now + 200000, now + 200000)),
-      s"separated stray not emitted alone: $out2")
-    // batch 3: close the live session via gap — it must still hold
-    // ONLY its two original events (no stray absorbed, no rewind)
-    feed(Seq((1L, now + 7 * h)), "b3")
+    // nothing is final yet — the watermark (maxTs - 8h) is hours before
+    // every open session; in particular the live session never rewound
+    assert(out2.isEmpty, s"emitted before the watermark finalized: $out2")
+    feed(Seq((1L, now + 30000)), "b2b")
+    runOnce()
+    // batch 3: an event far ahead pushes the watermark (15h - 8h = 7h)
+    // past every stray AND the live session — all flush, none merged
+    // across a > gap boundary, the live session un-rewound
+    feed(Seq((1L, now + 15 * h)), "b3")
     val out3 = runOnce()
+    assert(out3.contains((1L, 2L, now, now + 30000)),
+      s"cross-batch stray run did not sessionize together: $out3")
+    assert(out3.contains((1L, 1L, now + 200000, now + 200000)),
+      s"separated stray not emitted alone: $out3")
     assert(out3.contains((1L, 2L, now + 6 * h, now + 6 * h + 1000)),
       s"live session rewound or absorbed strays: $out3")
+    assert(!out3.exists(s => s._3 == now && s._2 == 1L),
+      s"stray run split across micro-batches: $out3")
     // a stray run that reaches within gap of the live session BRIDGES in
     val base2 = java.nio.file.Files.createTempDirectory("sess_bridge").toString
     val in2 = s"$base2/in"; new java.io.File(in2).mkdirs()
@@ -382,7 +392,8 @@ class StreamingSaltSpec extends AnyFunSuite {
     // start, so the whole stray run merges (batch semantics: one session)
     feed2(Seq((9L, now + 6 * h - 90000), (9L, now + 6 * h - 45000)), "b2")
     runOnce2()
-    feed2(Seq((9L, now + 7 * h)), "b3")
+    // push the watermark (15h - 8h) past the merged session's close
+    feed2(Seq((9L, now + 15 * h)), "b3")
     val out4 = runOnce2()
     assert(out4.contains((9L, 3L, now + 6 * h - 90000, now + 6 * h)),
       s"stray run within gap of live start did not bridge: $out4")
