@@ -269,6 +269,12 @@ object SparkEntry {
         TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
     }),
 
+    // within-doc repetition signals (Gopher-style): token totals +
+    // distinct, 2-gram totals / top count / distinct — integer counts,
+    // ratios derived by the caller; boilerplate and degenerate docs
+    // light up on top2/grams2 and utoks/toks
+    "q54_repetition" -> ((s, d) => TextOps.repetitionMetrics(docs(s, d))),
+
     "q23_lang_id" -> ((s, d) => {
       val scores = TextOps.langScores(col("text"))
       docs(s, d).select(
@@ -696,6 +702,21 @@ object SparkEntry {
       }
       s"""WITH planted AS (SELECT doc_id, $piiPlantSql AS text FROM documents)
          | SELECT doc_id, $counts, $red AS red_text FROM planted""".stripMargin.replace("\n", " ")
+    },
+
+    // same token definition as q22 (string_split on ' ', empties
+    // filtered) and the same h64 shingle packing as q49 — one source
+    "q54_repetition" -> {
+      import graft.text.PortableHash
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         | base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS toks_n, CAST(len(list_distinct(toks)) AS BIGINT) AS utoks FROM tok),
+         | shs AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)), i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s FROM tok),
+         | sh AS (SELECT doc_id, ${PortableHash.tokenHashSql("s")} AS h FROM shs),
+         | per AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY 1, 2),
+         | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS grams2, CAST(max(c) AS BIGINT) AS top2, CAST(count(*) AS BIGINT) AS ugrams2 FROM per GROUP BY 1)
+         | SELECT b.doc_id, b.toks_n AS toks, b.utoks,
+         |  coalesce(a.grams2, 0) AS grams2, coalesce(a.top2, 0) AS top2, coalesce(a.ugrams2, 0) AS ugrams2
+         | FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin.replace("\n", " ")
     },
 
     "q23_lang_id" -> {

@@ -112,6 +112,35 @@ object TextOps {
         .otherwise(lit(1)))
   }
 
+  /** Within-document repetition metrics (the Gopher/MassiveText-style
+    * repetition signals, as integer COUNTS so the DuckDB oracle is
+    * bit-exact; callers derive the published ratios): token total and
+    * distinct, 2-gram total / most-frequent-2-gram count / distinct —
+    * high top2/grams2 or low utoks/toks flags boilerplate and
+    * degenerate repetition.
+    *
+    * Scale shape: the ONLY shuffle carries (doc_id, h64) 8-byte shingle
+    * hashes with map-side combine (the q48 pattern); the text column
+    * never leaves the scan; per-doc work is the one-pass codegen
+    * shingle kernel. The per-doc aggregate join is doc-cardinality. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("toks"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("utoks"))
+    val per = docs
+      .select(col("doc_id"), explode(tokenShingleHashes(col("text"), 2)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).cast("long").as("grams2"),
+        max(col("c")).cast("long").as("top2"),
+        count(lit(1)).as("ugrams2"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), col("utoks"),
+        coalesce(col("grams2"), lit(0L)).as("grams2"),
+        coalesce(col("top2"), lit(0L)).as("top2"),
+        coalesce(col("ugrams2"), lit(0L)).as("ugrams2"))
+  }
+
   // ---- PII detection / redaction ----------------------------------
   // Public-knowledge regex shapes written to the subset Java regex and
   // RE2 (DuckDB) interpret identically: no lookaround, no backrefs,

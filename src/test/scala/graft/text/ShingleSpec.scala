@@ -129,4 +129,23 @@ class ShingleSpec extends AnyFunSuite {
     // "quick brown fox" twice (hits 2, distinct 1); doc 101 never
     assert(got == Set((100L, 2L, 2L), (102L, 2L, 1L)), got.toString)
   }
+
+  test("repetition metrics: planted repetition, degenerate and tiny docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // 4 toks, 1 distinct; 3 identical 2-grams
+      (2L, "a b a b a"),                  // alternation: "a b" x2 + "b a" x2
+      (3L, "all tokens differ here"),     // no repetition: top2 = 1
+      (4L, "solo"),                       // 1 token -> no 2-grams
+      (5L, ""))                           // empty -> all zero
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(1L) == ((4L, 1L, 3L, 3L, 1L)), got(1L).toString)
+    assert(got(2L) == ((5L, 2L, 4L, 2L, 2L)), got(2L).toString)
+    assert(got(3L) == ((4L, 4L, 3L, 1L, 3L)), got(3L).toString)
+    assert(got(4L) == ((1L, 1L, 0L, 0L, 0L)), got(4L).toString)
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L)), got(5L).toString)
+  }
 }
