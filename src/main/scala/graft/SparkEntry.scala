@@ -109,6 +109,18 @@ object SparkEntry {
     TextOps.cappedCandidatePairs(bands, "band_key", cap = TextOps.LshCap)
   }
 
+  /** Duplicate-cluster labels over the minhash pair graph: connected
+    * components (rep = component min), singletons map to themselves.
+    * Shared by q42 and the q55 keep-best selection. */
+  private def dupLabels(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.ops.Components.connectedComponents(
+      minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .withColumnRenamed("node", "doc_id")
+    docs(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+  }
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -296,14 +308,16 @@ object SparkEntry {
     // duplicate clusters: connected components (large-star/small-star)
     // over the near-dup pair graph; rep = component min, singletons map
     // to themselves — "keep one per cluster" is filter(doc_id === rep)
-    "q42_dup_clusters" -> ((s, d) => {
-      val labels = graft.ops.Components.connectedComponents(
-        minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
-        .withColumnRenamed("node", "doc_id")
-      docs(s, d).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-    }),
+    "q42_dup_clusters" -> ((s, d) => dupLabels(s, d)),
+
+    // keep-best-per-cluster: after fuzzy dedup, retain the
+    // highest-token-count member of each duplicate cluster (min doc_id
+    // on ties) — struct-max argmax, so a hot cluster never serializes
+    // onto one task; only (doc_id, rep, score) 8-byte columns shuffle
+    "q55_keep_best" -> ((s, d) => TextOps.keepBestPerCluster(
+      dupLabels(s, d),
+      docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("score")))),
 
     "q29_simhash" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.simhash64(col("text")).as("simhash"))),
@@ -791,6 +805,22 @@ object SparkEntry {
          |  UNION
          |  SELECT r.node, e.eb FROM reach r JOIN edges e ON e.ea = r.rep)
          | SELECT node AS doc_id, min(rep) AS rep FROM reach GROUP BY node""".stripMargin.replace("\n", " "),
+
+    "q55_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         | pr AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         | edges AS (SELECT doc_a AS ea, doc_b AS eb FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+         | reach(node, rep) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.eb FROM reach r JOIN edges e ON e.ea = r.rep),
+         | labels AS (SELECT node AS doc_id, min(rep) AS rep FROM reach GROUP BY node),
+         | sc AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS score FROM documents),
+         | j AS (SELECT s.doc_id, l.rep, s.score FROM sc s JOIN labels l ON l.doc_id = s.doc_id),
+         | b AS (SELECT rep, max(score) AS bs FROM j GROUP BY rep),
+         | k AS (SELECT j.rep, min(j.doc_id) AS bid FROM j JOIN b ON b.rep = j.rep AND j.score = b.bs GROUP BY j.rep)
+         | SELECT j.doc_id, j.rep, j.score, CAST(CASE WHEN j.doc_id = k.bid THEN 1 ELSE 0 END AS BIGINT) AS kept
+         | FROM j JOIN k ON k.rep = j.rep""".stripMargin.replace("\n", " "),
 
     "q43_stratified_sample" ->
       s"""SELECT doc_id, stratum, h FROM (

@@ -141,6 +141,28 @@ object TextOps {
         coalesce(col("ugrams2"), lit(0L)).as("ugrams2"))
   }
 
+  /** Keep-best-per-cluster selection: given duplicate-cluster labels
+    * (doc_id, rep) and per-doc scores (doc_id, score LONG), mark
+    * exactly one kept=1 row per cluster — the max-score member,
+    * doc_id-ascending tie-break (the standard "fuzzy dedup with best
+    * document retention" curation step; reference keeps the FIRST
+    * occurrence — see datamaps dedup semantics — we keep the best).
+    *
+    * Scale shape: argmax via a map-side-combined struct-max aggregate,
+    * NOT a per-rep window — a pathological million-doc cluster still
+    * reduces tree-style instead of serializing its rows onto one task
+    * for a sort. Every shuffled row is three 8-byte columns; the text
+    * column never enters (callers compute scores map-side first). */
+  def keepBestPerCluster(labels: DataFrame, scores: DataFrame): DataFrame = {
+    val j = labels.join(scores, Seq("doc_id"))
+    val best = j.groupBy("rep")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"))
+    j.join(best, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("score"),
+        when(col("score") === col("b.score") && col("doc_id") === -col("b.nid"),
+          lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   // ---- PII detection / redaction ----------------------------------
   // Public-knowledge regex shapes written to the subset Java regex and
   // RE2 (DuckDB) interpret identically: no lookaround, no backrefs,
