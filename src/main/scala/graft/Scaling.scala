@@ -63,7 +63,7 @@ object Scaling {
           Some(Files.readString(path).trim.split(",")) else None
         val newRow = f"$cpus,$rows,$tiles,$tEnc%.3f,$tPip%.3f,$tRen%.3f,$total%.3f,$probe%.3f,$memp%.3f\n"
         stored match {
-          case Some(s) if s(1).toLong == rows && s(6).toDouble <= total =>
+          case Some(s) if s.length > 8 && s(1).toLong == rows && s(6).toDouble <= total =>
             // stored min stands — but ONLY for the same input size: a
             // CSV left by a run at a different SF would otherwise win
             // min-of-reps forever and the report would publish stale
@@ -71,8 +71,11 @@ object Scaling {
             // backfilled onto an earlier run's timing — the ceiling
             // swings by hour, so a mixed-epoch (timing, probe) pair
             // would be exactly the stale mismatch this column exists
-            // to prevent; a probe-less row simply makes the report
-            // fall back to a report-time probe with the honest label.
+            // to prevent. An old-format (probe-less, 8-field) row is
+            // therefore NOT comparable: it loses to the fresh row even
+            // when faster, because a row that forces the report into a
+            // report-time probe fallback is worse evidence than a
+            // slightly slower same-slot (timing, probe) pair.
             ()
           case _ => Files.writeString(path, newRow)
         }

@@ -112,14 +112,10 @@ object SparkEntry {
   /** Duplicate-cluster labels over the minhash pair graph: connected
     * components (rep = component min), singletons map to themselves.
     * Shared by q42 and the q55 keep-best selection. */
-  private def dupLabels(s: SparkSession, d: String): DataFrame = {
-    val labels = graft.ops.Components.connectedComponents(
-      minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .withColumnRenamed("node", "doc_id")
-    docs(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-  }
+  private def dupLabels(s: SparkSession, d: String): DataFrame =
+    graft.ops.Components.labelAll(docs(s, d),
+      minhashPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")),
+      "doc_id")
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")

@@ -110,8 +110,14 @@ object Knn {
       .withColumn("tx", expr(s"x >> $tileShift"))
       .withColumn("ty", expr(s"y >> $tileShift"))
 
-    // each query probes its (2r+1)^2 ring of tiles
+    // each query probes its (2r+1)^2 ring of tiles. NULL qids are
+    // dropped up front: results are keyed by qid, so a NULL row is
+    // unanswerable anyway — and if it entered, the per-qid window would
+    // merge every NULL query into ONE top-k group while the
+    // countDistinct below EXCLUDES the NULL group, skewing the
+    // resolved/unresolved arithmetic that gates the exact fallback.
     val q = queries.select(col("qid"), col("qx").cast("long"), col("qy").cast("long"))
+      .filter(col("qid").isNotNull)
     val qTiles = q
       .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
       .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))

@@ -116,6 +116,18 @@ object Components {
                           hubDegree: Long = 1L << 20): DataFrame =
     connectedComponentsWithStats(edges, maxIter, smallGraphEdges, hubDegree)._1
 
+  /** Component labels for EVERY id in `ids` (single column `idCol`):
+    * connected components over `pairs` (columns a, b), rep = component
+    * min, ids absent from the pair graph label themselves. The ONE
+    * labeling idiom — q42/q55 minhash clusters and span-dedup clusters
+    * must mean the same thing, so both route through here. */
+  def labelAll(ids: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val labels = connectedComponents(pairs).withColumnRenamed("node", idCol)
+    ids.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+  }
+
   /** [[connectedComponents]] plus the per-round telemetry (empty when
     * the driver fast path ran). Returned to the caller instead of a
     * JVM-global var: concurrent calls in one session each get their own

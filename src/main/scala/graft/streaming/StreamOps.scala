@@ -41,7 +41,17 @@ object StreamOps {
     * the standard watermark tradeoff: emission latency equals the
     * lateness bound. State stays bounded by the watermark horizon, not
     * by user count; an idle user's last session flushes via the
-    * event-time timeout. `watermark` is the lateness bound. */
+    * event-time timeout. `watermark` is the lateness bound.
+    *
+    * State-schema note: the per-user state is `Seq[Session]` (it was a
+    * single `Session` before stray-event splitting landed) — a
+    * checkpoint written by the old shape fails Spark's state-schema
+    * compatibility check on restart, BY DESIGN loudly rather than
+    * silently misreading rows. Spark has no state-store writer to
+    * migrate `flatMapGroupsWithState` state in place; the operational
+    * path is to drain the old query (stop the source, let the
+    * watermark advance past every open session so state empties), then
+    * restart on a fresh checkpointLocation with this version. */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
                  watermark: String = "0 seconds"): DataFrame = {
     import spark.implicits._

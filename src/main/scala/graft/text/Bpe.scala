@@ -148,7 +148,10 @@ object Bpe {
   /** DuckDB CTE chain computing word -> BPE token count for every
     * distinct pre-token of `documents`, replaying the fixture merges.
     * `rounds` must be >= longest pre-token length - 1 (each round
-    * performs at least one merge while any applies). Produces CTEs:
+    * performs at least one merge while any applies); bpe_dict raises a
+    * DuckDB error() naming the offending word if any merge still
+    * applies after the last round, so an undersized `rounds` fails
+    * loudly instead of silently overcounting. Produces CTEs:
     * bpe_m (the ranked merges) and bpe_dict(word, n). */
   def dictSqlCtes(rounds: Int): String = {
     val values = merges.zipWithIndex.map { case ((a, b), r) =>
@@ -163,6 +166,10 @@ object Bpe {
        | bpe_w AS (SELECT DISTINCT unnest(regexp_extract_all(text, '${TextOps.BpePattern}')) AS word FROM documents),
        | r0 AS (SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s FROM bpe_w),
        | $roundCtes,
-       | bpe_dict AS (SELECT word, len(list_filter(string_split(trim(s), ' '), x -> x <> '')) AS n FROM r$rounds)""".stripMargin.replace("\n", " ")
+       | bpe_dict AS (SELECT word,
+       |   CASE WHEN EXISTS (SELECT 1 FROM bpe_m m WHERE contains(r$rounds.s, m.pat))
+       |     THEN CAST(error('bpe_dict unconverged after $rounds rounds for word: ' || word) AS BIGINT)
+       |     ELSE len(list_filter(string_split(trim(s), ' '), x -> x <> '')) END AS n
+       |   FROM r$rounds)""".stripMargin.replace("\n", " ")
   }
 }

@@ -119,27 +119,28 @@ object TextOps {
     * high top2/grams2 or low utoks/toks flags boilerplate and
     * degenerate repetition.
     *
-    * Scale shape: the ONLY shuffle carries (doc_id, h64) 8-byte shingle
-    * hashes with map-side combine (the q48 pattern); the text column
-    * never leaves the scan; per-doc work is the one-pass codegen
-    * shingle kernel. The per-doc aggregate join is doc-cardinality. */
-  def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      tokenCount(col("text")).cast("long").as("toks"),
-      size(array_distinct(tokens(col("text")))).cast("long").as("utoks"))
-    val per = docs
-      .select(col("doc_id"), explode(tokenShingleHashes(col("text"), 2)).as("h"))
-      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
+    * Scale shape: ONE scan/decode pass over the text column — the
+    * 1-gram quantities ride the shingle explode as two extra 8-byte
+    * columns instead of a second corpus scan. The only shuffle carries
+    * (doc_id, h64, toks, utoks) with map-side combine (the q48
+    * pattern); the text column never leaves the scan; per-doc work is
+    * the one-pass codegen shingle kernel. */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("toks"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("utoks"),
+        // outer: a doc with no 2-grams keeps one h=null row, whose
+        // count(h)=0 group makes every downstream aggregate read 0 —
+        // the former second scan + left-join + coalesce, for free
+        explode_outer(tokenShingleHashes(col("text"), 2)).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(count(col("h")).as("c"),
+        min(col("toks")).as("toks"), min(col("utoks")).as("utoks"))
+      .groupBy("doc_id")
+      .agg(min(col("toks")).as("toks"), min(col("utoks")).as("utoks"),
         sum(col("c")).cast("long").as("grams2"),
         max(col("c")).cast("long").as("top2"),
-        count(lit(1)).as("ugrams2"))
-    base.join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"), col("utoks"),
-        coalesce(col("grams2"), lit(0L)).as("grams2"),
-        coalesce(col("top2"), lit(0L)).as("top2"),
-        coalesce(col("ugrams2"), lit(0L)).as("ugrams2"))
-  }
+        count(col("h")).as("ugrams2"))
 
   /** Keep-best-per-cluster selection: given duplicate-cluster labels
     * (doc_id, rep) and per-doc scores (doc_id, score LONG), mark
@@ -409,11 +410,7 @@ object TextOps {
     val pairs = duplicateSpans(docs, n, cap)
       .filter(col("shared_windows") >= minShared)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = graft.ops.Components.connectedComponents(pairs)
-      .withColumnRenamed("node", "doc_id")
-    docs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    graft.ops.Components.labelAll(docs, pairs, "doc_id")
   }
 
   // ---------- near-dup signatures (portable hashes: the same integer

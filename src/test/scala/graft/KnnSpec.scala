@@ -41,6 +41,35 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL qids are dropped; they neither pollute results nor skew the fallback decision") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val pts = (0 until 2000).map(_ =>
+      (r.nextLong(1L << 24), r.nextLong(1L << 20), r.nextLong(1L << 20))).toDF("id", "x", "y")
+    // one resolvable NULL-qid row (dense region) + one real query FAR
+    // outside the blob (must route through the exact fallback): before
+    // the null filter, the NULL group counted as resolved while
+    // countDistinct excluded it, so unresolved arithmetic hit 0 and the
+    // far query got its incomplete ring candidates as final kNN
+    val qs = Seq((Some(1L), 1000L, 1000L), (None, 2000L, 2000L),
+      (Some(2L), (1L << 23), (1L << 23)))
+      .toDF("qid", "qx", "qy")
+    val (res, fbCnt) = graft.join.Knn.knnJoinWithStats(spark, pts, qs, k = 5, tileShift = 14)
+    val rows = res.select("qid", "id", "rn").as[(Option[Long], Long, Int)].collect()
+    assert(rows.forall(_._1.isDefined), "null qid leaked into results")
+    // the old bug reported 0 here (NULL group counted resolved, fast
+    // path taken) — the far query MUST be fallback-handled
+    assert(fbCnt >= 1L, s"far query must be fallback-handled, got $fbCnt")
+    val allPts = pts.as[(Long, Long, Long)].collect()
+    for ((qid, qx, qy) <- Seq((1L, 1000L, 1000L), (2L, 1L << 23, 1L << 23))) {
+      val expect = allPts.map { case (id, x, y) =>
+        (id, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+      }.sortBy(t => (t._2, t._1)).take(5).map(_._1).toSeq
+      val gotQ = rows.filter(_._1.contains(qid)).sortBy(_._3).map(_._2).toSeq
+      assert(gotQ == expect, s"qid=$qid")
+    }
+  }
+
   test("auto tile shift: density-derived zoom resolves >=95% of skewed queries in-ring") {
     import spark.implicits._
     val r = new scala.util.Random(7)

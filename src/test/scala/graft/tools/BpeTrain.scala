@@ -31,8 +31,15 @@ object BpeTrain {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     spark.stop()
 
+    // seed symbols are CODEPOINTS, not UTF-16 chars — Bpe.encode and the
+    // DuckDB replay (string_split(word, '')) both work in codepoints, so
+    // char-seeding would learn lone-surrogate merges the encoder can
+    // never match on supplementary-plane text
     var words: Map[Vector[String], Long] =
-      freqs.map { case (w, f) => w.map(_.toString).toVector -> f }
+      freqs.map { case (w, f) =>
+        w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))) -> f
+      }
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
