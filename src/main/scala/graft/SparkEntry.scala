@@ -67,6 +67,23 @@ object SparkEntry {
       | || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
       | || ' v256.1.1.1 build 1.2.3'""".stripMargin.replace("\n", "")
 
+  /** Deterministic URL planting (the corpus has none): ~1/3 of docs
+    * get an https URL with a path, ~1/7 an http URL with a port —
+    * hosts drawn from small modular families so the q57 domain rollup
+    * has real groups. [[urlPlantSql]] is the char-identical replica. */
+  private def urlPlant(docId: Column, text: Column): Column = concat(
+    text,
+    when(docId % 3 === 0,
+      concat(lit(" see https://site"), (docId % 17).cast("string"),
+        lit(".example.org/p/"), docId.cast("string"))).otherwise(lit("")),
+    when(docId % 7 === 0,
+      concat(lit(" http://cdn"), (docId % 5).cast("string"),
+        lit(".example.net:8080/x?y="), docId.cast("string"))).otherwise(lit("")))
+
+  private val urlPlantSql: String =
+    """text || CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 17)::VARCHAR || '.example.org/p/' || doc_id::VARCHAR ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN ' http://cdn' || (doc_id % 5)::VARCHAR || '.example.net:8080/x?y=' || doc_id::VARCHAR ELSE '' END""".stripMargin.replace("\n", "")
+
   /** DuckDB CTE chain producing the same capped MinHash LSH candidate
     * pairs as [[minhashPairs]] (single source for q28/q42 oracles);
     * ends with `pairs(doc_a, doc_b)`, possibly with duplicates. */
@@ -275,6 +292,26 @@ object SparkEntry {
         piiPlant(col("doc_id"), col("text")).as("text"))
       planted.select((col("doc_id") +:
         TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
+    }),
+
+    // URL extraction (RefinedWeb-style URL-filter inputs): per-doc URL
+    // count + first host; map-only, text never shuffles
+    "q56_urls" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        urlPlant(col("doc_id"), col("text")).as("text"))
+      planted.select((col("doc_id") +:
+        TextOps.urlColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
+    }),
+
+    // domain-mix rollup over the extracted hosts: the ONLY shuffle
+    // carries (host, partial count) short strings with map-side combine
+    "q57_domain_mix" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        urlPlant(col("doc_id"), col("text")).as("text"))
+      planted
+        .select(lower(regexp_extract(col("text"), TextOps.UrlHostPattern, 1)).as("host"))
+        .filter(col("host") =!= "")
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
     }),
 
     // within-doc repetition signals (Gopher-style): token totals +
@@ -713,6 +750,18 @@ object SparkEntry {
       s"""WITH planted AS (SELECT doc_id, $piiPlantSql AS text FROM documents)
          | SELECT doc_id, $counts, $red AS red_text FROM planted""".stripMargin.replace("\n", " ")
     },
+
+    "q56_urls" ->
+      s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents)
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS BIGINT) AS n_urls,
+         |  lower(regexp_extract(text, '${TextOps.UrlHostPattern}', 1)) AS host
+         | FROM planted""".stripMargin.replace("\n", " "),
+
+    "q57_domain_mix" ->
+      s"""WITH planted AS (SELECT doc_id, $urlPlantSql AS text FROM documents),
+         | h AS (SELECT lower(regexp_extract(text, '${TextOps.UrlHostPattern}', 1)) AS host FROM planted)
+         | SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM h WHERE host <> '' GROUP BY host""".stripMargin.replace("\n", " "),
 
     // same token definition as q22 (string_split on ' ', empties
     // filtered) and the same h64 shingle packing as q49 — one source

@@ -201,6 +201,23 @@ object TextOps {
     counts :+ ("red_text" -> red)
   }
 
+  // ---- URL extraction / domain stats ------------------------------
+  // Same Java-regex ∩ RE2 discipline as the PII shapes: no lookaround,
+  // explicit ASCII classes (no \s — its definition drifts between
+  // engines), greedy char-class runs only.
+  final val UrlPattern =
+    "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ \\t\\r\\n]*)?"
+  final val UrlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Per-doc URL count + lowercased host of the FIRST URL ('' when
+    * none) — the inputs to RefinedWeb-style URL filtering and
+    * domain-mix accounting. Map-only column expressions; the text
+    * column never shuffles. Domain rollups groupBy the extracted host
+    * (short strings, map-side combine), never the text. */
+  def urlColumns(c: Column): Seq[(String, Column)] = Seq(
+    "n_urls" -> size(regexp_extract_all(c, lit(UrlPattern), lit(0))).cast("long"),
+    "host" -> lower(regexp_extract(c, UrlHostPattern, 1)))
+
   /** Document fingerprint: polynomial rolling hash over the sanitized
     * character stream, mod 2^31-1 — computable identically in any
     * engine with a list fold. Sanitize to [a-z ] so ascii() semantics
