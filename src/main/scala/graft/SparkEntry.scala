@@ -382,6 +382,13 @@ object SparkEntry {
       Ann.bruteForceTopK(emb(s, d), qs, 10).select("qid", "vec_id", "cos", "rn")
     }),
 
+    // deterministic random projection (JL reduction on the portable
+    // plane matrix the LSH signatures quantize) — map-only codegen
+    // kernel; exploded to (vec_id, p, proj) scalar rows for the oracle
+    "q58_random_projection" -> ((s, d) => emb(s, d)
+      .select(col("vec_id"), posexplode(Ann.randomProjection(col("embedding"), 8)))
+      .select(col("vec_id"), col("pos").cast("long").as("p"), col("col").as("proj"))),
+
     "q28_ann_lsh" -> ((s, d) => {
       val qs = emb(s, d).filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -817,6 +824,13 @@ object SparkEntry {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          | ${cosSql("a.embedding", "b.embedding")} AS cos
          | FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin.replace("\n", " "),
+
+    "q58_random_projection" -> {
+      val comp = graft.text.RhpSig.compSql("pp.p", "i")
+      s"""SELECT e.vec_id, pp.p::BIGINT AS p,
+         | list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * ($comp)), (x, y) -> x + y) AS proj
+         | FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS p) pp""".stripMargin.replace("\n", " ")
+    },
 
     "q27_ann_topk" ->
       s"""SELECT qid, vec_id, cos, rn FROM (

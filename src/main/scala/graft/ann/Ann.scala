@@ -56,6 +56,17 @@ object Ann {
     column(graft.functions.RhpSigExpr(expression(v), planes))
   }
 
+  /** Deterministic random projection to `planes` output dimensions
+    * (Johnson–Lindenstrauss reduction on the portable plane matrix the
+    * LSH signatures quantize) — the standard pre-clustering /
+    * pre-index dimensionality cut. Map-only codegen kernel; at 100 TB
+    * this is a pure scan→project stage and downstream ops shuffle
+    * `planes` doubles per row instead of the full embedding. */
+  def randomProjection(v: Column, planes: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.RhpProjectExpr(expression(v), planes))
+  }
+
   /** (band, key) struct array of a vector's LSH band keys. Defaults
     * (64 planes, 8 bands of 8 rows) give 256 possible keys per band —
     * at round-1's 16/4 the 4-bit keys made every bucket hold n/16 of

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -107,6 +107,21 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Random-hyperplane sign-bit signature of a float-array embedding. */
+/** Raw plane projections of a float embedding (the JL dimensionality
+  * reduction [[RhpSigExpr]]'s sign bits quantize) — array of `planes`
+  * doubles, same kernel, same DuckDB-exact fold. */
+case class RhpProjectExpr(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rhp_project"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.text.RhpSig.projections(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.text.RhpSig.projections($v, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rhp_sig"

@@ -342,6 +342,25 @@ object RhpSig {
     sig
   }
 
+  /** Raw plane projections — the Johnson–Lindenstrauss dimensionality
+    * reduction whose sign bits [[signature]] quantizes. Same planes,
+    * same sequential left-to-right fold, so every value matches the
+    * DuckDB list_reduce oracle bit-for-bit. */
+  def projections(v: ArrayData, nPlanes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = v.numElements()
+    val w = planes(nPlanes, dim)
+    val out = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val wp = w(p)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v.getFloat(i).toDouble * wp(i); i += 1 }
+      out(p) = s
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** DuckDB expression for comp(p, i) with a 1-BASED index expr `i1`. */
   def compSql(p: String, i1: String): String =
     s"((((((($p)*1000003 + ($i1) - 1 + 12345) * 2654435761) % $P) * 2654435761 + 104729) % $P) % 1000000)::DOUBLE / 1000000.0 - 0.5"
