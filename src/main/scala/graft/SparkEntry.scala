@@ -309,7 +309,7 @@ object SparkEntry {
       val planted = docs(s, d).select(col("doc_id"),
         urlPlant(col("doc_id"), col("text")).as("text"))
       planted
-        .select(lower(regexp_extract(col("text"), TextOps.UrlHostPattern, 1)).as("host"))
+        .select(TextOps.urlColumns(col("text")).toMap.apply("host").as("host"))
         .filter(col("host") =!= "")
         .groupBy("host").agg(count(lit(1)).as("n_docs"))
     }),

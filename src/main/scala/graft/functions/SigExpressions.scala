@@ -106,7 +106,6 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Random-hyperplane sign-bit signature of a float-array embedding. */
 /** Raw plane projections of a float embedding (the JL dimensionality
   * reduction [[RhpSigExpr]]'s sign bits quantize) — array of `planes`
   * doubles, same kernel, same DuckDB-exact fold. */
@@ -122,6 +121,7 @@ case class RhpProjectExpr(child: Expression, planes: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Random-hyperplane sign-bit signature of a float-array embedding. */
 case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rhp_sig"
