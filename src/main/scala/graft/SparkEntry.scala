@@ -84,6 +84,25 @@ object SparkEntry {
     """text || CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 17)::VARCHAR || '.example.org/p/' || doc_id::VARCHAR ELSE '' END
       | || CASE WHEN doc_id % 7 = 0 THEN ' http://cdn' || (doc_id % 5)::VARCHAR || '.example.net:8080/x?y=' || doc_id::VARCHAR ELSE '' END""".stripMargin.replace("\n", "")
 
+  /** Deterministic HTML wrapping (the corpus is plain text): title /
+    * script / style / headline boilerplate around every doc, a link on
+    * doc_id%4 and entity samples in the footer — so q60's extraction
+    * exercises every strip rule on real rows. [[htmlPlantSql]] is the
+    * char-identical replica. */
+  private def htmlPlant(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>D"), docId.cast("string"),
+    lit("</title><script type=\"text/javascript\">var id="), docId.cast("string"),
+    lit(";</script><style>.c{color:#000}</style></head><body><h1>Doc "),
+    docId.cast("string"), lit("</h1><p>"), text, lit("</p>"),
+    when(docId % 4 === 0, concat(lit("<a href=\"/x/"), docId.cast("string"),
+      lit("\">more &amp; stuff</a>"))).otherwise(lit("")),
+    lit("<div>&copy; 2026 &lt;graft&gt;</div></body></html>"))
+
+  private val htmlPlantSql: String =
+    """'<html><head><title>D' || doc_id::VARCHAR || '</title><script type="text/javascript">var id=' || doc_id::VARCHAR || ';</script><style>.c{color:#000}</style></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text || '</p>'
+      | || CASE WHEN doc_id % 4 = 0 THEN '<a href="/x/' || doc_id::VARCHAR || '">more &amp; stuff</a>' ELSE '' END
+      | || '<div>&copy; 2026 &lt;graft&gt;</div></body></html>'""".stripMargin.replace("\n", "")
+
   /** DuckDB CTE chain producing the same capped MinHash LSH candidate
     * pairs as [[minhashPairs]] (single source for q28/q42 oracles);
     * ends with `pairs(doc_a, doc_b)`, possibly with duplicates. */
@@ -364,6 +383,31 @@ object SparkEntry {
         expr("length(text) div 100").as("stratum"),
         TextOps.sampleHash(col("doc_id")).as("h"))
       TextOps.stratifiedCap(t, "stratum", "h", "doc_id", 40)
+    }),
+
+    // data-mixture construction: greedy per-source selection under a
+    // 600-token budget in deterministic (portable-hash, doc_id)
+    // priority — distributed prefix sum (chunked cumsum + tiny
+    // broadcast offsets), so a hot domain never serializes onto one
+    // window task
+    "q59_token_budget_mix" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextOps.sampleHash(col("doc_id")).as("h"))
+      TextOps.tokenBudgetMix(t, "source", "n_toks", "h", "doc_id", budget = 600L)
+        .select(col("doc_id"), col("source"), col("n_toks"), col("cum"))
+    }),
+
+    // HTML main-content extraction (the first step of every web
+    // pipeline): strip script/style/tags, decode entities, collapse
+    // whitespace + the integer quality signals; map-only — the HTML
+    // column never shuffles. HTML is PLANTED deterministically (the
+    // corpus is plain text), identically in the oracle.
+    "q60_html_extract" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        htmlPlant(col("doc_id"), col("text")).as("html"))
+      planted.select((col("doc_id") +:
+        TextOps.htmlColumns(col("html")).map { case (n, c) => c.as(n) }): _*)
     }),
 
     // ---------- embeddings ----------
@@ -888,6 +932,37 @@ object SparkEntry {
          |  FROM (SELECT doc_id, length(text) // 100 AS stratum,
          |    ${graft.text.TextOps.sampleHashSql("doc_id")} AS h FROM documents) t) r
          | WHERE rn <= 40""".stripMargin.replace("\n", " "),
+
+    // greedy budget semantics: keep a row iff the tokens BEFORE it in
+    // (h, doc_id) order are still under budget — the plain window form
+    // the engine's distributed prefix sum must equal
+    "q59_token_budget_mix" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         |  ${graft.text.TextOps.sampleHashSql("doc_id")} AS h FROM documents),
+         | w AS (SELECT doc_id, source, n_toks,
+         |  CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t)
+         | SELECT doc_id, source, n_toks, cum FROM w WHERE cum - n_toks < 600""".stripMargin.replace("\n", " "),
+
+    // single-source with TextOps.htmlColumns: patterns, entity table
+    // and decode ORDER come from the same constants
+    "q60_html_extract" -> {
+      import graft.text.TextOps
+      val noBlocks = s"regexp_replace(regexp_replace(html, '${TextOps.HtmlScriptPattern}', ' ', 'g'), '${TextOps.HtmlStylePattern}', ' ', 'g')"
+      val noTags = s"regexp_replace($noBlocks, '${TextOps.HtmlTagPattern}', ' ', 'g')"
+      val decoded = TextOps.HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
+        s"replace($acc, '$ent', '${rep.replace("'", "''")}')"
+      }
+      val main = s"trim(regexp_replace($decoded, '${TextOps.HtmlSpacePattern}', ' ', 'g'))"
+      s"""WITH planted AS (SELECT doc_id, $htmlPlantSql AS html FROM documents),
+         | m AS (SELECT doc_id, html, $main AS main_text FROM planted)
+         | SELECT doc_id, main_text, len(main_text) AS n_chars,
+         |  len(regexp_extract_all(html, '${TextOps.HtmlLinkPattern}')) AS n_links,
+         |  len(regexp_extract_all(html, '${TextOps.HtmlScriptPattern}')) AS n_scripts,
+         |  (len(main_text) * 1000) // len(html) AS keep_x1000
+         | FROM m""".stripMargin.replace("\n", " ")
+    },
 
     "q29_simhash" -> {
       import graft.text.PortableHash

@@ -530,6 +530,95 @@ object TextOps {
   def sampleHashSql(id: String): String =
     s"(($id % 1048573) * 2654435761) % 2147483647"
 
+  /** Greedy per-domain token-budget selection — data-mixture
+    * construction ("take ~B tokens from each source/language"): order
+    * each domain's rows by (`hashCol`, `tieCol`) and keep rows while
+    * the domain's running token total has not yet reached `budget`
+    * before the row (the row that crosses the line is kept — budgets
+    * are floors, the standard greedy mixing semantics). Returns the
+    * surviving input rows plus their running total as `cum`.
+    *
+    * Scale shape: the naive plan is one window per domain key, which
+    * serializes every domain onto a single task — a hot domain at
+    * 100 TB is THE straggler. Instead a distributed prefix sum:
+    * `hashCol`'s range splits into `chunks` contiguous slices, every
+    * (domain, chunk) cell cumsums locally in parallel, and the
+    * cross-chunk offsets come from a domains×chunks-row aggregate
+    * whose own window is trivially small and whose join back
+    * broadcasts. Identical to the single-window result by construction
+    * (chunking is monotone in the (hash, tie) order); pinned on a
+    * 90%-hot domain by TokenBudgetSpec. Domain cardinality is
+    * mixture-sized (languages/sources/buckets) — the offsets table is
+    * |domains|×chunks rows, never corpus-sized. */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, tokensCol: String,
+                     hashCol: String, tieCol: String, budget: Long,
+                     chunks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunks > 0, "chunks must be positive")
+    // sampleHash values live in [0, 2^31); any monotone slicing works
+    val width = (2147483647L + chunks - 1) / chunks
+    val t = df.withColumn("__chunk",
+      call_function("div", col(hashCol), lit(width)))
+    val local = sum(col(tokensCol)).over(
+      Window.partitionBy(col(domainCol), col("__chunk"))
+        .orderBy(col(hashCol).asc, col(tieCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val offs = t.groupBy(col(domainCol), col("__chunk"))
+      .agg(sum(col(tokensCol)).as("__ctot"))
+      .withColumn("__off", coalesce(
+        sum(col("__ctot")).over(
+          Window.partitionBy(col(domainCol)).orderBy(col("__chunk").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(domainCol), col("__chunk"), col("__off"))
+    t.withColumn("__cum_local", local)
+      .join(broadcast(offs), Seq(domainCol, "__chunk"))
+      .withColumn("cum", col("__off") + col("__cum_local"))
+      .filter(col("cum") - col(tokensCol) < budget)
+      .drop("__chunk", "__cum_local", "__off")
+  }
+
+  // ---- HTML boilerplate stripping ----------------------------------
+  // Java-regex ∩ RE2 subset, the q53 discipline: no lookaround, no \s
+  // (its character set drifts between engines — Java includes \x0B,
+  // RE2 does not), explicit ASCII classes; (?is) flags and non-greedy
+  // .*? parse identically in both.
+  final val HtmlScriptPattern = "(?is)<script[^>]*>.*?</script>"
+  final val HtmlStylePattern = "(?is)<style[^>]*>.*?</style>"
+  final val HtmlTagPattern = "<[^>]*>"
+  final val HtmlSpacePattern = "[ \\t\\r\\n]+"
+  final val HtmlLinkPattern = "(?i)<a [^>]*href"
+
+  /** Entity decode order matters: `&amp;` must come LAST or a literal
+    * `&amp;lt;` in the source would double-decode to `<`. */
+  final val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&copy;" -> "(c)", "&amp;" -> "&")
+
+  /** Main-content extraction from raw HTML — the first step of every
+    * web-curation pipeline (trafilatura-class goal, regex-grade
+    * mechanics): drop script/style blocks, strip the remaining tags,
+    * decode the common entities, collapse whitespace runs; plus the
+    * integer signals quality filters threshold on (char count, link
+    * count, script count, x1000 text-to-markup keep ratio). Map-only
+    * column expressions — the HTML column never shuffles (PlanSpec
+    * asserts the q60 plan is exchange-free). */
+  def htmlColumns(c: Column): Seq[(String, Column)] = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, HtmlScriptPattern, " "), HtmlStylePattern, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagPattern, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
+      call_function("replace", acc, lit(ent), lit(rep))
+    }
+    val main = trim(regexp_replace(decoded, HtmlSpacePattern, " "))
+    Seq(
+      "main_text" -> main,
+      "n_chars" -> length(main).cast("long"),
+      "n_links" -> size(regexp_extract_all(c, lit(HtmlLinkPattern), lit(0))).cast("long"),
+      "n_scripts" -> size(regexp_extract_all(c, lit(HtmlScriptPattern), lit(0))).cast("long"),
+      "keep_x1000" -> call_function("div", length(main).cast("long") * 1000L, length(c).cast("long")))
+  }
+
   /** Exact deterministic per-stratum cap: keep the `n` rows with the
     * smallest (hashCol, tieCol) per stratum — stratified downsampling
     * for training-data balancing ("at most n docs per language/source/

@@ -244,6 +244,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Window"), plan.take(1200))
   }
 
+  test("html extraction is map-only: no exchange, no window") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "<p>hi</p>")).toDF("doc_id", "html")
+    val plan = docsDf.select((col("doc_id") +:
+      graft.text.TextOps.htmlColumns(col("html")).map { case (n, c) => c.as(n) }): _*)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan.take(1200))
+  }
+
+  test("token budget mix: corpus window partitions by (domain, chunk), offsets broadcast") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => (i.toLong, s"d${i % 3}", 1L + i % 7,
+      (i.toLong * 2146001) % 2147483647L))
+    val df = graft.text.TextOps.tokenBudgetMix(
+      rows.toDF("id", "domain", "toks", "h"), "domain", "toks", "h", "id", 100L)
+    val planStr = df.queryExecution.executedPlan.toString()
+    // the offsets side joins back via broadcast — never a corpus-sized
+    // shuffle keyed on the (few-valued) domain alone for the join
+    assert(planStr.contains("BroadcastHashJoin") || planStr.contains("BroadcastExchange"),
+      planStr.take(1500))
+    // the corpus-side cumsum window must be salted by __chunk: a window
+    // partitioned on domain alone serializes each domain onto one task
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val corpusWins = windows.filter(_.output.exists(_.name == "__cum_local"))
+    assert(corpusWins.nonEmpty, planStr.take(1500))
+    corpusWins.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("__chunk")),
+        "corpus cumsum window not chunk-partitioned: " + w.partitionSpec.mkString(", "))
+    }
+  }
+
   test("salient terms: the wide text column never rides a shuffle") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
