@@ -410,6 +410,11 @@ object SparkEntry {
         TextOps.htmlColumns(col("html")).map { case (n, c) => c.as(n) }): _*)
     }),
 
+    // corpus-statistics rarity scoring (the integer-exact CCNet-style
+    // perplexity-filter stand-in): one tokenize pass, cnt derives from
+    // tf (exchange reused), vocabulary-sized join — text never shuffles
+    "q61_unigram_rarity" -> ((s, d) => TextOps.unigramRarity(docs(s, d))),
+
     // ---------- embeddings ----------
 
     "q26_embed_cosine" -> ((s, d) => {
@@ -944,6 +949,19 @@ object SparkEntry {
          |  CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t)
          | SELECT doc_id, source, n_toks, cum FROM w WHERE cum - n_toks < 600""".stripMargin.replace("\n", " "),
+
+    // rarity cap 2^20 saturates hapax tokens and bounds every
+    // intermediate < 2^52 (ANSI/DuckDB-safe); zero-token docs keep 0s
+    "q61_unigram_rarity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+         | tf AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+         | cnt AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM tf GROUP BY 1),
+         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+         | sc AS (SELECT tf.doc_id, CAST(sum(tf.n) AS BIGINT) AS toks,
+         |   CAST(sum(tf.n * least(tot.t // cnt.c, 1048576)) AS BIGINT) AS rarity
+         |  FROM tf JOIN cnt USING (tok), tot GROUP BY 1)
+         | SELECT d.doc_id, coalesce(sc.toks, 0) AS toks, coalesce(sc.rarity, 0) AS rarity
+         | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " "),
 
     // single-source with TextOps.htmlColumns: patterns, entity table
     // and decode ORDER come from the same constants

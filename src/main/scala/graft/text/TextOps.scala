@@ -264,6 +264,38 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
   }
 
+  /** Unigram rarity score — the CCNet-class "how surprising is this
+    * document under the corpus unigram distribution" signal (the
+    * integer-exact stand-in for LM-perplexity filtering): per doc,
+    * sum over token instances of `min(T div cnt(token), cap)` where
+    * `cnt` is the token's corpus occurrence count and `T` the corpus
+    * token total. High scores = rare-token-dense docs (specialist or
+    * noise), low = boilerplate. The cap (default 2^20) saturates
+    * hapax tokens AND bounds the arithmetic: score <= toks * cap, so
+    * every intermediate stays < 2^52 for docs to ~4G tokens — the
+    * identical expression runs under Spark ANSI and in DuckDB.
+    *
+    * Scale shape: ONE tokenize pass — `cnt` derives from the tf
+    * aggregate (same rows, exchange reused — the q48 idiom) and T from
+    * `cnt`; the tf-side join is vocabulary-sized; the 1-row total
+    * broadcasts via crossJoin. Only (doc_id, token, count) rows ever
+    * shuffle, never the text column. Zero-token docs keep a row with
+    * toks = rarity = 0. */
+  def unigramRarity(docs: DataFrame, cap: Long = 1L << 20): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val cnt = tf.groupBy("tok").agg(sum(col("n")).as("c"))
+    val total = cnt.agg(sum(col("c")).as("t"))
+    val sc = tf.join(cnt, "tok").crossJoin(broadcast(total))
+      .groupBy("doc_id").agg(
+        sum(col("n")).as("toks"),
+        sum(col("n") * least(call_function("div", col("t"), col("c")), lit(cap))).as("rarity"))
+    docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("rarity"), lit(0L)).as("rarity"))
+  }
+
   /** Token `n`-gram shingles of a text column: whitespace tokens,
     * sliding windows of n, re-joined with single spaces — the unit of
     * benchmark-contamination matching. ONE codegen kernel call per row
