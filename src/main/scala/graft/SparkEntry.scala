@@ -410,6 +410,19 @@ object SparkEntry {
         TextOps.htmlColumns(col("html")).map { case (n, c) => c.as(n) }): _*)
     }),
 
+    // sequence packing (GPT-pretraining concat-then-chunk): global
+    // deterministic order, corpus-wide chunked prefix sum (the ONE
+    // global domain is the hot-domain case), per-doc token interval +
+    // first/last training-sequence ids at seqLen=256
+    "q62_seq_pack" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextOps.sampleHash(col("doc_id")).as("h"))
+      TextOps.sequencePack(t, "n_toks", "h", "doc_id", seqLen = 256L)
+        .select(col("doc_id"), col("n_toks"), col("cum"),
+          col("first_seq"), col("last_seq"))
+    }),
+
     // corpus-statistics rarity scoring (the integer-exact CCNet-style
     // perplexity-filter stand-in): one tokenize pass, cnt derives from
     // tf (exchange reused), vocabulary-sized join — text never shuffles
@@ -949,6 +962,19 @@ object SparkEntry {
          |  CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t)
          | SELECT doc_id, source, n_toks, cum FROM w WHERE cum - n_toks < 600""".stripMargin.replace("\n", " "),
+
+    // the zero-token filter sits BEFORE the window (WHERE precedes
+    // window evaluation) — empty docs occupy no sequence
+    "q62_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         |  ${graft.text.TextOps.sampleHashSql("doc_id")} AS h FROM documents),
+         | w AS (SELECT doc_id, n_toks,
+         |  CAST(sum(n_toks) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE n_toks > 0)
+         | SELECT doc_id, n_toks, cum, (cum - n_toks) // 256 AS first_seq,
+         |  (cum - 1) // 256 AS last_seq FROM w""".stripMargin.replace("\n", " "),
 
     // rarity cap 2^20 saturates hapax tokens and bounds every
     // intermediate < 2^52 (ANSI/DuckDB-safe); zero-token docs keep 0s

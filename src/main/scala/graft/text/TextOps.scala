@@ -584,19 +584,34 @@ object TextOps {
     * |domains|×chunks rows, never corpus-sized. */
   def tokenBudgetMix(df: DataFrame, domainCol: String, tokensCol: String,
                      hashCol: String, tieCol: String, budget: Long,
-                     chunks: Int = 32): DataFrame = {
+                     chunks: Int = 32): DataFrame =
+    chunkedPrefixSum(df, domainCol, tokensCol, hashCol, tieCol, chunks)
+      .filter(col("cum") - col(tokensCol) < budget)
+
+  /** Distributed per-domain running total: adds `cum` = sum of
+    * `valueCol` over all rows at-or-before this one in (`hashCol`,
+    * `tieCol`) order within the row's domain — equal to a plain
+    * `sum over (partition by domain order by hash, tie)` window, but a
+    * hot (or single global) domain never serializes onto one task: the
+    * hash range splits into `chunks` MONOTONE slices (h div width —
+    * never h % chunks, which would interleave the order), each
+    * (domain, chunk) cell cumsums locally in parallel, and cross-chunk
+    * offsets come from a |domains|×chunks-row broadcast aggregate. */
+  def chunkedPrefixSum(df: DataFrame, domainCol: String, valueCol: String,
+                       hashCol: String, tieCol: String,
+                       chunks: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(chunks > 0, "chunks must be positive")
     // sampleHash values live in [0, 2^31); any monotone slicing works
     val width = (2147483647L + chunks - 1) / chunks
     val t = df.withColumn("__chunk",
       call_function("div", col(hashCol), lit(width)))
-    val local = sum(col(tokensCol)).over(
+    val local = sum(col(valueCol)).over(
       Window.partitionBy(col(domainCol), col("__chunk"))
         .orderBy(col(hashCol).asc, col(tieCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val offs = t.groupBy(col(domainCol), col("__chunk"))
-      .agg(sum(col(tokensCol)).as("__ctot"))
+      .agg(sum(col(valueCol)).as("__ctot"))
       .withColumn("__off", coalesce(
         sum(col("__ctot")).over(
           Window.partitionBy(col(domainCol)).orderBy(col("__chunk").asc)
@@ -606,8 +621,27 @@ object TextOps {
     t.withColumn("__cum_local", local)
       .join(broadcast(offs), Seq(domainCol, "__chunk"))
       .withColumn("cum", col("__off") + col("__cum_local"))
-      .filter(col("cum") - col(tokensCol) < budget)
       .drop("__chunk", "__cum_local", "__off")
+  }
+
+  /** Sequence-packing bookkeeping — the GPT-pretraining "concatenate
+    * the corpus in deterministic order, chunk into fixed `seqLen`-token
+    * training sequences" step: per doc (zero-token docs drop — they
+    * occupy no sequence), the global token interval it occupies and
+    * the first/last sequence ids it lands in. A doc whose interval
+    * crosses a boundary is split across sequences (standard packing
+    * with truncation at bin edges). Built on [[chunkedPrefixSum]] with
+    * ONE global domain — exactly the hot-domain case the chunked form
+    * exists for: the corpus-wide running total never serializes onto a
+    * single window task. */
+  def sequencePack(df: DataFrame, tokensCol: String, hashCol: String,
+                   tieCol: String, seqLen: Long, chunks: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val t = df.filter(col(tokensCol) > 0).withColumn("__dom", lit(0))
+    chunkedPrefixSum(t, "__dom", tokensCol, hashCol, tieCol, chunks)
+      .withColumn("first_seq", call_function("div", col("cum") - col(tokensCol), lit(seqLen)))
+      .withColumn("last_seq", call_function("div", col("cum") - 1, lit(seqLen)))
+      .drop("__dom")
   }
 
   // ---- HTML boilerplate stripping ----------------------------------

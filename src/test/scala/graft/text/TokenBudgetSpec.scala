@@ -53,6 +53,33 @@ class TokenBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("sequencePack: bin spans vs brute force (multi-bin docs, zero-token drops)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // some docs longer than the seqLen (span several bins), some empty
+    val rows = (0 until 500).map { i =>
+      val toks = i % 11 match {
+        case 0 => 0L
+        case 1 => 40L + rnd.nextInt(30) // spans 3+ bins at L=16
+        case _ => 1L + rnd.nextInt(9).toLong
+      }
+      (i.toLong, toks, rnd.nextInt(80).toLong * 25000000L)
+    }
+    val expected = {
+      var cum = 0L
+      rows.sortBy(r => (r._3, r._1)).collect { case (id, toks, _) if toks > 0 =>
+        cum += toks
+        (id, toks, cum, (cum - toks) / 16, (cum - 1) / 16)
+      }.toSet
+    }
+    for (chunks <- Seq(1, 5, 32)) {
+      val got = TextOps.sequencePack(rows.toDF("id", "toks", "h"), "toks", "h", "id", 16L, chunks)
+        .select("id", "toks", "cum", "first_seq", "last_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected, s"chunks=$chunks")
+    }
+  }
+
   test("exact-boundary semantics: row crossing the budget is kept, next row dropped") {
     // one domain, hashes force the order 1,2,3; toks 5 each, budget 10:
     // row1 cum 5 (0<10 keep), row2 cum 10 (5<10 keep — crosses the
