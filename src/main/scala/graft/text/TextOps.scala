@@ -596,7 +596,16 @@ object TextOps {
     * hash range splits into `chunks` MONOTONE slices (h div width —
     * never h % chunks, which would interleave the order), each
     * (domain, chunk) cell cumsums locally in parallel, and cross-chunk
-    * offsets come from a |domains|×chunks-row broadcast aggregate. */
+    * offsets come from a |domains|×chunks-row broadcast aggregate.
+    *
+    * NULL contracts: rows with a NULL `hashCol` or `tieCol` are
+    * EXCLUDED (their position in the order is engine-defined — the
+    * as-of-join null-timestamp precedent); a NULL domain is a
+    * legitimate group and keeps plain-window parity (the offsets join
+    * is null-safe on the domain key). The input fans into the window
+    * AND the offsets aggregate — two separate subtrees Spark will not
+    * reuse — so the projected input is checkpointed once here, never
+    * re-deriving an upstream scan/tokenize twice. */
   def chunkedPrefixSum(df: DataFrame, domainCol: String, valueCol: String,
                        hashCol: String, tieCol: String,
                        chunks: Int = 32): DataFrame = {
@@ -604,8 +613,10 @@ object TextOps {
     require(chunks > 0, "chunks must be positive")
     // sampleHash values live in [0, 2^31); any monotone slicing works
     val width = (2147483647L + chunks - 1) / chunks
-    val t = df.withColumn("__chunk",
-      call_function("div", col(hashCol), lit(width)))
+    val t = df
+      .filter(col(hashCol).isNotNull && col(tieCol).isNotNull)
+      .withColumn("__chunk", call_function("div", col(hashCol), lit(width)))
+      .localCheckpoint(true)
     val local = sum(col(valueCol)).over(
       Window.partitionBy(col(domainCol), col("__chunk"))
         .orderBy(col(hashCol).asc, col(tieCol).asc)
@@ -617,11 +628,12 @@ object TextOps {
           Window.partitionBy(col(domainCol)).orderBy(col("__chunk").asc)
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col(domainCol), col("__chunk"), col("__off"))
+      .select(col(domainCol).as("__odom"), col("__chunk").as("__ochunk"), col("__off"))
     t.withColumn("__cum_local", local)
-      .join(broadcast(offs), Seq(domainCol, "__chunk"))
+      .join(broadcast(offs),
+        col(domainCol) <=> col("__odom") && col("__chunk") === col("__ochunk"))
       .withColumn("cum", col("__off") + col("__cum_local"))
-      .drop("__chunk", "__cum_local", "__off")
+      .drop("__chunk", "__cum_local", "__off", "__odom", "__ochunk")
   }
 
   /** Sequence-packing bookkeeping — the GPT-pretraining "concatenate
@@ -682,7 +694,10 @@ object TextOps {
       "n_chars" -> length(main).cast("long"),
       "n_links" -> size(regexp_extract_all(c, lit(HtmlLinkPattern), lit(0))).cast("long"),
       "n_scripts" -> size(regexp_extract_all(c, lit(HtmlScriptPattern), lit(0))).cast("long"),
-      "keep_x1000" -> call_function("div", length(main).cast("long") * 1000L, length(c).cast("long")))
+      // zero-length guard: an empty html payload in a real crawl must
+      // score 0, not throw ANSI Division-by-zero and kill the stage
+      "keep_x1000" -> when(length(c) === 0, lit(0L)).otherwise(
+        call_function("div", length(main).cast("long") * 1000L, length(c).cast("long"))))
   }
 
   /** Exact deterministic per-stratum cap: keep the `n` rows with the

@@ -53,6 +53,22 @@ class TokenBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL contracts: null domain keeps its own group (null-safe offsets join), null hash excluded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("domain", StringType),
+      StructField("toks", LongType), StructField("h", LongType)))
+    val rows = Seq(
+      Row(1L, null, 5L, 10L), Row(2L, null, 5L, 2000000000L), // null domain, two chunks
+      Row(3L, "d", 5L, 20L),
+      Row(4L, "d", 5L, null)) // null hash -> excluded
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = TextOps.tokenBudgetMix(df, "domain", "toks", "h", "id", 100L, chunks = 4)
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 5L), (2L, 10L), (3L, 5L)))
+  }
+
   test("sequencePack: bin spans vs brute force (multi-bin docs, zero-token drops)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
