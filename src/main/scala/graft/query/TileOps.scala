@@ -48,19 +48,27 @@ object TileOps {
     features.flatMap { f =>
       val x0 = Cell.decodeX(f.vertices(0))
       val y0 = Cell.decodeY(f.vertices(0))
-      // raw (un-normalized) clipped length: sum of short segment lengths
-      var raw = 0.0
+      // short-segment lengths, kept separate so the per-zoom total
+      // replays the reference's EXACT FP sequence — enumerate.c:155
+      // accumulates sqrt(...)/max PER SEGMENT; summing raw lengths and
+      // dividing once differs by ulps and can flip a %f 6-decimal digit
+      val segs = new Array[Double](math.max(f.vertices.length - 1, 0))
       var k = 1
       while (k < f.vertices.length) {
         val dx = (Cell.decodeX(f.vertices(k)) - Cell.decodeX(f.vertices(k - 1))).toDouble
         val dy = (Cell.decodeY(f.vertices(k)) - Cell.decodeY(f.vertices(k - 1))).toDouble
-        val d = math.sqrt(dx * dx + dy * dy)
-        if (d < 6400) raw += d
+        segs(k - 1) = math.sqrt(dx * dx + dy * dy)
         k += 1
       }
       (minZ to maxZ).iterator.map { z =>
         val max = (1L << (32 - z)).toDouble
-        (z, (x0 >>> (32 - z)).toInt, (y0 >>> (32 - z)).toInt, raw / max)
+        var dist = 0.0
+        var i = 0
+        while (i < segs.length) {
+          if (segs(i) < 6400) dist += segs(i) / max
+          i += 1
+        }
+        (z, (x0 >>> (32 - z)).toInt, (y0 >>> (32 - z)).toInt, dist)
       }
     }.toDF("z", "tx", "ty", "len")
       .groupBy("z", "tx", "ty")
@@ -101,6 +109,9 @@ object TileOps {
   /** Sibling completion (enumerate -s, enumerate.c:86-118): for every
     * non-empty tile at zoom z, emit the empty tiles of its parent quad. */
   def missingSiblings(points: DataFrame, z: Int): DataFrame = {
+    require(z >= 1,
+      s"missingSiblings needs z >= 1 (got $z): the single z=0 world tile has no parent quad, " +
+        "and the unconditional quad expansion would emit out-of-range phantom tiles")
     val present = points
       .select(expr(s"x32 >> (32 - $z)").as("tx"), expr(s"y32 >> (32 - $z)").as("ty"))
       .distinct()

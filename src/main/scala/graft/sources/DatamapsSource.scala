@@ -40,8 +40,13 @@ object DatamapsSource {
       val bytes = BitPack.bytesFor(m.mapbits, m.metabits, n, common)
       val mapbits = m.mapbits; val metabits = m.metabits
       val alias = aliasDir.resolve(s"${n}_$common.bin")
-      if (!java.nio.file.Files.exists(alias))
+      if (!java.nio.file.Files.exists(alias)) {
         java.nio.file.Files.createSymbolicLink(alias, f.toPath.toAbsolutePath)
+        // deleteOnExit on the dir alone is a no-op while entries remain;
+        // registrations run LIFO, so links registered after the dir
+        // delete first and the dir actually goes away
+        alias.toFile.deleteOnExit()
+      }
       spark.sparkContext.binaryRecords(alias.toString, bytes)
         .map { buf =>
           val (xs, ys, meta) = BitPack.unpack(buf, mapbits, metabits, common, n)

@@ -63,6 +63,45 @@ class GoldenOpsSpec extends AnyFunSuite {
     cmpDirs("/tmp/ops_ref.dm", "/tmp/ops_ours.dm")
   }
 
+  test("S1: adversarial token grammar matches reference encode byte-for-byte (sscanf prefix semantics)") {
+    // every branch of encode.c:49-85's greedy scan: trailing junk after
+    // a vertex, three-field "vertices", vertex-vs-meta precedence
+    // (1,2:3 is a VERTEX), width-packed metas (4:15 -> top nibble),
+    // sequential packing (4:1 4:2 -> 0x12), scan-stopping junk tokens
+    // that KEEP the parsed prefix, meta-then-vertex interleaving,
+    // sign/exponent/bare-dot number spellings, and an invalid-latitude
+    // record both sides must drop. All meta widths sum to <= 8 (-m8):
+    // spill into byte-rounding slack is a documented deviation.
+    val corpus = Seq(
+      "10.000000,20.000000 junk trailing",
+      "1.5,2.5,9.0",
+      "3.0,4.0:77",
+      "5.0,6.0 4:15",
+      "7.0,8.0 4:1 4:2",
+      "9.0,10.0 abc:5 11.0,12.0",
+      "13.0,14.0 5:",
+      "15.0,16.0 :7 1.0,1.5",
+      ":9",
+      "86.0,1.0 1.0,1.0",
+      "+0.5,-0.25 :3",
+      ".5,1. :2",
+      "1e-3,2e-3 :4",
+      "40.0,-70.0 40.1,-70.1 40.2,-70.2 :250"
+    ).mkString("", "\n", "\n")
+    Files.writeString(Paths.get("/tmp/ops_adv.txt"), corpus)
+    import scala.sys.process._
+    "rm -rf /tmp/ops_adv_ref.dm /tmp/ops_adv_ours.dm".!
+    assert(RefBinaries.run("encode",
+      Seq("-o", "/tmp/ops_adv_ref.dm", "-z16", "-m8", "/tmp/ops_adv.txt"))._1 == 0)
+    val feats = TextSource.read(spark, "/tmp/ops_adv.txt", 16, 8)
+    Sinks.writeDatamapsBinary(feats, "/tmp/ops_adv_ours.dm", 16, 8)
+    cmpDirs("/tmp/ops_adv_ref.dm", "/tmp/ops_adv_ours.dm")
+    // and the parsed meta VALUES carry the packed widths
+    val metas = feats.collect().map(_.meta)
+    assert(metas.contains(240L), "4:15 must pack left-aligned to 0xF0")
+    assert(metas.contains(18L), "4:1 4:2 must pack sequentially to 0x12")
+  }
+
   for (seed <- Seq(7001, 7002)) {
     test(s"encode byte-parity holds across corpora (seed $seed, mixed lines)") {
       import scala.sys.process._
