@@ -83,18 +83,24 @@ final class Canvas(val width: Int, val height: Int) extends Serializable {
   }
 
   def merge(o: Canvas): Canvas = {
-    var i = 0
-    val n = width * height
-    while (i < n) {
-      image(i) += o.image(i)
-      i += 1
-    }
-    if (o.hasHue) {
-      val tcx = cx; val tcy = cy // force alloc
-      i = 0
-      while (i < n) {
-        tcx(i) += o.cx(i); tcy(i) += o.cy(i)
+    // only o's dirty rows can hold non-zero values — walk just those:
+    // at high zooms most partial canvases are nearly empty and this
+    // merge's memory traffic, not the drawing, is the cost
+    if (o.maxY >= o.minY) {
+      val lo = math.max(o.minY, 0) * width
+      val hi = math.min(o.maxY + 1, height) * width
+      var i = lo
+      while (i < hi) {
+        image(i) += o.image(i)
         i += 1
+      }
+      if (o.hasHue) {
+        val tcx = cx; val tcy = cy // force alloc
+        i = lo
+        while (i < hi) {
+          tcx(i) += o.cx(i); tcy(i) += o.cy(i)
+          i += 1
+        }
       }
     }
     minY = math.min(minY, o.minY)

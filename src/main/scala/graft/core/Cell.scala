@@ -137,7 +137,10 @@ object Cell {
     val sorted = out.sortBy(_._1)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     sorted.foreach { case (lo, hi) =>
-      if (merged.nonEmpty && lo <= merged.last._2 + 1 && merged.last._2 >= lo - 1)
+      // adjacent-or-overlapping; the MaxValue guard keeps `+ 1` from
+      // wrapping when a range ends at the top of the cell space
+      if (merged.nonEmpty &&
+          (merged.last._2 == Long.MaxValue || lo <= merged.last._2 + 1))
         merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, hi))
       else merged += ((lo, hi))
     }

@@ -103,6 +103,8 @@ object Png {
   /** PNG bytes -> (rgba, width, height). */
   def decode(png: Array[Byte]): (Array[Byte], Int, Int) = {
     val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // ImageIO.read signals "unrecognized format" with null, not a throw
+    require(img != null, s"Png.decode: not a decodable image (${png.length} bytes)")
     val w = img.getWidth
     val h = img.getHeight
     val rgba = new Array[Byte](w * h * 4)

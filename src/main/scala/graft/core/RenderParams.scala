@@ -88,14 +88,24 @@ case class RenderParams(
   /** meta -> hue in [0,1), or -1 for "no hue" (render.c:214-228). */
   def metaHue(meta: Long): Double = {
     if (!colorRampActive) return -1
-    var hue = ((meta.toDouble - colorMeta1) / (colorMeta2 - colorMeta1) *
+    val hue = ((meta.toDouble - colorMeta1) / (colorMeta2 - colorMeta1) *
       (colorHue2 - colorHue1) + colorHue1) / 360
     if (hue < -2) -1
-    else {
-      while (hue < 0) hue += 1
-      while (hue > 1) hue -= 1
-      hue
-    }
+    // closed form of the reference's ±1 wrap loops (render.c:218-227),
+    // bit-exact for every input where those loops terminate: each ±1
+    // step is FP-exact below 2^53, so the loop result equals
+    // hue - floor(hue) — except the DOWNWARD loop exits at exactly 1
+    // (integers map to 1.0) while the upward loop exits at 0. At
+    // hue >= 2^53 (or +Inf) the reference's hue-- no longer progresses
+    // and it hangs — we return the no-hue sentinel instead (documented
+    // deviation: a hang is not a behavior to replicate). NaN passes
+    // through both versions untouched.
+    else if (hue >= 9007199254740992.0) -1 // 2^53
+    else if (hue > 1) {
+      val frac = hue - math.floor(hue)
+      if (frac == 0.0) 1.0 else frac
+    } else if (hue < 0) hue - math.floor(hue)
+    else hue
   }
 
   /** Cloud radius in tiles for circle mode (cloudsize(),
@@ -105,7 +115,9 @@ case class RenderParams(
     val rat = math.cos(lat * math.Pi / 180)
     var size = circle * .00000274 // degrees
     size /= rat
-    size /= 360.0 / (1 << zDraw) // tiles
+    // 1L: the reference's `1 << z_draw` (render.c:69) is int and UB at
+    // z_draw >= 31; we support single-tile renders to z=32
+    size /= 360.0 / (1L << zDraw) // tiles
     size
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
  * world coordinates; reference bit layout util.c:64-85).
  */
 case class CellEncodeExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "cell_encode"
 
@@ -33,7 +34,8 @@ case class CellEncodeExpr(left: Expression, right: Expression)
   * no typed-map object ser/de on the 10^12-row ingest path, and the
   * repartitionByRange sampling pass can recompute the projection for
   * pennies instead of forcing a persist of the whole index. */
-case class GeotagLatExpr(child: Expression) extends UnaryExpression {
+case class GeotagLatExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "geotag_lat"
   override protected def nullSafeEval(p: Any): Any =
@@ -44,7 +46,8 @@ case class GeotagLatExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class GeotagLonExpr(child: Expression) extends UnaryExpression {
+case class GeotagLonExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "geotag_lon"
   override protected def nullSafeEval(p: Any): Any =
@@ -55,7 +58,8 @@ case class GeotagLonExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class GeotagCellExpr(child: Expression) extends UnaryExpression {
+case class GeotagCellExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "geotag_cell"
   override protected def nullSafeEval(p: Any): Any =
@@ -66,7 +70,8 @@ case class GeotagCellExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class CellXExpr(child: Expression) extends UnaryExpression {
+case class CellXExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "cell_x"
   override protected def nullSafeEval(c: Any): Any =
@@ -77,7 +82,8 @@ case class CellXExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class CellYExpr(child: Expression) extends UnaryExpression {
+case class CellYExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "cell_y"
   override protected def nullSafeEval(c: Any): Any =
@@ -95,8 +101,14 @@ case class CellYExpr(child: Expression) extends UnaryExpression {
   * array<double> (floats widen exactly; the element-type dispatch is
   * static, resolved at codegen from the child schema). */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  // analysis-time check: misuse fails the query plan with a typed
+  // error instead of a mid-job ClassCastException that differs between
+  // the interpreted and codegen paths
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(
+    org.apache.spark.sql.graft.Bridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)),
+    org.apache.spark.sql.graft.Bridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_ff"
 
@@ -127,14 +139,21 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (isFloatArr(left)) "getFloat" else "getDouble"
     val rGet = if (isFloatArr(right)) "getFloat" else "getDouble"
+    // freshName everything: with NON-nullable children nullSafeCodeGen
+    // emits this block unbraced, so two dot_ffs in one projection would
+    // redeclare fixed names, fail Janino, and silently fall back to the
+    // interpreted path for the whole stage
+    val n = ctx.freshName("dotN")
+    val i = ctx.freshName("dotI")
+    val sum = ctx.freshName("dotSum")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += ((double) $a.$lGet(i)) * ((double) $b.$rGet(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin)
   }
 

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * with the DuckDB oracle SQL generators.
  */
 case class MinhashSigExpr(child: Expression, shingle: Int, perms: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(t: Any): Any =
@@ -29,7 +30,8 @@ case class MinhashSigExpr(child: Expression, shingle: Int, perms: Int)
 
 /** Fused minhash signature + LSH band keys (array of `bands` keys). */
 case class MinhashBandsExpr(child: Expression, shingle: Int, bands: Int, rows: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
   override protected def nullSafeEval(t: Any): Any =
@@ -41,7 +43,8 @@ case class MinhashBandsExpr(child: Expression, shingle: Int, bands: Int, rows: I
     copy(child = newChild)
 }
 
-case class SimhashExpr(child: Expression) extends UnaryExpression {
+case class SimhashExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash62"
   override protected def nullSafeEval(t: Any): Any =
@@ -56,7 +59,8 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
   * PortableHash.tokenShingleHashes): the 8-byte contamination-join keys.
   * Replaces the interpreted transform/slice lambda that re-split the
   * document once per shingle (O(tokens^2) character work per doc). */
-case class TokenShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class TokenShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_shingle_hashes"
   override protected def nullSafeEval(t: Any): Any =
@@ -68,7 +72,8 @@ case class TokenShingleHashesExpr(child: Expression, n: Int) extends UnaryExpres
 }
 
 /** One-pass token n-gram shingle strings (single-space-joined windows). */
-case class TokenShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class TokenShinglesExpr(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "token_shingles"
@@ -82,7 +87,8 @@ case class TokenShinglesExpr(child: Expression, n: Int) extends UnaryExpression 
 
 /** Rolling character n-gram hashes (exact-substring decontamination
   * seeds; see PortableHash.charNgramHashes). */
-case class CharNgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class CharNgramHashesExpr(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_ngram_hashes"
   override protected def nullSafeEval(t: Any): Any =
@@ -95,7 +101,8 @@ case class CharNgramHashesExpr(child: Expression, n: Int) extends UnaryExpressio
 
 /** Learned-vocab BPE token count (graft.text.Bpe: GPT-2-format merges
   * fixture, classic greedy lowest-rank merging, memoized per word). */
-case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_token_count"
   override protected def nullSafeEval(t: Any): Any =
@@ -109,7 +116,8 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
 /** Raw plane projections of a float embedding (the JL dimensionality
   * reduction [[RhpSigExpr]]'s sign bits quantize) — array of `planes`
   * doubles, same kernel, same DuckDB-exact fold. */
-case class RhpProjectExpr(child: Expression, planes: Int) extends UnaryExpression {
+case class RhpProjectExpr(child: Expression, planes: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "rhp_project"
   override protected def nullSafeEval(v: Any): Any =
@@ -122,7 +130,8 @@ case class RhpProjectExpr(child: Expression, planes: Int) extends UnaryExpressio
 }
 
 /** Random-hyperplane sign-bit signature of a float-array embedding. */
-case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression {
+case class RhpSigExpr(child: Expression, planes: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "rhp_sig"
   override protected def nullSafeEval(v: Any): Any =

@@ -29,30 +29,42 @@ package object functions {
   def tile_y(c: Column, z: Int): Column =
     if (z == 0) lit(0L) else shiftrightunsigned(cell_y(c), 32 - z)
 
+  /** Single source for SQL-name registration, shared by [[registerAll]]
+    * (temp functions) and [[graft.GraftExtensions]] (injectFunction) —
+    * one hand-maintained table, so the two registration paths can
+    * never drift. SQL literals may arrive as INT: LONG-taking children
+    * are Cast; kernel-shape parameters (shingle/perms/bands/planes)
+    * must be integer LITERALS — they parameterize the generated
+    * kernel, not per-row values. */
+  private[graft] lazy val sqlBuilders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import org.apache.spark.sql.types.LongType
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
+    Seq(
+      "cell_encode" -> ((es: Seq[Expression]) => CellEncodeExpr(Cast(es(0), LongType), Cast(es(1), LongType))),
+      "cell_x" -> ((es: Seq[Expression]) => CellXExpr(Cast(es.head, LongType))),
+      "cell_y" -> ((es: Seq[Expression]) => CellYExpr(Cast(es.head, LongType))),
+      "geotag_lat" -> ((es: Seq[Expression]) => GeotagLatExpr(Cast(es.head, LongType))),
+      "geotag_lon" -> ((es: Seq[Expression]) => GeotagLonExpr(Cast(es.head, LongType))),
+      "geotag_cell" -> ((es: Seq[Expression]) => GeotagCellExpr(Cast(es.head, LongType))),
+      "dot_ff" -> ((es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+      "minhash_sig" -> ((es: Seq[Expression]) =>
+        MinhashSigExpr(es(0), intLit(es(1), "shingle"), intLit(es(2), "perms"))),
+      "minhash_bands" -> ((es: Seq[Expression]) =>
+        MinhashBandsExpr(es(0), intLit(es(1), "shingle"), intLit(es(2), "bands"), intLit(es(3), "rows"))),
+      "simhash62" -> ((es: Seq[Expression]) => SimhashExpr(es.head)),
+      "rhp_sig" -> ((es: Seq[Expression]) => RhpSigExpr(es(0), intLit(es(1), "planes"))))
+  }
+
   /** Register SQL names for the native expressions. */
   def registerAll(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.LongType
     val reg = spark.sessionState.functionRegistry
-    // SQL literals may arrive as INT: coerce children to LONG
-    reg.createOrReplaceTempFunction("cell_encode",
-      es => CellEncodeExpr(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
-    reg.createOrReplaceTempFunction("cell_x", es => CellXExpr(Cast(es.head, LongType)), "built-in")
-    reg.createOrReplaceTempFunction("cell_y", es => CellYExpr(Cast(es.head, LongType)), "built-in")
-    reg.createOrReplaceTempFunction("geotag_lat", es => GeotagLatExpr(Cast(es.head, LongType)), "built-in")
-    reg.createOrReplaceTempFunction("geotag_lon", es => GeotagLonExpr(Cast(es.head, LongType)), "built-in")
-    reg.createOrReplaceTempFunction("geotag_cell", es => GeotagCellExpr(Cast(es.head, LongType)), "built-in")
-    reg.createOrReplaceTempFunction("dot_ff", es => DotProductExpr(es(0), es(1)), "built-in")
-    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-      case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinhashSigExpr(es(0), intLit(es(1)), intLit(es(2))), "built-in")
-    reg.createOrReplaceTempFunction("minhash_bands",
-      es => MinhashBandsExpr(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3))), "built-in")
-    reg.createOrReplaceTempFunction("simhash62", es => SimhashExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("rhp_sig", es => RhpSigExpr(es(0), intLit(es(1))), "built-in")
   }
 }

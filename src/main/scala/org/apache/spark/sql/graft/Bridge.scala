@@ -12,4 +12,13 @@ object Bridge {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** [[org.apache.spark.sql.types.AbstractDataType]] is private[sql];
+    * alias it so the engine's expressions can declare ExpectsInputTypes
+    * inputTypes (analysis-time type checking) from graft packages. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** TypeCollection is private[sql] too. */
+  def oneOf(ts: org.apache.spark.sql.types.AbstractDataType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
 }

@@ -244,6 +244,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Window"), plan.take(1200))
   }
 
+  test("multiple dot_ffs over NON-nullable arrays codegen in one projection (fresh local names)") {
+    // non-nullable children make nullSafeCodeGen emit the kernel body
+    // UNBRACED — fixed local names would collide across the three
+    // dot_ffs, fail Janino, and silently fall back to the interpreted
+    // path; fallback=false turns that silent regression into a failure
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+        .select(
+          graft.ann.Ann.dot(col("a"), col("b")).as("ab"),
+          graft.ann.Ann.dot(col("a"), col("a")).as("aa"),
+          graft.ann.Ann.dot(col("b"), col("b")).as("bb"))
+      val r = df.collect().head
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 25.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("html extraction is map-only: no exchange, no window") {
     import spark.implicits._
     val docsDf = Seq((1L, "<p>hi</p>")).toDF("doc_id", "html")

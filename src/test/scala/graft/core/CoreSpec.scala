@@ -217,4 +217,34 @@ class CoreSpec extends AnyFunSuite {
     assert(w2 == w && h2 == h)
     assert(Png.psnr(rgba, back).isPosInfinity) // PNG is lossless
   }
+
+  test("png decode rejects undecodable bytes with a message, not NPE") {
+    val e = intercept[IllegalArgumentException](Png.decode(Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("metaHue: closed-form wrap equals the reference loop; degenerate ramps terminate") {
+    def loopRef(p: RenderParams, meta: Long): Double = {
+      // the reference's literal ±1 loops (render.c:218-227), for parity checking
+      var hue = ((meta.toDouble - p.colorMeta1) / (p.colorMeta2 - p.colorMeta1) *
+        (p.colorHue2 - p.colorHue1) + p.colorHue1) / 360
+      if (hue < -2) -1
+      else { while (hue < 0) hue += 1; while (hue > 1) hue -= 1; hue }
+    }
+    val p = RenderParams(colorRampActive = true,
+      colorMeta1 = 100, colorHue1 = 0, colorMeta2 = 200, colorHue2 = 720)
+    for (meta <- Seq(0L, 50L, 100L, 150L, 200L, 250L, 300L, 1000L, 123456L)) {
+      val got = p.metaHue(meta)
+      val want = loopRef(p, meta)
+      assert(java.lang.Double.compare(got, want) == 0, s"meta=$meta: $got vs $want")
+    }
+    // colorMeta1 == colorMeta2 -> hue = ±Infinity: the reference loop
+    // hangs forever; we return the no-hue sentinel
+    val degen = RenderParams(colorRampActive = true,
+      colorMeta1 = 100, colorHue1 = 0, colorMeta2 = 100, colorHue2 = 240)
+    assert(degen.metaHue(0L) == -1.0)   // -Inf < -2
+    assert(degen.metaHue(200L) == -1.0) // +Inf -> 2^53 guard
+    // NaN ramp (meta == meta1 == meta2) passes through like the reference
+    assert(degen.metaHue(100L).isNaN)
+  }
 }
