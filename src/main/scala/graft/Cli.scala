@@ -307,8 +307,8 @@ object Cli {
       rolled.foreach { case (z, tx, ty, cnt, xsum, ysum, len) =>
         val sb = new StringBuilder(s"$dir $z $tx $ty")
         if (verbose)
-          sb ++= f" $cnt%d ${Mercator.tileToLat(ysum / cnt, 32)}%f,${Mercator.tileToLon(xsum / cnt, 32)}%f"
-        if (showdist) sb ++= f" $len%f"
+          sb ++= graft.core.Cfmt.f(" %d %f,%f", cnt, Mercator.tileToLat(ysum / cnt, 32), Mercator.tileToLon(xsum / cnt, 32))
+        if (showdist) sb ++= graft.core.Cfmt.f(" %f", len)
         println(sb.result())
       }
       if (flags.contains('s')) {
@@ -322,7 +322,7 @@ object Cli {
           }.toSeq.distinct.sorted.foreach { case (z, sx, sy) =>
             val sb = new StringBuilder(s"$dir $z $sx $sy")
             if (flags.contains('v'))
-              sb ++= f" 0 ${Mercator.tileToLat(sy << (32 - z), 32)}%f,${Mercator.tileToLon(sx << (32 - z), 32)}%f"
+              sb ++= graft.core.Cfmt.f(" 0 %f,%f", Mercator.tileToLat(sy << (32 - z), 32), Mercator.tileToLon(sx << (32 - z), 32))
             if (showdist) sb ++= " 0.000000"
             println(sb.result())
           }

@@ -49,12 +49,20 @@ object Snapshots {
     } finally StateLease.release(lease)
   }
 
+  /** Files.list streams hold a directory fd until closed — drain and
+    * close eagerly (a long-running incremental driver polls these per
+    * batch and would otherwise leak fds until GC). */
+  private[ops] def listNames(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   private def commitLocked(root: String, df: DataFrame, parents: Seq[Long]): Long = {
     val snap = currentSnapshot(root).getOrElse(0L) + 1
     val dataDir = s"$root/data/$snap"
     df.write.mode("overwrite").parquet(dataDir)
-    val files = Files.list(Paths.get(dataDir)).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    val files = listNames(Paths.get(dataDir))
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).sorted
     val rows = df.sparkSession.read.parquet(dataDir).count()
     val manifest =
       s"""{"snapshot": $snap, "parents": [${parents.mkString(",")}],
@@ -119,7 +127,7 @@ object CheckpointedTiles {
   def committed(out: String): Set[Int] = {
     val d = Paths.get(lineageDir(out))
     if (!Files.exists(d)) Set.empty
-    else Files.list(d).iterator().asScala
+    else Snapshots.listNames(d)
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toInt).toSet
@@ -128,11 +136,11 @@ object CheckpointedTiles {
   def lineage(out: String): Seq[LineageRow] = {
     val d = Paths.get(lineageDir(out))
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala.filter(_.toString.endsWith(".json")).map { p =>
+    else Snapshots.listNames(d).filter(_.toString.endsWith(".json")).map { p =>
       val t = Files.readString(p)
       def f(k: String) = s""""$k": (-?\\d+)""".r.findFirstMatchIn(t).get.group(1).toLong
       LineageRow(f("snapshot"), f("bucket").toInt, f("rows"), f("tiles"), f("committed_at"))
-    }.toSeq.sortBy(_.bucket)
+    }.sortBy(_.bucket)
   }
 
   /**
@@ -148,10 +156,26 @@ object CheckpointedTiles {
   def run(spark: SparkSession, snapshotRoot: String, out: String, z: Int,
           mapbits: Int, bucketLevel: Int = 1,
           failAtBucket: Option[Int] = None): Int = {
+    // single writer per tileset: two concurrent resumers would race the
+    // same uncommitted bucket's overwrite (interleaved part files from
+    // two jobs) before the loser's ATOMIC_MOVE even fails
+    val lease = StateLease.acquire(out)
+    try {
+      StateLease.checkFenced(lease)
+      runLocked(spark, snapshotRoot, out, z, mapbits, bucketLevel, failAtBucket)
+    } finally StateLease.release(lease)
+  }
+
+  private def runLocked(spark: SparkSession, snapshotRoot: String, out: String, z: Int,
+                        mapbits: Int, bucketLevel: Int,
+                        failAtBucket: Option[Int]): Int = {
     import graft.core.Cell
     require(z >= bucketLevel, "zoom must be at least the bucket level")
     val snap = Snapshots.currentSnapshot(snapshotRoot).getOrElse(0L)
-    val done = committed(out)
+    // resume ONLY buckets committed from THIS snapshot: if the snapshot
+    // advanced since the crash, stale buckets re-render — otherwise a
+    // resumed run silently mixes two data generations in one tileset
+    val done = lineage(out).filter(_.snapshot == snap).map(_.bucket).toSet
     val L = bucketLevel
     val nSide = 1 << L
     var ran = 0
@@ -179,11 +203,16 @@ object CheckpointedTiles {
           .map { case (rx, ry) => (Cell.tileRangeLo(L, rx, ry), Cell.tileRangeHi(L, rx, ry)) }
         val cond = ranges.map { case (lo, hi) => col("cell").between(lo, hi) }.reduce(_ || _)
         val pts = table.filter(cond).select(ptCols: _*)
-        val rows = pts.count()
+        // lineage row count covers the bucket's OWN cell range only —
+        // counting the ring input would tally border rows in up to 9
+        // buckets and make summed lineage rows useless as a
+        // reconciliation signal
+        val rows = table.filter(col("cell")
+          .between(Cell.tileRangeLo(L, bx, by), Cell.tileRangeHi(L, bx, by))).count()
         // output: only tiles whose level-L ancestor is this bucket
         val shift = z - L
         val tiles = graft.render.Render
-          .renderTiles(Some(pts), None, z, mapbits, graft.core.RenderParams(),
+          .renderTiles(Some(pts), None, z, mapbits, params,
             requireOwn = true,
             only = Some((tx, ty) => (tx >> shift) == bx && (ty >> shift) == by))
           .cache()

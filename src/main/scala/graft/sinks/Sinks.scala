@@ -11,41 +11,24 @@ import java.nio.file.{Files, Paths}
   * format (full interop: a dataset written here renders identically
   * under the reference binaries). */
 object Sinks {
-  /** S6: text dump rows (`render -d` format, dump.c:69-89):
-    * "lat,lon [lat,lon ...] [bits:meta] // hex..." */
+  /** S6: text dump rows (`render -d` format, dump.c:69-89). Delegates
+    * to the reference-exact [[dumpTextLine]] — ONE implementation of
+    * the format (a parallel re-implementation here had already drifted
+    * in whitespace). */
   def textDump(features: Dataset[Feature], metabits: Int): Dataset[String] = {
     val spark = features.sparkSession
     import spark.implicits._
-    features.map { f =>
-      val coords = f.vertices.map { c =>
-        val x = Cell.decodeX(c); val y = Cell.decodeY(c)
-        f"${Mercator.tileToLat(y, 32)}%f,${Mercator.tileToLon(x, 32)}%f"
-      }.mkString(" ")
-      val metaPart = if (metabits != 0) f" $metabits%d:${f.meta}%d" else ""
-      val hex = f.vertices.map { c =>
-        f"${Cell.decodeX(c)}%08x ${Cell.decodeY(c)}%08x"
-      }.mkString(" ")
-      s"$coords$metaPart // $hex"
-    }
+    features.map(dumpTextLine(_, metabits))
   }
 
-  /** S7: GeoJSON dump (`render -D`, dump.c:21-68): Point / LineString
-    * features with meta as a property. */
+  /** S7: GeoJSON dump (`render -D`, dump.c:21-68). Delegates to the
+    * reference-exact [[dumpGeoJsonLine]] — the previous parallel
+    * implementation nested LineString coordinates one level too deep
+    * (invalid GeoJSON). */
   def geoJsonDump(features: Dataset[Feature], metabits: Int): Dataset[String] = {
     val spark = features.sparkSession
     import spark.implicits._
-    features.map { f =>
-      val coords = f.vertices.map { c =>
-        val lon = Mercator.tileToLon(Cell.decodeX(c), 32)
-        val lat = Mercator.tileToLat(Cell.decodeY(c), 32)
-        f"[ $lon%f, $lat%f ]"
-      }
-      val (typ, cs) =
-        if (f.vertices.length == 1) ("Point", coords.head.stripPrefix("[").stripSuffix("]").trim)
-        else ("LineString", coords.mkString("[ ", ", ", " ]"))
-      val props = if (metabits != 0) s"""{ "meta": ${f.meta} }""" else "{}"
-      s"""{ "type": "Feature", "properties": $props, "geometry": { "type": "$typ", "coordinates": [ $cs ] } }"""
-    }
+    features.map(dumpGeoJsonLine(_, metabits))
   }
 
   /** One dump_out text row (dump.c:70-90): "lat,lon ... [bits:meta ]// hex "
@@ -53,12 +36,12 @@ object Sinks {
   def dumpTextLine(f: Feature, metabits: Int): String = {
     val sb = new StringBuilder
     f.vertices.foreach { c =>
-      sb ++= f"${Mercator.tileToLat(Cell.decodeY(c), 32)}%f,${Mercator.tileToLon(Cell.decodeX(c), 32)}%f "
+      sb ++= graft.core.Cfmt.f("%f,%f ", Mercator.tileToLat(Cell.decodeY(c), 32), Mercator.tileToLon(Cell.decodeX(c), 32))
     }
     if (metabits != 0) sb ++= s"$metabits:${f.meta} "
     sb ++= "// "
     f.vertices.foreach { c =>
-      sb ++= f"${Cell.decodeX(c)}%08x ${Cell.decodeY(c)}%08x "
+      sb ++= graft.core.Cfmt.f("%08x %08x ", Cell.decodeX(c), Cell.decodeY(c))
     }
     sb.result()
   }
@@ -76,8 +59,8 @@ object Sinks {
     f.vertices.foreach { c =>
       val lon = Mercator.tileToLon(Cell.decodeX(c), 32)
       val lat = Mercator.tileToLat(Cell.decodeY(c), 32)
-      if (f.vertices.length != 1) sb ++= f"[ $lon%f, $lat%f ] "
-      else sb ++= f"$lon%f, $lat%f "
+      if (f.vertices.length != 1) sb ++= graft.core.Cfmt.f("[ %f, %f ] ", lon, lat)
+      else sb ++= graft.core.Cfmt.f("%f, %f ", lon, lat)
     }
     // LineString pairs are comma-separated in the reference
     val body = sb.result()
@@ -127,19 +110,19 @@ object Sinks {
     val sb = new StringBuilder
     sb ++= "Map {\n"
     val bgR = (p.bg >> 16) & 0xFF; val bgG = (p.bg >> 8) & 0xFF; val bgB = p.bg & 0xFF
-    sb ++= f"  background-color: rgba($bgR%d,$bgG%d,$bgB%d,${p.transparency / 255.0}%.3f);\n"
+    sb ++= graft.core.Cfmt.f("  background-color: rgba(%d,%d,%d,%.3f);\n", bgR, bgG, bgB, p.transparency / 255.0)
     sb ++= "}\n\n"
     sb ++= "#points {\n"
     sb ++= (if (p.invert) "  line-color: #000000;\n" else "  line-color: #FFFFFF;\n")
     sb ++= "  line-cap: round;\n"
     // diameter of the circle with area point_size
-    sb ++= f"  line-width: ${2 * math.sqrt(p.pointSize / math.Pi)}%.3f;\n"
+    sb ++= graft.core.Cfmt.f("  line-width: %.3f;\n", 2 * math.sqrt(p.pointSize / math.Pi))
     if (p.color != -1 || p.color2 != -1) {
       var r1 = (p.color >> 16) & 0xFF; var g1 = (p.color >> 8) & 0xFF; var b1 = p.color & 0xFF
       var r2 = (p.color2 >> 16) & 0xFF; var g2 = (p.color2 >> 8) & 0xFF; var b2 = p.color2 & 0xFF
       if (p.color == -1) { r1 = 128; g1 = 128; b1 = 128 }
       if (p.color2 == -1) { val v = if (p.invert) 0 else 255; r2 = v; g2 = v; b2 = v }
-      sb ++= f"  image-filters: colorize-alpha(#$r1%02X$g1%02X$b1%02X, #$r1%02X$g1%02X$b1%02X, #$r2%02X$g2%02X$b2%02X);\n"
+      sb ++= graft.core.Cfmt.f("  image-filters: colorize-alpha(#%02X%02X%02X, #%02X%02X%02X, #%02X%02X%02X);\n", r1, g1, b1, r1, g1, b1, r2, g2, b2)
     }
     // alpha reaching half brightness in the same number of steps as the
     // raster model's dot_bright accumulation under the display gamma
@@ -148,18 +131,18 @@ object Sinks {
       val halfsteps = steps * math.exp(math.log(.5) / p.gamma)
       1 - math.exp(math.log(.5) / halfsteps)
     }
-    sb ++= f"  line-opacity: ${alphaAt(p.dotBright / p.pointSize)}%.3f;\n"
+    sb ++= graft.core.Cfmt.f("  line-opacity: %.3f;\n", alphaAt(p.dotBright / p.pointSize))
     sb ++= "\n"
     var i = 0
     while (i <= p.dotBase) {
       val a = alphaAt(p.dotBright / p.pointSize * math.exp(math.log(p.dotRamp) * (i - p.dotBase)))
-      sb ++= f"  [zoom >= $i%2d] { line-opacity: $a%7.3f; }\n"
+      sb ++= graft.core.Cfmt.f("  [zoom >= %2d] { line-opacity: %7.3f; }\n", i, a)
       i += 1
     }
     while (i < 23) {
       val a = alphaAt(p.dotBright / p.pointSize * math.exp(math.log(p.dotRamp) * (i - p.dotBase)))
       val w = 2 * math.sqrt(p.pointSize * (1 << (i - p.dotBase)) / math.Pi)
-      sb ++= f"  [zoom >= $i%2d] { line-opacity: $a%7.3f; line-width: $w%7.3f; }\n"
+      sb ++= graft.core.Cfmt.f("  [zoom >= %2d] { line-opacity: %7.3f; line-width: %7.3f; }\n", i, a, w)
       i += 1
     }
     sb ++= "}\n"

@@ -74,7 +74,10 @@ object ImageTable {
         Png.encode(rgba, w, h)
       }
     val caption = {
-      val a = words((math.abs(h0) % words.length).toInt)
+      // floorMod only of the abs residue: math.abs(Long.MinValue) is
+      // still MinValue and would index negative; every other h0 keeps
+      // its original word (the generated corpora must stay stable)
+      val a = words(java.lang.Math.floorMod(math.abs(h0) % words.length, words.length.toLong).toInt)
       val b = words((math.abs(h0 >>> 16) % words.length).toInt)
       f"caption of img$i%012d: $a $b ${h0 & 0xFFFF}"
     }
@@ -86,8 +89,16 @@ object ImageTable {
     * exercise salting / AQE skew handling. Returns (lat, lon, cell, meta).
     * Pure function of phash: the spatial index never needs the payload
     * column (Parquet prunes `bytes` at scan). */
-  def geotagPhash(phash: Long): (Double, Double, Long, Long) =
-    (geotagLat(phash), geotagLon(phash), geotagCell(phash), phash & 0xFF)
+  def geotagPhash(phash: Long): (Double, Double, Long, Long) = {
+    // compute lat/lon ONCE and build the cell from them directly —
+    // going through geotagCell would re-run both kernels (3x the
+    // splitmix/branch work per generated row on the bench ingest path)
+    val lat = geotagLat(phash)
+    val lon = geotagLon(phash)
+    (lat, lon,
+      graft.core.Cell.encode(Mercator.lonToX32(lon), Mercator.latToY32(lat)),
+      phash & 0xFF)
+  }
 
   private val hotLat = Array(40.7128, 51.5074, 35.6762, -33.8688)
   private val hotLon = Array(-74.0060, -0.1278, 139.6503, 151.2093)

@@ -69,6 +69,34 @@ class SnapshotSpec extends AnyFunSuite {
     assert(lin.map(_.tiles).sum == tiles(out1).size)
   }
 
+  test("resume after the snapshot advanced re-renders stale buckets (no mixed generations)") {
+    import spark.implicits._
+    val root = tmpDir()
+    val out = tmpDir() + "/tiles_stale"
+    val geo1 = graft.tables.ImageTable.generateGeo(spark, 2000).toDF()
+      .select(col("cell"), col("meta"))
+    Snapshots.commit(root, geo1)
+    intercept[RuntimeException] {
+      CheckpointedTiles.run(spark, root, out, z = 15, mapbits = 48, bucketLevel = 1,
+        failAtBucket = Some(2))
+    }
+    assert(CheckpointedTiles.committed(out) == Set(0, 1))
+    // the snapshot advances while the job is down: buckets 0-1 are now
+    // STALE — resuming must re-render them, not splice two generations
+    Snapshots.append(root,
+      graft.tables.ImageTable.generateGeo(spark, 3000).toDF()
+        .select(col("cell"), col("meta")).filter(col("meta") % 3 === 0))
+    val resumed = CheckpointedTiles.run(spark, root, out, z = 15, mapbits = 48, bucketLevel = 1)
+    assert(resumed == 4, "stale buckets must re-run")
+    assert(CheckpointedTiles.lineage(out).map(_.snapshot).toSet == Set(2L))
+    // final tiles equal a clean render of the new snapshot
+    val out2 = tmpDir() + "/tiles_clean_s2"
+    CheckpointedTiles.run(spark, root, out2, z = 15, mapbits = 48, bucketLevel = 1)
+    def tiles(o: String) = spark.read.parquet(s"$o/bucket=*")
+      .select("z", "x", "y").as[(Int, Int, Int)].collect().toSet
+    assert(tiles(out) == tiles(out2) && tiles(out).nonEmpty)
+  }
+
   test("checkpointed tiling at a STEP-SAMPLED zoom ranks the snapshot (was: rank-column crash)") {
     import spark.implicits._
     val root = tmpDir()
