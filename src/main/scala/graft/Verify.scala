@@ -25,13 +25,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a stale parquet from a previous run into the same outDir must not
+    // survive a failing query: the DuckDB compare would read the OLD
+    // results and false-pass. Delete first — a failure then leaves a
+    // missing dir, which the compare reports as a loud per-query error.
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+      finally st.close()
+    }
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      rmTree(Paths.get(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} QUERIES FAILED: ${failed.reverse.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

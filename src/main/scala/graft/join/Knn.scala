@@ -106,7 +106,12 @@ object Knn {
     * fallback is doing the work a better tile size would have avoided. */
   def knnJoinWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
                        k: Int, tileShift: Int, ring: Int = 1): (DataFrame, Long) = {
+    // NULL coords are dropped on BOTH sides: a point with a NULL
+    // coordinate never matches the ring join but would enter the exact
+    // fallback with d2 = NULL, which ascending window order sorts
+    // NULLS FIRST — stealing rn=1 from a true neighbor.
     val pts = points.select(col("id"), col("x").cast("long"), col("y").cast("long"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("tx", expr(s"x >> $tileShift"))
       .withColumn("ty", expr(s"y >> $tileShift"))
 
@@ -116,8 +121,14 @@ object Knn {
     // merge every NULL query into ONE top-k group while the
     // countDistinct below EXCLUDES the NULL group, skewing the
     // resolved/unresolved arithmetic that gates the exact fallback.
+    // EXACT duplicate query rows collapse (a repeated row would
+    // duplicate every candidate and make the top-k window return fewer
+    // than k DISTINCT neighbors); one qid asking two different
+    // coordinates is rejected below — the per-qid window cannot answer
+    // both.
     val q = queries.select(col("qid"), col("qx").cast("long"), col("qy").cast("long"))
-      .filter(col("qid").isNotNull)
+      .filter(col("qid").isNotNull && col("qx").isNotNull && col("qy").isNotNull)
+      .dropDuplicates("qid", "qx", "qy")
     val qTiles = q
       .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
       .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))
@@ -132,17 +143,32 @@ object Knn {
     // Broadcast the query-tile ring only while it plausibly fits in an
     // executor (rows ~ |queries| * (2r+1)^2); past that, fall back to a
     // shuffle hash join — still no cross product, just hashed on tile id.
-    // one tiny action for BOTH sizes: ring rows for the broadcast-size
-    // decision scale with query ROWS, but the resolved/unresolved split
-    // is per DISTINCT qid (the API never forbids duplicate qid rows —
-    // a row count there would disable the all-resolved fast path and
-    // misreport the fallback count whenever duplicates exist)
+    // ONE tiny action funds every per-query decision: broadcast sizing,
+    // the duplicate-qid contract, the query-side d2-exactness bound,
+    // and the resolved/unresolved split (per DISTINCT qid).
     val qAgg = q.agg(count(lit(1)).as("rows"),
-      countDistinct(col("qid")).as("qids")).head()
+      countDistinct(col("qid")).as("qids"),
+      min(col("qx")).as("x0"), max(col("qx")).as("x1"),
+      min(col("qy")).as("y0"), max(col("qy")).as("y1")).head()
     val qRows = qAgg.getLong(0)
     val qCount = qAgg.getLong(1)
+    require(qRows == qCount,
+      s"knnJoin: ${qRows - qCount} duplicate qid row(s) with CONFLICTING coordinates " +
+        "(exact duplicates collapse; one qid cannot ask two different queries)")
+    if (qRows > 0) {
+      // same |coord| < 2^30 d2-exactness contract the auto path checks
+      // on the points side — the query table is tiny, so this is free
+      val bound = 1L << 30
+      require(Seq(qAgg.getLong(2), qAgg.getLong(3), qAgg.getLong(4), qAgg.getLong(5))
+          .forall(v => v > -bound && v < bound),
+        "knnJoin query coords must satisfy |coord| < 2^30 for exact d2; shift raw 32-bit coords right first")
+    }
     val ringRows = qRows * (2L * ring + 1) * (2L * ring + 1)
-    val qSide = if (ringRows <= 4_000_000L) broadcast(qTiles) else qTiles
+    // broadcast gate in BYTES, not rows: qid's type is caller-chosen,
+    // and 4M rows of long string qids is a very different broadcast
+    // from 4M rows of longs
+    val qRowBytes = q.schema.map(_.dataType.defaultSize).sum + 24L
+    val qSide = if (ringRows * qRowBytes <= (192L << 20)) broadcast(qTiles) else qTiles
     // Eagerly localCheckpoint the (tiny, <= |queries|*k rows) top-k
     // candidate set: the resolved/good/unresolved consumers below would
     // otherwise re-run the full candidate join + window three times, and

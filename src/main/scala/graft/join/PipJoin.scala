@@ -21,6 +21,16 @@ case class WorldPolygon(poly_id: Long, xs: Array[Long], ys: Array[Long])
  * exact-arithmetic oracle bit-for-bit.
  */
 object PipJoin {
+  // built once per EXECUTOR JVM per broadcast, not once per task: at
+  // thousands of partitions the per-task re-prepare of every polygon
+  // (the expensive part of PreparedGeometry) is pure redundant work.
+  // Bounded so an unusual many-polygon-set session can't grow it.
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[Long, STRtree]()
+
+  private def cachedIndex(b: org.apache.spark.broadcast.Broadcast[Array[WorldPolygon]]): STRtree =
+    if (indexCache.size >= 64) buildIndex(b.value)
+    else indexCache.computeIfAbsent(b.id, _ => buildIndex(b.value))
+
   private def buildIndex(polys: Array[WorldPolygon]): STRtree = {
     val gf = new GeometryFactory()
     val tree = new STRtree()
@@ -28,6 +38,10 @@ object PipJoin {
       val coords = (p.xs.indices :+ 0).map(i => new Coordinate(p.xs(i).toDouble, p.ys(i).toDouble)).toArray
       val poly = gf.createPolygon(coords)
       val prepared = PreparedGeometryFactory.prepare(poly)
+      // JTS PreparedGeometry builds its interior structures lazily on
+      // the first predicate call — exercise it HERE, before the shared
+      // instance becomes visible to concurrent tasks via the cache
+      prepared.covers(poly.getCentroid)
       tree.insert(poly.getEnvelopeInternal, (p.poly_id, prepared))
     }
     tree.build()
@@ -45,8 +59,8 @@ object PipJoin {
     points.select(col("id").cast("long"), col("x32").cast("long"), col("y32").cast("long"))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
-        // build the tree once per partition from the broadcast polygons
-        val tree = buildIndex(bcast.value)
+        // per-JVM memoized tree for the broadcast polygons
+        val tree = cachedIndex(bcast)
         val gf = new GeometryFactory()
         it.flatMap { case (id, x, y) =>
           val pt = gf.createPoint(new Coordinate(x.toDouble, y.toDouble))

@@ -27,6 +27,13 @@ object VecSql {
    *  - update: per-component mean on a 1/quant grid — exact BIGINT
    *    sums of floor(v * quant + 0.5) (order-independent) divided by
    *    (count * quant); empty clusters keep their previous centroid.
+   *
+   * Contract: FIXED-dimension embeddings (the testdata shape). For
+   * ragged input the engine keeps a centroid's previous TAIL values
+   * when a cluster's members are all shorter (Ann.kmeansCentroids
+   * clones the old array), while this CTE's list(... ORDER BY j)
+   * truncates to the dims present — the two would diverge from the
+   * first ragged iteration on.
    */
   def kmeansCentsCte(k: Int, iters: Int, quant: Long = 1L << 20,
                      table: String = "embeddings"): String = {

@@ -103,4 +103,31 @@ class KnnSpec extends AnyFunSuite {
       assert(got(qid) == expect, s"qid=$qid (shift=$shift)")
     }
   }
+
+  test("duplicate/NULL contracts: exact dup queries collapse, conflicting dups reject, NULL-coord points never rank") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val r = new scala.util.Random(3)
+    val ptsSchema = StructType(Seq(StructField("id", LongType),
+      StructField("x", LongType), StructField("y", LongType)))
+    // 200 real points + one NULL-coord row; a FAR query forces the
+    // exact fallback where a NULL d2 would sort NULLS FIRST into rn=1
+    val ptRows = (0 until 200).map(i =>
+      Row(i.toLong, r.nextLong(1L << 16), r.nextLong(1L << 16))) :+ Row(999L, null, null)
+    val pts = spark.createDataFrame(spark.sparkContext.parallelize(ptRows, 2), ptsSchema)
+    // the same far query REPEATED: candidates must not duplicate
+    val qs = Seq((1L, 1L << 22, 1L << 22), (1L, 1L << 22, 1L << 22)).toDF("qid", "qx", "qy")
+    val got = graft.join.Knn.knnJoin(spark, pts, qs, k = 4, tileShift = 12)
+      .select("qid", "id", "rn").as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(got.length == 4, s"expected 4 rows, got ${got.length}")
+    assert(got.map(_._2).distinct.length == 4, "duplicate query rows duplicated candidates")
+    assert(!got.map(_._2).contains(999L), "NULL-coord point ranked as a neighbor")
+    // one qid with two DIFFERENT coordinates is a contract violation
+    val bad = Seq((1L, 0L, 0L), (1L, 5L, 5L)).toDF("qid", "qx", "qy")
+    val e = intercept[IllegalArgumentException] {
+      graft.join.Knn.knnJoin(spark, pts, bad, k = 2, tileShift = 12).collect()
+    }
+    assert(e.getMessage.contains("CONFLICTING"))
+  }
 }
