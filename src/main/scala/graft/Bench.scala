@@ -214,6 +214,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON contract is machine-readable: every %f interpolator in
+    // this main formats under the default locale, and a comma-decimal
+    // locale would break the driver's json.load — pin it process-wide
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = session(cpus)
@@ -255,7 +259,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val q0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name; false }
+        catch { case scala.util.control.NonFatal(_) => if (!failed.contains(name)) failed ::= name; false }
         name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
       }.toMap
     val pass1 = queryPass()
@@ -279,7 +283,7 @@ object Bench {
       if (exact.isEmpty) (-1.0, -1.0)
       else (pairs("q28_ann_lsh").intersect(exact).size.toDouble / exact.size,
         pairs("q40_ann_ivf").intersect(exact).size.toDouble / exact.size)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+    } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
 
     // bucketed embedding store (Ann.writeBucketedEmbeddings): the
     // shuffle-free rerank path — corpus side reads bucket-aligned from
@@ -297,7 +301,7 @@ object Bench {
         require(n > 0, "bucketed near-dup returned no pairs")
         (System.nanoTime() - b0) / 1e9
       }.min
-    } catch { case _: Throwable => -1.0 }
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
     // duplicate-span recall floor at BENCH scale (the image planted-
     // recall gate's text analog): one shared 70-char span planted into
@@ -383,7 +387,7 @@ object Bench {
     // AND persist it to a well-known file as a fallback.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH.json"), json + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     println(json)
     System.out.flush()
   }

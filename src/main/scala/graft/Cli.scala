@@ -81,7 +81,13 @@ object Cli {
     (opts, flags, pos, multi)
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit = {
+    // reference parity: the C binaries printf under LC_ALL=C
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    run(args)
+  }
+
+  private def run(args: Array[String]): Unit = args.toList match {
     case "encode" :: rest => encode(rest)
     case "render" :: rest => render(rest)
     case "enumerate" :: rest => enumerate(rest)

@@ -29,6 +29,7 @@ object Scaling {
   private def resultPath(cpus: Int) = s"/tmp/graft_bench/scaling_$cpus.csv"
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // CSV/report %f must be dot-decimal
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tag = sfDir.replaceAll("[^0-9.]", "") + "x4"
     val imgPath = s"/tmp/graft_bench/images_$tag"

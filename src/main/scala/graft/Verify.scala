@@ -15,6 +15,7 @@ import java.nio.file.{Files, Paths}
   * oracle timings. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // oracle JSON must be locale-stable
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

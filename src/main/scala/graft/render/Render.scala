@@ -634,36 +634,46 @@ object Render {
   }
 
 
-  /** Group-process commands with EXPLICIT parallelism: AQE coalesces the
-    * tiny command shuffle (a few MB) into one partition, but the reducer
-    * is CPU-heavy per tile (canvas + PNG), so we hash-partition by tile
-    * key ourselves (explicit numPartitions is exempt from AQE coalescing)
-    * and stream consecutive key groups per partition. */
-  private def processGrouped(cmds: Dataset[FeatCmd])(f: (Long, Array[FeatCmd]) => Iterator[TileOut]): Dataset[TileOut] = {
-    val spark = cmds.sparkSession
-    import spark.implicits._
+  /** Group-process a Dataset with EXPLICIT parallelism: AQE coalesces
+    * tiny shuffles (a few MB of commands / partial canvases) into one
+    * partition, but the reducers here are CPU-heavy per group
+    * (canvas + PNG / canvas merge), so we hash-partition on the key
+    * columns ourselves (explicit numPartitions is exempt from AQE
+    * coalescing) and stream consecutive key groups per partition.
+    * `keyCols` must order rows so that equal `keyOf` values are
+    * consecutive. */
+  private def streamGroups[T: scala.reflect.ClassTag, K, O: org.apache.spark.sql.Encoder](
+      ds: Dataset[T], keyCols: Seq[org.apache.spark.sql.Column], keyOf: T => K)(
+      f: (K, Array[T]) => Iterator[O]): Dataset[O] = {
+    val spark = ds.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism * 4,
       spark.sessionState.conf.numShufflePartitions)
-    cmds.repartition(parts, col("tkey"))
-      .sortWithinPartitions(col("tkey"))
+    ds.repartition(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
       .mapPartitions { it =>
-        new Iterator[TileOut] {
+        new Iterator[O] {
           private val base = it.buffered
-          private var pending: Iterator[TileOut] = Iterator.empty
+          private var pending: Iterator[O] = Iterator.empty
           @annotation.tailrec
           private def advance(): Unit = {
             if (!pending.hasNext && base.hasNext) {
-              val k = base.head.tkey
-              val buf = scala.collection.mutable.ArrayBuffer.empty[FeatCmd]
-              while (base.hasNext && base.head.tkey == k) buf += base.next()
+              val k = keyOf(base.head)
+              val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+              while (base.hasNext && keyOf(base.head) == k) buf += base.next()
               pending = f(k, buf.toArray)
               advance()
             }
           }
           def hasNext: Boolean = { advance(); pending.hasNext }
-          def next(): TileOut = { advance(); pending.next() }
+          def next(): O = { advance(); pending.next() }
         }
       }
+  }
+
+  private def processGrouped(cmds: Dataset[FeatCmd])(f: (Long, Array[FeatCmd]) => Iterator[TileOut]): Dataset[TileOut] = {
+    val spark = cmds.sparkSession
+    import spark.implicits._
+    streamGroups(cmds, Seq(col("tkey")), (c: FeatCmd) => c.tkey)(f)
   }
 
   /**
@@ -718,12 +728,19 @@ object Render {
     val cold = processGrouped(cmds.filter(c => !hotB.value.contains(c.tkey))) { (tkey, recs) =>
       renderOne(tkey, recs, mapbits, p, requireOwn = true)
     }
-    // hot path: salt -> partial canvases -> merge -> tone map
-    val partials = cmds.filter(c => hotB.value.contains(c.tkey))
-      .groupByKey(c => (c.tkey, Math.floorMod(c.vertices(0) ^ c.meta, salts.toLong)))
-      .mapGroups { (key: (Long, Long), it: Iterator[FeatCmd]) =>
+    // hot path: salt -> partial canvases -> merge -> tone map. BOTH
+    // shuffles go through streamGroups (explicit repartition): a bare
+    // groupByKey exchange here is exactly the tiny-but-CPU-heavy shape
+    // AQE coalesces into one partition, serializing the salt renders
+    // the hot path exists to parallelize (CLAUDE.md render-reducer
+    // invariant; the cold path already did this via processGrouped).
+    val saltExpr = expr(s"pmod(vertices[0] ^ meta, ${salts}L)")
+    val partials = streamGroups(
+      cmds.filter(c => hotB.value.contains(c.tkey)),
+      Seq(col("tkey"), saltExpr),
+      (c: FeatCmd) => (c.tkey, Math.floorMod(c.vertices(0) ^ c.meta, salts.toLong))) {
+      (key, recs) =>
         val tkey = key._1
-        val recs = it.toArray
         sortRecs(recs)
         val z = Cell.tileKeyZ(tkey)
         val canvas = renderCanvasFresh(recs, z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), mapbits, p,
@@ -732,17 +749,18 @@ object Render {
         // accessing cx/cy unconditionally would allocate and serialize
         // two all-zero tilesize^2 double arrays per partial (3x the
         // shuffle bytes of the hot path for nothing)
-        (tkey, canvas.image,
+        Iterator.single((tkey, canvas.image,
           if (canvas.hasHue) canvas.cx else null,
-          if (canvas.hasHue) canvas.cy else null)
-      }
-    val hotTiles = partials.groupByKey(_._1).mapGroups { (tkey, it) =>
+          if (canvas.hasHue) canvas.cy else null))
+    }
+    val hotTiles = streamGroups(partials, Seq(col("_1")),
+      (t: (Long, Array[Double], Array[Double], Array[Double])) => t._1) { (tkey, group) =>
       val z = Cell.tileKeyZ(tkey)
       val merged = new Canvas(p.tilesize, p.tilesize)
       // raw-array merge bypasses putPixel: mark the whole canvas dirty
       merged.minY = 0
       merged.maxY = p.tilesize - 1
-      it.foreach { case (_, img, cx, cy) =>
+      group.foreach { case (_, img, cx, cy) =>
         var i = 0
         while (i < img.length) { merged.image(i) += img(i); i += 1 }
         if (cx != null) {
@@ -752,7 +770,7 @@ object Render {
         }
       }
       val rgba = ToneMap(merged, p)
-      TileOut(z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), Png.encode(rgba, p.tilesize, p.tilesize))
+      Iterator.single(TileOut(z, Cell.tileKeyX(tkey), Cell.tileKeyY(tkey), Png.encode(rgba, p.tilesize, p.tilesize)))
     }
     cold.union(hotTiles)
   }

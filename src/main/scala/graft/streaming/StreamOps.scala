@@ -139,8 +139,13 @@ object StreamOps {
     // survivors keep their FULL row (payload included) — like the text
     // streamingDedup, the hash is an added column, so the deduplicated
     // stream lands directly as an image table with no rejoin
+    // cast BEFORE the typed .as: a string-ts source (which the sibling
+    // streamingDedup/streamingTileCounts tolerate) would otherwise fail
+    // the up-cast to Timestamp at analysis; the former post-.as cast
+    // was dead code
     val hashed = images
-      .select(col("ts"), col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .select(col("ts").cast("timestamp").as("ts"), col("image_id"),
+        col("bytes"), col("w"), col("h"), col("fmt"))
       .as[(java.sql.Timestamp, String, Array[Byte], Int, Int, String)]
       .mapPartitions(_.map { case (ts, id, bytes, w, h, fmt) =>
         (ts, id, bytes, w, h, fmt,
@@ -148,7 +153,6 @@ object StreamOps {
       })
       .toDF("ts", "image_id", "bytes", "w", "h", "fmt", "dhash")
     hashed
-      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("dhash")
   }
@@ -212,16 +216,22 @@ object StreamOps {
         val ids = graft.media.Media.dhashes(batch)
           .withColumn("nid", xxhash64(col("image_id")))
           .localCheckpoint(true)
-        if (ids.count() > 0) {
-          val (labels, merges) = graft.media.Media
-            .incrementalImageDedupFromIds(ids, bandsTable)
-          val l = labels.localCheckpoint(true)
-          l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
-          merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
-          graft.media.Media.appendImageDedupStateFromIds(
-            ids.select(col("image_id"), col("dhash")), l, bandsTable, stateDir, buckets,
-            writeLabels = false)
-        }
+        try {
+          if (ids.count() > 0) {
+            val (labels, merges) = graft.media.Media
+              .incrementalImageDedupFromIds(ids, bandsTable)
+            val l = labels.localCheckpoint(true)
+            try {
+              l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
+              merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
+              graft.media.Media.appendImageDedupStateFromIds(
+                ids.select(col("image_id"), col("dhash")), l, bandsTable, stateDir, buckets,
+                writeLabels = false)
+            } finally l.unpersist()
+          }
+          // unpersist per batch: a long backlog drain would otherwise
+          // accumulate dead checkpoint blocks until GC happens to run
+        } finally ids.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -243,17 +253,22 @@ object StreamOps {
         migrateFlatSink(batch.sparkSession, labelsOut)
         migrateFlatSink(batch.sparkSession, mergesOut)
         val b = batch.localCheckpoint(true)
-        if (b.count() > 0) {
-          // Prepared variant: the dedup's band rows feed the state fold
-          // too, so every doc is tokenized/minhashed exactly ONCE
-          val (labels, merges, bands) = graft.text.TextDedupState
-            .incrementalTextDedupPrepared(b, bandsTable)
-          val l = labels.localCheckpoint(true)
-          l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
-          merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
-          graft.text.TextDedupState.appendTextDedupStateFromBands(
-            bands, l, bandsTable, stateDir, buckets, writeLabels = false)
-        }
+        try {
+          if (b.count() > 0) {
+            // Prepared variant: the dedup's band rows feed the state fold
+            // too, so every doc is tokenized/minhashed exactly ONCE
+            val (labels, merges, bands) = graft.text.TextDedupState
+              .incrementalTextDedupPrepared(b, bandsTable)
+            val l = labels.localCheckpoint(true)
+            try {
+              l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
+              merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
+              graft.text.TextDedupState.appendTextDedupStateFromBands(
+                bands, l, bandsTable, stateDir, buckets, writeLabels = false)
+            } finally l.unpersist()
+          }
+          // unpersist per batch (bounds checkpoint blocks on backlog drains)
+        } finally b.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -359,17 +374,26 @@ object StreamOps {
               col("cell") >= lo && col("cell") <= hi
             }.toIndexedSeq)
             val subset = spark.read.parquet(snapshotDir).filter(cond)
+            // broadcast the affected-tile set instead of capturing it in
+            // |zArr| task closures (the renderPyramidSalted hotB pattern)
+            val affectedB = spark.sparkContext.broadcast(affected)
             val tiles = zArr.map { z =>
               graft.render.Render.renderTiles(Some(subset), None, z, mapbits, p,
                 requireOwn = true,
-                only = Some((tx, ty) => affected.contains(Cell.tileKey(z, tx, ty))))
+                only = Some((tx, ty) => affectedB.value.contains(Cell.tileKey(z, tx, ty))))
             }.reduce(_ union _)
             graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
             }
-            // wholesale low-zoom cadence: every lowZoomEvery-th batch,
-            // re-rank the (narrow) snapshot and re-render the few
-            // step-sampled shallow zooms in full
-            if (lowZooms.nonEmpty && batchId % lowZoomEvery == (lowZoomEvery - 1))
+            // wholesale low-zoom cadence: batch 0 PLUS every
+            // lowZoomEvery-th batch thereafter (anchored so the cadence
+            // still lands on the same batches as before). Batch 0 is
+            // REQUIRED: a short stream (fewer than lowZoomEvery
+            // micro-batches under AvailableNow) would otherwise never
+            // render the step-sampled shallow zooms at all — they
+            // didn't lag, they didn't exist. Between refreshes the lag
+            // stays <= lowZoomEvery-1 batches as documented.
+            if (lowZooms.nonEmpty &&
+                (batchId == 0L || batchId % lowZoomEvery == (lowZoomEvery - 1)))
               refreshLowZooms(spark, snapshotDir, tilesDir, lowZooms, mapbits, p)
           }
         } finally b.unpersist()
@@ -387,6 +411,20 @@ object StreamOps {
     * stream drains. */
   def refreshLowZooms(spark: SparkSession, snapshotDir: String, tilesDir: String,
                       zooms: Seq[Int], mapbits: Int, p: graft.core.RenderParams): Unit = {
+    // wholesale REPLACE, not overlay: the global-rank step sample
+    // shifts as the corpus grows, so a fresh full render's tile set can
+    // SHRINK — tiles whose sampled records all moved away would linger
+    // forever if the old zoom dirs weren't cleared first
+    zooms.foreach { z =>
+      val zd = java.nio.file.Paths.get(tilesDir, z.toString)
+      if (java.nio.file.Files.exists(zd)) {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(zd)
+        try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+        finally st.close()
+      }
+    }
     val ranked = graft.render.Render.withGlobalRank(
       spark.read.parquet(snapshotDir).select(col("cell"), col("meta")))
     try {
@@ -396,7 +434,8 @@ object StreamOps {
   }
 
   /** Run a streaming query over a bounded source synchronously into a
-    * memory sink; returns the sink table name. */
+    * memory sink named `name` (read it with `spark.table(name)`);
+    * returns the already-drained StreamingQuery. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)
