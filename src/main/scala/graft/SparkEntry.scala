@@ -1135,14 +1135,17 @@ object SparkEntry {
     "q51_dup_spans" -> {
       import graft.text.PortableHash
       s"""WITH w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 29, 0)), i -> substr(text, i, 30))) AS s FROM documents),
-         | w AS (SELECT doc_id, ${PortableHash.tokenHashSql("s")} AS wh, min(s) AS snip FROM w0 GROUP BY 1, 2),
-         | b AS (SELECT wh, count(*) AS bcnt, min(doc_id) AS bmin FROM w GROUP BY 1 HAVING count(*) >= 2),
-         | c AS (SELECT w.doc_id, w.wh, w.snip, b.bcnt, b.bmin FROM w JOIN b USING (wh)),
+         | wh0 AS (SELECT doc_id, ${PortableHash.tokenHashSql("s")} AS wh, s FROM w0),
+         | w AS (SELECT DISTINCT doc_id, wh FROM wh0),
+         | b AS (SELECT wh, count(*) AS bcnt FROM w GROUP BY 1 HAVING count(*) >= 2),
+         | ws AS (SELECT DISTINCT doc_id, wh, s AS snip FROM wh0),
+         | c AS (SELECT ws.doc_id, ws.wh, ws.snip, b.bcnt FROM ws JOIN b USING (wh)),
          | smallp AS (SELECT a.wh, a.doc_id AS doc_a, a.snip AS snip_a, b2.doc_id AS doc_b, b2.snip AS snip_b
          |   FROM c a JOIN c b2 ON a.wh = b2.wh AND a.doc_id < b2.doc_id WHERE a.bcnt <= 64),
-         | starp AS (SELECT m.wh, m.doc_id AS doc_a, m.snip AS snip_a, o.doc_id AS doc_b, o.snip AS snip_b
-         |   FROM (SELECT * FROM c WHERE bcnt > 64 AND doc_id = bmin) m
-         |   JOIN (SELECT * FROM c WHERE bcnt > 64 AND doc_id <> bmin) o USING (wh)),
+         | starm AS (SELECT wh, snip, min(doc_id) AS doc_a FROM c WHERE bcnt > 64 GROUP BY 1, 2),
+         | starp AS (SELECT o.wh, m.doc_a, m.snip AS snip_a, o.doc_id AS doc_b, o.snip AS snip_b
+         |   FROM (SELECT * FROM c WHERE bcnt > 64) o
+         |   JOIN starm m ON m.wh = o.wh AND m.snip = o.snip AND o.doc_id <> m.doc_a),
          | u AS (SELECT * FROM smallp UNION ALL SELECT * FROM starp)
          | SELECT doc_a, doc_b, count(DISTINCT wh) AS shared_windows
          | FROM u WHERE snip_a = snip_b GROUP BY 1, 2""".stripMargin.replace("\n", " ")

@@ -292,7 +292,7 @@ object Ann {
     * the driver (bounded, independent of n). */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
                       quant: Long = 1L << 20): (Array[Long], Array[Array[Double]]) = {
-    val init = vecs.select(col("vec_id"), col("embedding"))
+    val init = vecs.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(k).collect()
     val cids = init.map(_.getLong(0))
     // accept array<float> OR array<double>, like collectCentroids

@@ -204,7 +204,10 @@ private[functions] object CentroidKernel {
   * crossJoin + Window argmax with a zero-shuffle codegen'd kernel.
   * `cids` must be sorted ascending. */
 case class NearestCentroidExpr(child: Expression, cids: Seq[Long], cvecs: Seq[Seq[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  // array<float> ONLY: CentroidKernel.rank reads getFloat — an
+  // array<double> input would silently read half of every slot
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid"
   @transient private lazy val cv: Array[Array[Double]] = cvecs.map(_.toArray).toArray
@@ -226,7 +229,8 @@ case class NearestCentroidExpr(child: Expression, cids: Seq[Long], cvecs: Seq[Se
   * (cos desc, cid asc) order — the query-side multi-probe without a
   * crossJoin or Window. `cids` must be sorted ascending. */
 case class NearestCentroidsExpr(child: Expression, cids: Seq[Long], cvecs: Seq[Seq[Double]], n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
   @transient private lazy val cv: Array[Array[Double]] = cvecs.map(_.toArray).toArray

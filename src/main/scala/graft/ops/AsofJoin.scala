@@ -72,7 +72,12 @@ object AsofJoin {
         .filter(col("__side") === 1)
         .select(col("__lid").as(leftId), col(key), col("__rid").as(rightId))
     } else {
+      // eager checkpoint: `chunked` fans into THREE subtrees (phase-1
+      // window, chunkLast aggregate, keyChunks distinct) whose
+      // exchanges never reuse — without it the left∪right union and
+      // its upstream scans execute three times per call
       val chunked = u.withColumn("__chunk", floor(tsNumeric(u, ts) / chunkSpan))
+        .localCheckpoint(true)
       // phase 1: carry-forward WITHIN each (key, chunk) — the hot key's
       // rows split across its chunks instead of one task
       val w1 = Window.partitionBy(col(key), col("__chunk"))

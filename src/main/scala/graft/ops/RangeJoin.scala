@@ -33,10 +33,21 @@ object RangeJoin {
     require(bucket > 0, "bucket must be positive")
     val p = points.select(col("pid").cast("long").as("pid"), col("v").cast("long").as("v"))
       .withColumn("__b", expr(s"v div $bucket"))
+    // one corrupt interval (lo=0, hi=Long.MaxValue) would ask
+    // sequence() for ~2^55 elements and OOM/kill the whole join — fail
+    // LOUDLY with the offending iid instead (the RIFF-clamp class of
+    // one-bad-row robustness). 2^22 bucket rows from ONE interval is
+    // already pathological; callers with genuinely huge spans should
+    // raise `bucket`.
+    val maxSpan = 1L << 22
     val i = intervals.select(col("iid").cast("long").as("iid"),
         col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"))
       .filter(col("lo") <= col("hi"))
-      .withColumn("__b", explode(sequence(expr(s"lo div $bucket"), expr(s"hi div $bucket"))))
+      .withColumn("__b", explode(sequence(expr(s"lo div $bucket"),
+        when(expr(s"hi div $bucket - lo div $bucket") < maxSpan, expr(s"hi div $bucket"))
+          .otherwise(raise_error(concat(
+            lit(s"intervalJoin: interval spans >= $maxSpan buckets (raise `bucket`): iid="),
+            col("iid").cast("string")))))))
     p.join(i, Seq("__b"))
       .filter(col("v") >= col("lo") && col("v") <= col("hi"))
       .select(col("pid"), col("v"), col("iid"))

@@ -398,9 +398,12 @@ object TextOps {
     *     so pairs are verified on the actual bytes, not the hash.)
     *  4. Frequency-capped pair expansion (the cappedCandidatePairs
     *     pattern): buckets <= cap emit all pairs, hotter buckets emit
-    *     star pairs to the bucket-min doc — a boilerplate header shared
-    *     by a million docs can't go quadratic, and connectivity (hence
-    *     cluster dedup semantics) is preserved.
+    *     star pairs to the min doc PER (hash, verified-bytes) group — a
+    *     boilerplate header shared by a million docs can't go
+    *     quadratic, every star edge passes the byte verify by
+    *     construction, and connectivity (hence cluster dedup
+    *     semantics) is preserved even when a colliding window hides in
+    *     a hot bucket.
     * The DuckDB oracle (q51) replicates hash, cap, star and verify
     * exactly — same portable arithmetic as q50. */
   def duplicateSpans(docs: DataFrame, n: Int, cap: Int = 64): DataFrame =
@@ -418,19 +421,20 @@ object TextOps {
     // checkpoint: candidate-sized, consumed by the snippet broadcast AND
     // the stats join — without it the full corpus window pass runs twice
     val bstats = ckpt(w.groupBy("wh")
-      .agg(count(lit(1)).as("bcnt"), min(col("doc_id")).as("bmin"))
+      .agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") >= 2))
     // snippets map-side: text never shuffles — the broadcast carries only
     // the 8-byte collided-hash vocabulary, and the rows leaving the scan
-    // are (doc_id, wh, n-char snip). min(snip) makes the collision case
-    // deterministic (same-hash different-bytes windows in one doc).
+    // are (doc_id, wh, n-char snip). DISTINCT (not a min-collapse): a doc
+    // holding two same-hash different-byte windows must keep BOTH — the
+    // collapsed one could be the bytes another doc genuinely shares.
     val snips = docs
       .select(col("doc_id"), col("text"),
         posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
       .join(broadcast(bstats.select(col("wh"))), "wh")
       .select(col("doc_id"), col("wh"),
         expr(s"substring(text, p0 + 1, $n)").as("snip"))
-      .groupBy("doc_id", "wh").agg(min(col("snip")).as("snip"))
+      .distinct()
     val c = ckpt(snips.join(bstats, "wh"))
     val small = c.filter(col("bcnt") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
@@ -438,11 +442,22 @@ object TextOps {
       .select(col("a.wh").as("wh"),
         col("a.doc_id").as("doc_a"), col("a.snip").as("snip_a"),
         col("b.doc_id").as("doc_b"), col("b.snip").as("snip_b"))
-    val hotMin = c.filter(col("bcnt") > cap && col("doc_id") === col("bmin"))
-      .select(col("wh"), col("doc_id").as("doc_a"), col("snip").as("snip_a"))
-    val starPairs = c.filter(col("bcnt") > cap && col("doc_id") =!= col("bmin"))
-      .select(col("wh"), col("doc_id").as("doc_b"), col("snip").as("snip_b"))
-      .join(hotMin, "wh")
+    // star per (wh, VERIFIED bytes), never per wh alone: a per-hash
+    // bmin center whose window merely COLLIDES with the bytes the rest
+    // of the bucket shares would fail the byte verify on every star
+    // edge and silently drop the bucket's true pairs — the star-pair-
+    // truncation failure class the image-dedup banding bans. Grouping
+    // the (already-attached) snippets costs nothing and makes every
+    // star edge verify by construction. Collision-free inputs produce
+    // the identical pair set (one snip per hot hash -> center == bmin).
+    val hot = c.filter(col("bcnt") > cap)
+    val hotMin = hot.groupBy(col("wh"), col("snip"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    val starPairs = hot
+      .join(hotMin, Seq("wh", "snip"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("wh"), col("doc_a"), col("snip").as("snip_a"),
+        col("doc_id").as("doc_b"), col("snip").as("snip_b"))
     allPairs.unionByName(starPairs.select(allPairs.columns.map(col).toSeq: _*))
       .filter(col("snip_a") === col("snip_b"))
       .groupBy("doc_a", "doc_b")
