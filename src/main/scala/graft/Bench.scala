@@ -166,6 +166,59 @@ object Bench {
     math.min(once(), once())
   }
 
+  // ---------- contention self-diagnosis (pure, unit-tested) ----------
+  //
+  // The r6 driver artifact shipped dedup 72.24s at 8.2 MB/s decode where
+  // builder and judge read 5.91/7.63s at 234/210 MB/s on the SAME build
+  // and warmed input: BOTH min-of-2 reps landed in one I/O-starved host
+  // window, and min-of-2 cannot save that. These predicates detect the
+  // starved window from measurements the run already makes, and fund ONE
+  // bounded extra rep — never a loop. If the artifact still reads
+  // contended after the retry, it says so ("contended": true) instead of
+  // shipping a bad number as if it were the code's.
+
+  /** True when the best dedup rep's decode rate says the window was
+    * I/O-starved. The decode kernel is CPU-bound at roughly 5-15% of
+    * this host's warmed sequential read bandwidth (r6: 210-234 MB/s
+    * decode vs multi-GB/s warmed page-cache reads); a best-of-reps rate
+    * under 2.5% of the measured warm-read rate is far outside that band
+    * (the r6 starved window read <0.5% of it) — host, not code. */
+  def dedupContended(bestDecodeMbPerSec: Double, warmReadMbPerSec: Double): Boolean =
+    bestDecodeMbPerSec > 0 && warmReadMbPerSec > 0 &&
+      bestDecodeMbPerSec < 0.025 * warmReadMbPerSec
+
+  /** True when the memory-bandwidth probes bracketing the headline reps
+    * drifted by more than 1.5x: the render kernel is bandwidth-bound, so
+    * probe drift means at least one rep ran against a different memory
+    * ceiling than the probe row published next to it. */
+  def headlineContended(probeSecs: Seq[Double]): Boolean = {
+    val v = probeSecs.filter(_ > 0)
+    v.size >= 2 && v.max / v.min > 1.5
+  }
+
+  /** Min-of-reps merge with ONE bounded contention retry: picks the best
+    * completed rep; if `contended(best)` holds, runs `extra` once and
+    * re-picks. Returns (best, retried). Pure so the retry decision is
+    * unit-testable by injecting a slow first rep. */
+  def minWithRetry[T](reps: Seq[T], cost: T => Double,
+                      contended: T => Boolean, extra: () => T): (T, Boolean) = {
+    val best = reps.minBy(cost)
+    if (contended(best)) (Seq(best, extra()).minBy(cost), true)
+    else (best, false)
+  }
+
+  /** Warm the page cache for every parquet part under `path` and
+    * return (warmed MB, observed MB/s). The rate doubles as the run's
+    * own I/O-health measurement: on a warmed cache it reads memory
+    * bandwidth, and a starved slot shows up as a collapsed rate —
+    * the denominator for [[dedupContended]]. */
+  def warmPageCacheRate(path: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    val mb = warmPageCacheMb(path)
+    val dt = (System.nanoTime() - t0) / 1e9
+    (mb, if (dt > 0) mb / dt else -1.0)
+  }
+
   /** Warm the page cache for every parquet part under `path` and
     * return the warmed MB. Streams through a bounded buffer — a
     * readAllBytes here would put whole part files on the heap and die
@@ -229,14 +282,15 @@ object Bench {
     prepareImages(spark, rows, imgPath)
 
     val zooms = 0 to 8
+    // memory-bandwidth probe BEFORE the headline reps: together with the
+    // post-rep probe it brackets the measurement window, so probe drift
+    // (not just a slow absolute value) labels a contended headline
+    val memProbePre = memProbe(cpus)
     // min-of-2 fresh repetitions (like Scaling already does): a single
     // measurement on this shared host swings multiples run-to-run —
     // round 3's driver read the dedup phase 4.6x slower than the
     // builder's run of the same build on the same cached input.
     val runs = Seq.fill(2)(headline(spark, imgPath, s"/tmp/graft_bench/work_$tag", zooms))
-    val (tiles, tEnc, tPip, tRen) = runs.minBy(r => r._2 + r._3 + r._4)
-    val total = tEnc + tPip + tRen
-    val tps = tiles / total
 
     // same-hour raw-CPU control, captured between the headline and the
     // query loop: divides engine noise from host noise in the artifact
@@ -244,6 +298,17 @@ object Bench {
     // a contended run must be self-labeling)
     val probeSec = cpuProbe(cpus)
     val memProbeSec = memProbe(cpus)
+
+    // bounded contention retry (never a loop): if the probes bracketing
+    // the two reps drifted >1.5x, at least one rep fought a different
+    // memory ceiling than the published probe row — fund ONE extra rep
+    // in the present (post-drift) window and take the overall min
+    val ((tiles, tEnc, tPip, tRen), headlineRetried) = minWithRetry[(Long, Double, Double, Double)](
+      runs, r => r._2 + r._3 + r._4,
+      _ => headlineContended(Seq(memProbePre, memProbeSec)),
+      () => headline(spark, imgPath, s"/tmp/graft_bench/work_$tag", zooms))
+    val total = tEnc + tPip + tRen
+    val tps = tiles / total
 
     // per-query timings (count() forces the plan) — BEFORE the dedup
     // phase, so its 600k+ image decodes can't leave GC/page-cache
@@ -254,12 +319,15 @@ object Bench {
     // fast success: a pass that threw records the SENTINEL -1.0, never
     // its (meaningless) wall time, and the min-of-2 merge ignores
     // sentinels — only if BOTH passes failed does -1.0 reach the JSON.
-    var failed = List.empty[String]
+    // queries_failed lists exactly the names whose merged value is -1.0
+    // (broken); a query that threw in ONE pass but published a valid
+    // min from the other is queries_flaky — a consumer never has to
+    // re-derive which is which from the values.
     def queryPass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val q0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-        catch { case scala.util.control.NonFatal(_) => if (!failed.contains(name)) failed ::= name; false }
+        catch { case scala.util.control.NonFatal(_) => false }
         name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
       }.toMap
     val pass1 = queryPass()
@@ -267,8 +335,13 @@ object Bench {
     val results = pass1.keys.toSeq.sorted.map { k =>
       k -> Seq(pass1(k), pass2(k)).filter(_ >= 0.0).minOption.getOrElse(-1.0)
     }
+    val failed = results.filter(_._2 < 0.0).map(_._1)
+    val flaky = results.collect {
+      case (k, v) if v >= 0.0 && (pass1(k) < 0.0 || pass2(k) < 0.0) => k
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // ANN quality: recall@10 of the approximate paths vs exact brute force
     // (approximation quality is as load-bearing as speed at 100 TB)
@@ -339,19 +412,18 @@ object Bench {
     // judge read 1.4-1.6s on the same build — a cold/contended read of
     // the 300+ MB payload is indistinguishable from a decode regression
     // unless the input is warmed and the MB/s is reported alongside.
-    val dedupInputMb = warmPageCacheMb(dedupPath)
+    // The warm pass's own MB/s is the I/O-health denominator for the
+    // contention retry below.
+    val (dedupInputMb, warmReadRate) = warmPageCacheRate(dedupPath)
     // untimed warmup on a small slice — same decode/dhash/join code
     // path as the timed run (CLAUDE.md bench invariant: first-use JIT
     // must not land in the measurement, which it otherwise would on
     // every cache-hit run where prepareDedupInput skips the synth)
     graft.media.Media.imageDupClustersPhased(
       spark.read.parquet(dedupPath).limit(2000), maxHamming = 2)._1.count()
-    var tDedup = Double.MaxValue
-    var dedupPhases = (0.0, 0.0, 0.0) // decode / band / components+label
-    var dedupRows = 0L
-    var dupFound = 0L
-    var clusters: DataFrame = null
-    (0 until 2).foreach { _ =>
+    case class DedupRep(total: Double, dec: Double, band: Double,
+                        rows: Long, found: Long, clusters: DataFrame)
+    def dedupRep(): DedupRep = {
       val t3 = System.nanoTime()
       val dedupInput = spark.read.parquet(dedupPath)
       val rows = dedupInput.count()
@@ -361,13 +433,26 @@ object Bench {
         .imageDupClustersPhased(dedupInput, maxHamming = 2)
       val cl = cl0.localCheckpoint(true)
       val found = cl.filter(col("image_id") =!= col("rep")).count()
-      val total3 = (System.nanoTime() - t3) / 1e9
-      if (total3 < tDedup) {
-        tDedup = total3
-        dedupPhases = (tDec, tBand, total3 - tDec - tBand)
-      }
-      dedupRows = rows; dupFound = found; clusters = cl
+      DedupRep((System.nanoTime() - t3) / 1e9, tDec, tBand, rows, found, cl)
     }
+    // min-of-2 plus ONE contention-triggered extra rep: when even the
+    // best rep's decode MB/s is far under what the warm pass just read,
+    // both reps starved (the r6 driver artifact) — one more rep is the
+    // only honest number available without looping
+    val (bestRep, dedupRetried) = minWithRetry[DedupRep](
+      Seq(dedupRep(), dedupRep()), _.total,
+      r => dedupContended(if (r.dec > 0) dedupInputMb / r.dec else -1.0, warmReadRate),
+      () => dedupRep())
+    val tDedup = bestRep.total
+    val dedupPhases = (bestRep.dec, bestRep.band, bestRep.total - bestRep.dec - bestRep.band)
+    val dedupRows = bestRep.rows
+    val dupFound = bestRep.found
+    val clusters: DataFrame = bestRep.clusters
+    // post-retry verdict: the artifact either reads clean or SAYS it is
+    // contended next to its best-effort numbers
+    val contended = dedupContended(
+      if (bestRep.dec > 0) dedupInputMb / bestRep.dec else -1.0, warmReadRate) ||
+      headlineContended(Seq(memProbePre, memProbeSec))
     // recall floor: EVERY planted copy must co-cluster with its source
     // (an aggregate count could mask misses behind unrelated members)
     val re = clusters.filter(col("image_id").endsWith("_re"))
@@ -380,7 +465,7 @@ object Bench {
       s"dedup missed planted duplicates: $coClustered of $planted co-clustered")
 
     val json =
-      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"mem_probe_sec":$memProbeSec%.2f,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dup_span_planted":$spanPlanted,"dup_span_cluster_sec":$spanClusterSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson}}"""
+      f"""{"metric":"tiles/sec","value":$tps%.2f,"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","detail":{"rows":$rows,"tiles":$tiles,"encode_sec":$tEnc%.2f,"pip_sec":$tPip%.2f,"render_sec":$tRen%.2f,"total_sec":$total%.2f,"cpus":$cpus,"zooms":"0-8","cpu_probe_sec":$probeSec%.2f,"mem_probe_pre_sec":$memProbePre%.2f,"mem_probe_sec":$memProbeSec%.2f,"warm_read_mb_per_sec":$warmReadRate%.0f,"contended":$contended,"headline_retried":$headlineRetried,"dedup_retried":$dedupRetried,"ann_lsh_recall10":$lshRecall%.3f,"ann_ivf_recall10":$ivfRecall%.3f,"neardup_bucketed_sec":$bucketedSec%.2f,"dup_span_planted":$spanPlanted,"dup_span_cluster_sec":$spanClusterSec%.2f,"dedup_sec":$tDedup%.2f,"dedup_input_mb":$dedupInputMb%.1f,"dedup_decode_mb_per_sec":${if (dedupPhases._1 > 0) dedupInputMb / dedupPhases._1 else -1.0}%.1f,"dedup_decode_sec":${dedupPhases._1}%.2f,"dedup_band_sec":${dedupPhases._2}%.2f,"dedup_components_sec":${dedupPhases._3}%.2f,"dedup_images_per_sec":${dedupRows / tDedup}%.0f,"dedup_planted":$planted,"dedup_found":$dupFound,"queries_failed":$failedJson,"queries_flaky":$flakyJson}}"""
     spark.stop()
     // Driver contract: the JSON must be machine-readable. Emit it as the
     // final bare stdout line (after spark.stop(), whose logs go to stderr)

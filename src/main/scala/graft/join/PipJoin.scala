@@ -24,12 +24,30 @@ object PipJoin {
   // built once per EXECUTOR JVM per broadcast, not once per task: at
   // thousands of partitions the per-task re-prepare of every polygon
   // (the expensive part of PreparedGeometry) is pure redundant work.
-  // Bounded so an unusual many-polygon-set session can't grow it.
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[Long, STRtree]()
+  // Keyed on the Broadcast INSTANCE (weak identity key), never its
+  // numeric id: broadcast ids restart from 0 when a SparkContext is
+  // stopped and recreated in the same JVM (local mode, test harnesses),
+  // so an id-keyed entry could silently serve a stale tree built from
+  // DIFFERENT polygons. Weak keys also release the prepared trees once
+  // the broadcast itself is collected, so nothing pins for JVM life.
+  // (Broadcast does not override equals/hashCode, so WeakHashMap's
+  // equals-based lookup IS identity here.)
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[Array[WorldPolygon]], STRtree]())
 
-  private def cachedIndex(b: org.apache.spark.broadcast.Broadcast[Array[WorldPolygon]]): STRtree =
-    if (indexCache.size >= 64) buildIndex(b.value)
-    else indexCache.computeIfAbsent(b.id, _ => buildIndex(b.value))
+  private def cachedIndex(b: org.apache.spark.broadcast.Broadcast[Array[WorldPolygon]]): STRtree = {
+    val hit = indexCache.get(b)
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the map lock (minutes-long prepare on huge polygon
+      // sets must not serialize unrelated lookups); two racing tasks may
+      // both build — both trees come from the same broadcast value, so
+      // whichever put lands last is equivalent
+      val built = buildIndex(b.value)
+      indexCache.put(b, built)
+      built
+    }
+  }
 
   private def buildIndex(polys: Array[WorldPolygon]): STRtree = {
     val gf = new GeometryFactory()

@@ -208,22 +208,29 @@ object Sinks {
     }
     if (!zAcc.isZero) {
       val (mn0, mx0) = zAcc.value
-      // incremental writers call this per batch with only the zooms
-      // THEY rendered; the tileset on disk keeps its full range, so the
-      // metadata must merge with what an earlier call recorded — a
-      // clobber would make map clients refuse existing zoom levels
-      val existing = Paths.get(dir, "metadata.json")
-      val (mn, mx) =
-        if (!Files.exists(existing)) (mn0, mx0)
-        else {
-          val txt = Files.readString(existing)
-          def zOf(k: String): Option[Int] =
-            s""""$k": (\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-          (zOf("minzoom").map(math.min(_, mn0)).getOrElse(mn0),
-            zOf("maxzoom").map(math.max(_, mx0)).getOrElse(mx0))
-        }
-      writeTilesetMetadata(dir, name, mn, mx)
+      mergeTilesetMetadata(dir, name, mn0, mx0)
     }
+  }
+
+  /** Widen the tileset metadata's zoom range by [mn0, mx0] (creating it
+    * if absent). Incremental writers call the tileset sink per batch
+    * with only the zooms THEY rendered; the tileset on disk keeps its
+    * full range, so the metadata must merge with what an earlier call
+    * recorded — a clobber would make map clients refuse existing zoom
+    * levels. Also used by the low-zoom refresh swap, whose temp-dir
+    * render writes metadata unaware of the live tileset's range. */
+  def mergeTilesetMetadata(dir: String, name: String, mn0: Int, mx0: Int): Unit = {
+    val existing = Paths.get(dir, "metadata.json")
+    val (mn, mx) =
+      if (!Files.exists(existing)) (mn0, mx0)
+      else {
+        val txt = Files.readString(existing)
+        def zOf(k: String): Option[Int] =
+          s""""$k": (\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        (zOf("minzoom").map(math.min(_, mn0)).getOrElse(mn0),
+          zOf("maxzoom").map(math.max(_, mx0)).getOrElse(mx0))
+      }
+    writeTilesetMetadata(dir, name, mn, mx)
   }
 
   /**

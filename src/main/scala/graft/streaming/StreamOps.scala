@@ -408,29 +408,63 @@ object StreamOps {
     * snapshot: fresh global rank over the narrow (cell, meta) projection,
     * then the one-shuffle pyramid over just those zooms. Used on the
     * incremental cadence and as the caller's finalizer after a bounded
-    * stream drains. */
+    * stream drains.
+    *
+    * Replace is SWAP-BASED, never delete-then-render: the new generation
+    * renders into a sibling temp dir, then each zoom dir is renamed in
+    * (old generation out first, deleted LAST) — a crash mid-refresh
+    * leaves the previous tiles stale-but-present instead of absent, and
+    * concurrent map readers see each zoom vanish only for the instant
+    * between two renames, not for the whole render window. Wholesale
+    * REPLACE is still the semantics: the global-rank step sample shifts
+    * as the corpus grows, so a fresh render's tile set can SHRINK, and
+    * an overlay would leave orphan tiles forever.
+    *
+    * `tilesDir` must be on the LOCAL filesystem: the tileset sink
+    * (Sinks.writeTileset) and this swap use java.nio, matching the
+    * reference's `render -o` directory-of-PNGs layout, which is a
+    * local-serving artifact. snapshotDir (and the dedup/stream state
+    * roots, see migrateFlatSink) ARE Hadoop-FS capable — only the
+    * final PNG tree is local-only by design. */
   def refreshLowZooms(spark: SparkSession, snapshotDir: String, tilesDir: String,
                       zooms: Seq[Int], mapbits: Int, p: graft.core.RenderParams): Unit = {
-    // wholesale REPLACE, not overlay: the global-rank step sample
-    // shifts as the corpus grows, so a fresh full render's tile set can
-    // SHRINK — tiles whose sampled records all moved away would linger
-    // forever if the old zoom dirs weren't cleared first
-    zooms.foreach { z =>
-      val zd = java.nio.file.Paths.get(tilesDir, z.toString)
-      if (java.nio.file.Files.exists(zd)) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteRecursive(d: java.nio.file.Path): Unit =
+      if (Files.exists(d)) {
         import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.walk(zd)
-        try st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.delete)
+        val st = Files.walk(d)
+        try st.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
         finally st.close()
       }
-    }
+    // dot-prefixed siblings: never readable as zoom levels by clients
+    // listing tilesDir; leftovers from a crashed refresh are reclaimed
+    // at the next refresh before rendering begins
+    val tmp = Paths.get(tilesDir, ".lowzoom.next")
+    val old = Paths.get(tilesDir, ".lowzoom.old")
+    deleteRecursive(tmp); deleteRecursive(old)
     val ranked = graft.render.Render.withGlobalRank(
       spark.read.parquet(snapshotDir).select(col("cell"), col("meta")))
     try {
       val tiles = graft.render.Render.renderPyramid(ranked, zooms, mapbits, p)
-      graft.sinks.Sinks.writeTileset(tiles, tilesDir, snapshotDir)
+      graft.sinks.Sinks.writeTileset(tiles, tmp.toString, snapshotDir)
     } finally ranked.unpersist()
+    Files.createDirectories(old)
+    zooms.foreach { z =>
+      val live = Paths.get(tilesDir, z.toString)
+      val next = tmp.resolve(z.toString)
+      if (Files.exists(live))
+        Files.move(live, old.resolve(z.toString), StandardCopyOption.ATOMIC_MOVE)
+      // a zoom that rendered no tiles in the new generation stays
+      // absent — that IS the shrink case the wholesale replace exists for
+      if (Files.exists(next))
+        Files.move(next, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // merge the new generation's zoom range into the live metadata (the
+    // temp render wrote its own metadata.json unaware of the live range)
+    if (zooms.nonEmpty && zooms.exists(z => Files.exists(Paths.get(tilesDir, z.toString))))
+      graft.sinks.Sinks.mergeTilesetMetadata(tilesDir, snapshotDir, zooms.min, zooms.max)
+    // old generation deleted LAST; temp now holds only metadata litter
+    deleteRecursive(old); deleteRecursive(tmp)
   }
 
   /** Run a streaming query over a bounded source synchronously into a
