@@ -38,8 +38,15 @@ object Knn {
   private val shiftMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Double), java.lang.Integer]()
 
+  // targetFactor 8 (not 4): the density model is uniform, and a query
+  // in a below-average pocket at factor 4 lands right at the resolve
+  // boundary — r6's bench had exactly one such query, whose fallback
+  // (even d2-capped) costs a full map-side point scan. One extra
+  // doubling is a linear candidate-count cost (~2x rows in the ring
+  // join, still ~8k per query) that buys a quadratically safer margin;
+  // the measured workload went 1 fallback -> 0 with the extra shift.
   def autoTileShift(points: DataFrame, k: Int, ring: Int = 1,
-                    targetFactor: Double = 4.0): Int = {
+                    targetFactor: Double = 8.0): Int = {
     val key = (points.queryExecution.analyzed.semanticHash(), k, ring, targetFactor)
     val hit = shiftMemo.get(key)
     if (hit != null) return hit.intValue()
@@ -189,8 +196,9 @@ object Knn {
     // query; guard*guard would wrap negative for tileShift >= 31 and
     // mark EVERYTHING unresolved (full-corpus fallback)
     val guard2 = if (guard >= (1L << 31)) Long.MaxValue else guard * guard
-    def resolvedSet = cand.groupBy("qid")
+    def qstats = cand.groupBy("qid")
       .agg(count(lit(1)).as("n"), max(col("d2")).as("kth"))
+    def resolvedSet = qstats
       .filter(col("n") >= k && col("kth") <= guard2)
       .select("qid")
 
@@ -209,12 +217,29 @@ object Knn {
       val good = cand.join(resolved, Seq("qid"), "left_semi")
         .select("qid", "id", "d2", "rn")
       // exact fallback for unresolved queries: broadcast those queries
-      // over the full point table (they are few by construction)
+      // over the full point table (they are few by construction). The
+      // scan is map-side and unavoidable for exactness, but the top-k
+      // window is NOT allowed to receive the whole table: a query whose
+      // ring already produced >= k candidates (kth merely beyond the
+      // guard radius) has a PROOF that the true k-th distance is <= its
+      // ring kth — any farther point is beaten by those k candidates —
+      // so d2 <= kth pre-filters the scan down to ~k rows per query
+      // before anything shuffles into the per-qid window partition.
+      // (Previously every point row shuffled into that one partition:
+      // a single sparse-pocket query cost a full-table window pass —
+      // the r6 q47-vs-q10 2x gap.) Only a query with FEWER than k ring
+      // candidates (sparse pocket squared) keeps the unbounded filter.
       val unresolved = q.join(resolved, Seq("qid"), "left_anti")
+        .join(qstats, Seq("qid"), "left")
+        .select(col("qid"), col("qx"), col("qy"),
+          when(col("n").isNotNull && col("n") >= k, col("kth"))
+            .otherwise(lit(Long.MaxValue)).as("d2cap"))
       val fb = pts.crossJoin(broadcast(unresolved))
         .select(col("qid"), col("id"),
           ((col("x") - col("qx")) * (col("x") - col("qx")) +
-            (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"))
+            (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"),
+          col("d2cap"))
+        .filter(col("d2") <= col("d2cap"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select("qid", "id", "d2", "rn")

@@ -41,6 +41,33 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("d2-capped fallback: ring-corner candidates bound the scan but true neighbors outside the ring still win") {
+    import spark.implicits._
+    // tileShift 10 -> tile side 1024, guard = 1024, guard2 = 1048576.
+    // Query at a tile center; 6 points in the ring's far corner at
+    // distance ~2.5 tiles (IN the 3x3 ring join, so n >= k, but
+    // kth > guard2 -> unresolved WITH a finite d2cap); 3 points just
+    // OUTSIDE the ring at ~1.2 tiles — closer than the corner points,
+    // invisible to the ring join, and findable only by the fallback.
+    // The capped fallback must return corner-bound-filtered exact kNN:
+    // the 3 outside points plus the 2 nearest corner points.
+    val qx = 512L + 8192L; val qy = 512L + 8192L // center of tile (8,8)
+    // ring tile (9,9) spans [9216,10239]: d ~ sqrt(2)*1500 > guard 1024
+    val corner = (0 until 6).map(i => (100L + i, qx + 1500L + i, qy + 1500L))
+    // x = 7104 -> tile 6, OUTSIDE the 3x3 ring, d = 1600 < corner d
+    val outside = (0 until 3).map(i => (200L + i, qx - 1600L - i, qy))
+    val pts = (corner ++ outside).toDF("id", "x", "y")
+    val qs = Seq((1L, qx, qy)).toDF("qid", "qx", "qy")
+    val (res, fbCnt) = graft.join.Knn.knnJoinWithStats(spark, pts, qs, k = 5, tileShift = 10)
+    assert(fbCnt == 1L, s"query must be fallback-handled (got $fbCnt)")
+    val got = res.select("id", "rn").as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    val expect = (corner ++ outside).map { case (id, x, y) =>
+      (id, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+    }.sortBy(t => (t._2, t._1)).take(5).map(_._1).toSeq
+    assert(got == expect, s"got $got expected $expect")
+    assert(outside.map(_._1).forall(expect.contains), "outside-ring points must rank")
+  }
+
   test("NULL qids are dropped; they neither pollute results nor skew the fallback decision") {
     import spark.implicits._
     val r = new scala.util.Random(7)
