@@ -99,6 +99,25 @@ case class CharNgramHashesExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** One-pass (window-hash, window-bytes) pairs for the single-scan
+  * duplicate-span projection — [[CharNgramHashesExpr]] with each
+  * window's snip extracted incrementally (a per-window substring()
+  * would seek quadratically; see PortableHash.charNgramSnips). */
+case class CharNgramSnipsExpr(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("wh", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("snip", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "char_ngram_snips"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.PortableHash.charNgramSnips(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.PortableHash.charNgramSnips($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Learned-vocab BPE token count (graft.text.Bpe: GPT-2-format merges
   * fixture, classic greedy lowest-rank merging, memoized per word). */
 case class BpeTokenCountExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {

@@ -265,6 +265,47 @@ object PortableHash {
     new GenericArrayData(out)
   }
 
+  /** [[charNgramHashes]] plus each window's BYTES, still one O(chars)
+    * pass: array of (h64, snip) structs where snip equals
+    * substring(text, w+1, n) in codepoint semantics (what the DuckDB
+    * oracle computes and what [[charNgramHashes]] hashes). Exists
+    * because extracting the snippet with a per-window substring() seeks
+    * O(w) characters per call — quadratic per document — while this
+    * slides the window incrementally. Feeds the single-scan
+    * duplicate-span projection, where every window's bytes must
+    * materialize alongside its hash. */
+  def charNgramSnips(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val m = cps.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    var pow31 = 1L; var pow37 = 1L
+    var j = 0
+    while (j < n - 1) { pow31 = pow31 * 31 % P; pow37 = pow37 * 37 % P; j += 1 }
+    val out = new Array[Any](m - n + 1)
+    var h31 = cps(0).toLong % P
+    var h37 = h31
+    j = 1
+    while (j < n) {
+      h31 = (h31 * 31 + cps(j)) % P
+      h37 = (h37 * 37 + cps(j)) % P
+      j += 1
+    }
+    out(0) = org.apache.spark.sql.catalyst.InternalRow(
+      (h31 << 31) | h37, UTF8String.fromString(new String(cps, 0, n)))
+    var w = 1
+    while (w <= m - n) {
+      val cOut = cps(w - 1).toLong
+      val cIn = cps(w + n - 1).toLong
+      h31 = Math.floorMod((h31 - cOut * pow31 % P) * 31 + cIn, P)
+      h37 = Math.floorMod((h37 - cOut * pow37 % P) * 37 + cIn, P)
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(
+        (h31 << 31) | h37, UTF8String.fromString(new String(cps, w, n)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---------- DuckDB SQL generators (the oracle side) ----------
 
   /** `(h*base + c) % P` char fold of a string expression (DuckDB). */

@@ -382,20 +382,20 @@ object TextOps {
     * to [[duplicateSpanClusters]] for keep-one semantics.
     *
     * Scale shape (corpus x corpus, so every stage must be bounded):
-    *  1. (doc_id, window-hash) distinct rows — rolling
-    *     [[charNgramHashes]], one O(chars) pass; only 16-byte id rows
-    *     shuffle, never text.
-    *  2. Per-hash bucket stats (hash agg); only collided hashes
-    *     (bcnt >= 2) survive — the duplicated-window vocabulary,
-    *     candidate-sized.
-    *  3. EXACT verify without shuffling text: re-scan the corpus
-    *     map-side, broadcast-filter windows to the collided-hash set,
-    *     and emit each document's first n-char snippet per collided
-    *     hash — the only rows that carry text bytes are candidate-sized
-    *     n-char snippets. (62-bit hashes collide ~2^-62/pair, but at
-    *     10^12 windows the birthday count is material, and a false
-    *     positive here REMOVES a good document — the unsafe direction —
-    *     so pairs are verified on the actual bytes, not the hash.)
+    *  1. ONE text pass: the windowed projection — rolling
+    *     [[charNgramHashes]] plus each window's bytes — spools to a
+    *     localCheckpoint map-side; nothing corpus-sized shuffles.
+    *  2. Per-hash bucket stats from the projection (countDistinct docs
+    *     per hash — its partial-distinct stage moves only 16-byte
+    *     (wh, doc_id) pairs); only collided hashes (bcnt >= 2)
+    *     survive — the duplicated-window vocabulary, candidate-sized.
+    *  3. EXACT verify without shuffling text: broadcast-filter the
+    *     projection to the collided-hash set — the only rows that carry
+    *     text bytes onto a shuffle are candidate-sized n-char snippets.
+    *     (62-bit hashes collide ~2^-62/pair, but at 10^12 windows the
+    *     birthday count is material, and a false positive here REMOVES
+    *     a good document — the unsafe direction — so pairs are
+    *     verified on the actual bytes, not the hash.)
     *  4. Frequency-capped pair expansion (the cappedCandidatePairs
     *     pattern): buckets <= cap emit all pairs, hotter buckets emit
     *     star pairs to the min doc PER (hash, verified-bytes) group — a
@@ -405,36 +405,87 @@ object TextOps {
     *     semantics) is preserved even when a colliding window hides in
     *     a hot bucket.
     * The DuckDB oracle (q51) replicates hash, cap, star and verify
-    * exactly — same portable arithmetic as q50. */
+    * exactly — same portable arithmetic as q50.
+    *
+    * Single-scan by default: the corpus text column is read and
+    * window-hashed exactly ONCE — the windowed projection
+    * (doc_id, wh, snip) spools to a localCheckpoint (map-side, nothing
+    * extra shuffles) and funds both the bucket stats and the byte
+    * verify. The spool costs ~(16+n) bytes per window of local storage;
+    * [[duplicateSpansRescan]] trades that storage for a second full
+    * text scan — preferred when docs is a huge raw columnar table where
+    * a second pruned scan is cheaper than spooling ~n bytes/char, i.e.
+    * cheap-to-rescan sources. Whenever `text` is itself DERIVED
+    * (HTML-extracted, OCR'd, decompressed), rescanning re-pays that
+    * derivation and the single-scan spool wins at any size. Both
+    * variants produce identical results (PlanSpec pins equality). */
   def duplicateSpans(docs: DataFrame, n: Int, cap: Int = 64): DataFrame =
-    duplicateSpansImpl(docs, n, cap, checkpoint = true)
+    duplicateSpansImpl(docs, n, cap, checkpoint = true, singleScan = true)
+
+  /** Two-scan variant: nothing corpus-sized ever materializes; the text
+    * column is scanned twice (window stats, then broadcast-filtered
+    * snippet extraction). See [[duplicateSpans]] for the regime split. */
+  def duplicateSpansRescan(docs: DataFrame, n: Int, cap: Int = 64): DataFrame =
+    duplicateSpansImpl(docs, n, cap, checkpoint = true, singleScan = false)
+
+  /** The one-corpus-pass windowed projection: every n-char window's
+    * 62-bit rolling hash plus its bytes, from the single-pass codegen
+    * kernel (a posexplode + per-window substring() would seek O(w)
+    * chars per window — quadratic per document). NOT distinct (distinct
+    * would shuffle the full projection; consumers dedupe at candidate
+    * size). */
+  private[graft] def duplicateSpansProjection(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.CharNgramSnipsExpr(
+            org.apache.spark.sql.graft.Bridge.expression(col("text")), n))).as("ws"))
+      .select(col("doc_id"), col("ws.wh").as("wh"), col("ws.snip").as("snip"))
 
   /** checkpoint=false keeps the whole lineage in ONE plan so PlanSpec
     * can assert the shuffle shape (production always checkpoints: the
-    * collided-vocabulary and verified-member sets each feed multiple
-    * consumers, and the corpus window pass must run once, not 4x). */
+    * windowed projection / collided-vocabulary / verified-member sets
+    * each feed multiple consumers, and the corpus window pass must run
+    * once, not 4x). */
   private[graft] def duplicateSpansImpl(docs: DataFrame, n: Int, cap: Int,
-                                        checkpoint: Boolean): DataFrame = {
+                                        checkpoint: Boolean,
+                                        singleScan: Boolean = true): DataFrame = {
     def ckpt(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint(true) else df
-    val w = docs.select(col("doc_id"), explode(charNgramHashes(col("text"), n)).as("wh"))
-      .distinct()
-    // checkpoint: candidate-sized, consumed by the snippet broadcast AND
-    // the stats join — without it the full corpus window pass runs twice
-    val bstats = ckpt(w.groupBy("wh")
-      .agg(count(lit(1)).as("bcnt"))
-      .filter(col("bcnt") >= 2))
-    // snippets map-side: text never shuffles — the broadcast carries only
-    // the 8-byte collided-hash vocabulary, and the rows leaving the scan
-    // are (doc_id, wh, n-char snip). DISTINCT (not a min-collapse): a doc
-    // holding two same-hash different-byte windows must keep BOTH — the
-    // collapsed one could be the bytes another doc genuinely shares.
-    val snips = docs
-      .select(col("doc_id"), col("text"),
-        posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
-      .join(broadcast(bstats.select(col("wh"))), "wh")
-      .select(col("doc_id"), col("wh"),
-        expr(s"substring(text, p0 + 1, $n)").as("snip"))
-      .distinct()
+    // Both variants shuffle the SAME volumes: bucket stats move only
+    // distinct (wh, doc_id) pairs (countDistinct's partial-distinct
+    // stage == the explicit w.distinct() of the rescan variant), and
+    // the snippet set dedupes AFTER the broadcast collided-hash filter,
+    // at candidate size. DISTINCT (not a min-collapse) on snippets: a
+    // doc holding two same-hash different-byte windows must keep BOTH —
+    // the collapsed one could be the bytes another doc genuinely shares.
+    val (bstats, snips) =
+      if (singleScan) {
+        val proj = ckpt(duplicateSpansProjection(docs, n))
+        val bs = ckpt(proj.groupBy("wh")
+          .agg(countDistinct(col("doc_id")).as("bcnt"))
+          .filter(col("bcnt") >= 2))
+        (bs,
+          proj.join(broadcast(bs.select(col("wh"))), "wh")
+            .select(col("doc_id"), col("wh"), col("snip"))
+            .distinct())
+      } else {
+        val w = docs.select(col("doc_id"), explode(charNgramHashes(col("text"), n)).as("wh"))
+          .distinct()
+        // checkpoint: candidate-sized, consumed by the snippet broadcast
+        // AND the stats join — else the corpus window pass runs twice
+        val bs = ckpt(w.groupBy("wh")
+          .agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") >= 2))
+        // snippets map-side: text never shuffles — the broadcast carries
+        // only the 8-byte collided-hash vocabulary, and the rows leaving
+        // the scan are (doc_id, wh, n-char snip)
+        (bs,
+          docs.select(col("doc_id"), col("text"),
+              posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
+            .join(broadcast(bs.select(col("wh"))), "wh")
+            .select(col("doc_id"), col("wh"),
+              expr(s"substring(text, p0 + 1, $n)").as("snip"))
+            .distinct())
+      }
     val c = ckpt(snips.join(bstats, "wh"))
     val small = c.filter(col("bcnt") <= cap)
     val allPairs = small.as("a").join(small.as("b"),

@@ -397,6 +397,11 @@ class PlanSpec extends AnyFunSuite {
         s"pair/count mismatch: extra=${(got.keySet -- expected.keySet).take(5)} " +
           s"missing=${(expected.keySet -- got.keySet).take(5)} " +
           s"diff=${got.keys.filter(k => expected.get(k).exists(_ != got(k))).take(5)}")
+      // the two-scan variant must be pair-for-pair identical (the regime
+      // split is a COST choice; semantics may never diverge)
+      val gotRescan = graft.text.TextOps.duplicateSpansRescan(docs, 30, cap = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(gotRescan == got, "rescan variant diverged from single-scan")
       // planted pairs present; hot bucket (100-doc boiler window) did
       // NOT go quadratic but every hot doc stays connected to doc 0
       (100L until 300L by 2).foreach(a => assert(got.contains((a, a + 1)), s"planted ($a,${a + 1}) missing"))
@@ -411,6 +416,34 @@ class PlanSpec extends AnyFunSuite {
         assert(reps(a) == reps(a + 1), s"planted pair ($a,${a + 1}) split: ${reps(a)} vs ${reps(a + 1)}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("duplicate spans single-scan: exactly one parquet scan of the text column funds the whole operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString + "/docs"
+    (0L until 60L).map { i =>
+      val r = new scala.util.Random(i * 7 + 3)
+      val span = s"shared span ${i / 2} " + "q" * 18
+      (i, Seq.fill(40)(('a' + r.nextInt(26)).toChar).mkString + s" $span")
+    }.toDF("doc_id", "text").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    def parquetScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      allNodes(p).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata.getOrElse("Location", "")
+      }.filter(_.contains("docs"))
+    // the windowed projection is the ONE text-column read...
+    val proj = graft.text.TextOps.duplicateSpansProjection(docs, 30)
+    assert(parquetScans(proj.queryExecution.executedPlan).size == 1)
+    // ...and the production (checkpointed) result's plan reads ONLY the
+    // spooled projection/vocabulary checkpoints — zero parquet rescans
+    // of the corpus anywhere downstream
+    val res = graft.text.TextOps.duplicateSpans(docs, 30, cap = 64)
+    assert(parquetScans(res.queryExecution.executedPlan).isEmpty,
+      "single-scan result plan re-reads documents parquet")
+    assert(res.count() > 0)
+    // the rescan variant, by contrast, declares its second text pass
+    val res2 = graft.text.TextOps.duplicateSpansRescan(docs, 30, cap = 64)
+    assert(parquetScans(res2.queryExecution.executedPlan).isEmpty) // checkpointed too
   }
 
   test("as-of join: matches brute force, one exchange, no range join") {
