@@ -428,6 +428,11 @@ object SparkEntry {
     // tf (exchange reused), vocabulary-sized join — text never shuffles
     "q61_unigram_rarity" -> ((s, d) => TextOps.unigramRarity(docs(s, d))),
 
+    // model-based quality scoring (trained fixed-point linear classifier
+    // over hashed token features; QualityModel fixture weights): map-only
+    // codegen kernel, zero exchanges, keep = integer margin >= 0
+    "q63_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
+
     // ---------- embeddings ----------
 
     "q26_embed_cosine" -> ((s, d) => {
@@ -988,6 +993,24 @@ object SparkEntry {
          |  FROM tf JOIN cnt USING (tok), tot GROUP BY 1)
          | SELECT d.doc_id, coalesce(sc.toks, 0) AS toks, coalesce(sc.rarity, 0) AS rarity
          | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " "),
+
+    // trained-fixture replay (the q52 recipe): the SAME int8 weights the
+    // engine loaded are inlined as a VALUES table and the dot product is
+    // replayed per token hash — pure BIGINT arithmetic, bit-exact
+    "q63_quality_model" -> {
+      import graft.text.{PortableHash, QualityModel}
+      val wt = (0 until QualityModel.Buckets)
+        .map(b => s"($b, ${QualityModel.weights(b)})").mkString(", ")
+      s"""WITH wt(b, w) AS (VALUES $wt),
+         | tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+         | th AS (SELECT doc_id, (${PortableHash.tokenHashSql("tok")}) % ${QualityModel.Buckets} AS b FROM tk),
+         | sc AS (SELECT th.doc_id, CAST(count(*) AS BIGINT) AS toks, CAST(sum(wt.w) AS BIGINT) AS s
+         |   FROM th JOIN wt USING (b) GROUP BY 1)
+         | SELECT d.doc_id, coalesce(sc.toks, 0) AS toks,
+         |  CAST(${QualityModel.bias} + coalesce(sc.s, 0) AS BIGINT) AS score,
+         |  CASE WHEN ${QualityModel.bias} + coalesce(sc.s, 0) >= 0 THEN 1 ELSE 0 END AS keep
+         | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+    },
 
     // single-source with TextOps.htmlColumns: patterns, entity table
     // and decode ORDER come from the same constants

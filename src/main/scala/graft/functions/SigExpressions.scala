@@ -118,6 +118,21 @@ case class CharNgramSnipsExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Trained linear quality margin (graft.text.QualityModel: hashed token
+  * features x int8 fixture weights, integer dot product) — map-only,
+  * one kernel call per row. */
+case class QualityScoreExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quality_score"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.QualityModel.score(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.QualityModel.score($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Learned-vocab BPE token count (graft.text.Bpe: GPT-2-format merges
   * fixture, classic greedy lowest-rank merging, memoized per word). */
 case class BpeTokenCountExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {

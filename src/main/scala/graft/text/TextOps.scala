@@ -112,6 +112,26 @@ object TextOps {
         .otherwise(lit(1)))
   }
 
+  /** Model-based quality scoring (the fastText-class trained keep/drop
+    * filter; [[qualityColumns]] is the heuristic stand-in): integer
+    * margin of a trained fixed-point linear classifier over hashed
+    * token features (graft.text.QualityModel fixture), keep = margin
+    * >= 0. Map-only — one codegen kernel call per row, the text column
+    * never leaves the scan, no exchange anywhere in the plan; the
+    * DuckDB oracle (q63) replays the dot product bit-exactly from the
+    * same weights. */
+  def qualityModelScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("toks"),
+      qualityScore(col("text")).as("score"))
+      .withColumn("keep", when(col("score") >= 0, lit(1)).otherwise(lit(0)))
+
+  /** Trained integer quality margin of one text column value. */
+  def qualityScore(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.QualityScoreExpr(expression(c)))
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition signals, as integer COUNTS so the DuckDB oracle is
     * bit-exact; callers derive the published ratios): token total and
