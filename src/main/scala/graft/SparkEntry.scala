@@ -521,6 +521,16 @@ object SparkEntry {
         .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
     }),
 
+    // SemDeDup-style semantic dedup: fixed k-means cells (the q40
+    // quantizer), within-cell cos-threshold components, keep-one per
+    // group — cluster-level redundancy that pairwise LSH (q39/q44)
+    // misses; no array column on any corpus shuffle
+    "q64_semdedup" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val (cids, cvecs) = Ann.kmeansCentroids(e, k = 8, iters = 3)
+      Ann.semDedup(e, cids, cvecs, minCos = 0.3)
+    }),
+
     // hash join + aggregation (lineitem x orders)
     "q33_join_agg" -> ((s, d) => {
       val o = s.read.parquet(s"$d/orders.parquet")
@@ -1087,6 +1097,29 @@ object SparkEntry {
          |  UNION
          |  SELECT r.node, e.eb FROM reach r JOIN edges e ON e.ea = r.rep)
          | SELECT node AS vec_id, min(rep) AS rep FROM reach GROUP BY node""".stripMargin.replace("\n", " "),
+
+    // replayed fixed centroids (the q40 CTE) + within-cell pair graph +
+    // the q44 recursive-reach fixpoint, restricted to same-cell edges
+    "q64_semdedup" ->
+      s"""WITH RECURSIVE ${graft.oracle.VecSql.kmeansCentsCte(k = 8, iters = 3)},
+         | asg AS (SELECT vec_id, cell FROM (
+         |   SELECT v.vec_id, c.cid AS cell,
+         |     row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cosSql("v.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |   FROM embeddings v, cents c) a WHERE rn = 1),
+         | spairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |   FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |   JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |   JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |   WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3),
+         | edges AS (SELECT va AS x, vb AS y FROM spairs UNION ALL SELECT vb, va FROM spairs),
+         | reach(node, rep) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.node, e.y FROM reach r JOIN edges e ON e.x = r.rep),
+         | lab AS (SELECT node AS vec_id, min(rep) AS rep FROM reach GROUP BY node)
+         | SELECT l.vec_id, a.cell, l.rep,
+         |  CASE WHEN l.vec_id = l.rep THEN 1 ELSE 0 END AS keep
+         | FROM lab l JOIN asg a USING (vec_id)""".stripMargin.replace("\n", " "),
 
     "q31_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

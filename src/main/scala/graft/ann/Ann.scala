@@ -189,6 +189,63 @@ object Ann {
     ivfAssign(vecs, cids, cvecs)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
+    * k-means cells via the FIXED coarse quantizer, then keep ONE
+    * representative per within-cell cosine-threshold duplicate group —
+    * the cluster-level redundancy pass that pairwise LSH near-dup
+    * (q39/q44) misses at lower thresholds. Returns every vector as
+    * (vec_id, cell, rep, keep): rep = the minimum vec_id of the
+    * vector's within-cell connected component of the cos >= minCos
+    * pair graph (itself when isolated), keep = 1 iff vec_id == rep.
+    *
+    * Scale shape: assignment is the map-side codegen kernel (zero
+    * shuffle); the within-cell candidate self-join carries (cell,
+    * vec_id) rows ONLY — embeddings re-join by id for the exact cosine,
+    * so no array column ever rides a corpus shuffle; components run in
+    * 8-byte id space (Components.labelAll: driver union-find on small
+    * graphs, large/small-star beyond 2^20 edges). Per-cell cost is
+    * quadratic BY DESIGN (SemDeDup's own bound): size k so cells hold
+    * ~sqrt-of-corpus vectors; the candidate-pair budget guard fails
+    * LOUDLY (like RangeJoin's explosion guard) instead of launching an
+    * accidental all-pairs job when k is far too small for the corpus.
+    * Cross-cell near-duplicates are invisible by construction — the
+    * documented SemDeDup recall tradeoff (boundary pairs split across
+    * cells), which is what buys the quadratic bound. */
+  def semDedup(vecs: DataFrame, cids: Array[Long], cvecs: Array[Array[Double]],
+               minCos: Double, maxCandPairs: Long = 1L << 33): DataFrame = {
+    // ids+cell only — candidate-sized; feeds the guard, both self-join
+    // sides and the final cell re-attach (multi-consumer invariant)
+    val asg = ivfAssign(vecs, cids, cvecs)
+      .select(col("vec_id"), col("cell")).localCheckpoint(true)
+    val hist = asg.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("pairs")).head()
+    val cand0 = if (hist.isNullAt(0)) 0L else hist.getLong(0)
+    require(cand0 <= maxCandPairs,
+      s"semDedup: ~$cand0 within-cell candidate pairs exceed the $maxCandPairs budget — " +
+        "the quantizer is far too coarse for this corpus; raise k (cells should hold " +
+        "roughly sqrt-of-corpus vectors) or raise maxCandPairs explicitly")
+    val a = asg.select(col("cell"), col("vec_id").as("vec_a"))
+    val b = asg.select(col("cell"), col("vec_id").as("vec_b"))
+    val candPairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+    val ea = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val pairs = candPairs
+      .join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+    val labels = graft.ops.Components.labelAll(
+      vecs.select(col("vec_id")),
+      pairs.select(col("vec_a").as("a"), col("vec_b").as("b")), "vec_id")
+    labels.join(asg, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("rep"),
+        when(col("vec_id") === col("rep"), lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val (cids, cvecs) = kmeansCentroids(vecs, k, iters)
+    semDedup(vecs, cids, cvecs, minCos)
+  }
+
   /** IVF-probed ANN top-k: queries probe their `nprobe` nearest
     * centroid cells (map-side kernel); candidates are the vectors
     * assigned to those cells via a BROADCAST join on the cell id (the
