@@ -24,27 +24,32 @@ object PipJoin {
   // built once per EXECUTOR JVM per broadcast, not once per task: at
   // thousands of partitions the per-task re-prepare of every polygon
   // (the expensive part of PreparedGeometry) is pure redundant work.
-  // Keyed on the Broadcast INSTANCE (weak identity key), never its
-  // numeric id: broadcast ids restart from 0 when a SparkContext is
-  // stopped and recreated in the same JVM (local mode, test harnesses),
-  // so an id-keyed entry could silently serve a stale tree built from
-  // DIFFERENT polygons. Weak keys also release the prepared trees once
-  // the broadcast itself is collected, so nothing pins for JVM life.
-  // (Broadcast does not override equals/hashCode, so WeakHashMap's
+  // Keyed on the broadcast VALUE instance (weak identity key), never
+  // the Broadcast wrapper or its numeric id: every task deserializes
+  // its own Broadcast wrapper object (an identity key on it would miss
+  // for every task after the first — per-task rebuilds, the exact work
+  // this cache exists to avoid), while TorrentBroadcast.value returns
+  // the ONE BlockManager-cached array shared by all tasks in the
+  // executor; and broadcast IDS restart from 0 when a SparkContext is
+  // recreated in the same JVM, so an id key could serve a stale tree
+  // built from DIFFERENT polygons. Weak keys release the prepared tree
+  // when the block itself is evicted — nothing pins for JVM life.
+  // (Arrays don't override equals/hashCode, so WeakHashMap's
   // equals-based lookup IS identity here.)
   private val indexCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[Array[WorldPolygon]], STRtree]())
+    new java.util.WeakHashMap[Array[WorldPolygon], STRtree]())
 
   private def cachedIndex(b: org.apache.spark.broadcast.Broadcast[Array[WorldPolygon]]): STRtree = {
-    val hit = indexCache.get(b)
+    val polys = b.value
+    val hit = indexCache.get(polys)
     if (hit != null) hit
     else {
       // build OUTSIDE the map lock (minutes-long prepare on huge polygon
       // sets must not serialize unrelated lookups); two racing tasks may
-      // both build — both trees come from the same broadcast value, so
+      // both build — both trees come from the same polygon array, so
       // whichever put lands last is equivalent
-      val built = buildIndex(b.value)
-      indexCache.put(b, built)
+      val built = buildIndex(polys)
+      indexCache.put(polys, built)
       built
     }
   }

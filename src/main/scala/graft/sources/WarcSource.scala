@@ -188,8 +188,13 @@ object WarcSource {
                 if (i > 0 && l.substring(0, i).trim.equalsIgnoreCase("content-type"))
                   ctype = l.substring(i + 1).trim
               }
-              val textish = ctype == null || ctype.toLowerCase.startsWith("text/") ||
-                ctype.toLowerCase.contains("html") || ctype.toLowerCase.contains("xml")
+              // a MISSING Content-Type does not default to textish: the
+              // contract is "html when the type says text, else null" —
+              // decoding an untyped 64 MB JPEG payload into a garbage
+              // String would double the row and feed binary rows into
+              // the html-extract path (body still carries the bytes)
+              val textish = ctype != null && (ctype.toLowerCase.startsWith("text/") ||
+                ctype.toLowerCase.contains("html") || ctype.toLowerCase.contains("xml"))
               if (textish)
                 html = new String(body, split + 4, body.length - split - 4,
                   java.nio.charset.StandardCharsets.UTF_8)

@@ -459,10 +459,15 @@ object StreamOps {
       if (Files.exists(next))
         Files.move(next, live, StandardCopyOption.ATOMIC_MOVE)
     }
-    // merge the new generation's zoom range into the live metadata (the
-    // temp render wrote its own metadata.json unaware of the live range)
-    if (zooms.nonEmpty && zooms.exists(z => Files.exists(Paths.get(tilesDir, z.toString))))
-      graft.sinks.Sinks.mergeTilesetMetadata(tilesDir, snapshotDir, zooms.min, zooms.max)
+    // merge the ACTUALLY-RENDERED zoom range into the live metadata (the
+    // temp render wrote its own metadata.json unaware of the live
+    // range). After the swap a live zoom dir exists exactly when the
+    // new generation rendered tiles there — merging the REQUESTED range
+    // would advertise zoom levels whose tiles the step sample dropped
+    // (clients would 404 on them).
+    val rendered = zooms.filter(z => Files.exists(Paths.get(tilesDir, z.toString)))
+    if (rendered.nonEmpty)
+      graft.sinks.Sinks.mergeTilesetMetadata(tilesDir, snapshotDir, rendered.min, rendered.max)
     // old generation deleted LAST; temp now holds only metadata litter
     deleteRecursive(old); deleteRecursive(tmp)
   }

@@ -235,15 +235,24 @@ object PortableHash {
     * collisions, which flag false POSITIVES only — acceptable for a
     * contamination filter, and the DuckDB oracle hashes identically). */
   def charNgramHashes(text: UTF8String, n: Int): GenericArrayData = {
-    val s = text.toString
     // decode to a codepoint array once (codepoint == DuckDB character)
-    val cps = s.codePoints().toArray
+    val cps = text.toString.codePoints().toArray
     val m = cps.length
     if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    charNgramWalk(cps, n, (w, h64) => out(w) = h64)
+    new GenericArrayData(out)
+  }
+
+  /** THE rolling char-n-gram recurrence (single source — the oracle SQL
+    * and BOTH duplicate-span variants reproduce these exact values):
+    * h' = (h - c_out*base^(n-1))*base + c_in mod P for base in {31, 37},
+    * emitted per window as h64 = (poly31 << 31) | poly37. */
+  private def charNgramWalk(cps: Array[Int], n: Int, emit: (Int, Long) => Unit): Unit = {
+    val m = cps.length
     var pow31 = 1L; var pow37 = 1L
     var j = 0
     while (j < n - 1) { pow31 = pow31 * 31 % P; pow37 = pow37 * 37 % P; j += 1 }
-    val out = new Array[Long](m - n + 1)
     var h31 = cps(0).toLong % P
     var h37 = h31
     j = 1
@@ -252,17 +261,16 @@ object PortableHash {
       h37 = (h37 * 37 + cps(j)) % P
       j += 1
     }
-    out(0) = (h31 << 31) | h37
+    emit(0, (h31 << 31) | h37)
     var w = 1
     while (w <= m - n) {
       val cOut = cps(w - 1).toLong
       val cIn = cps(w + n - 1).toLong
       h31 = Math.floorMod((h31 - cOut * pow31 % P) * 31 + cIn, P)
       h37 = Math.floorMod((h37 - cOut * pow37 % P) * 37 + cIn, P)
-      out(w) = (h31 << 31) | h37
+      emit(w, (h31 << 31) | h37)
       w += 1
     }
-    new GenericArrayData(out)
   }
 
   /** [[charNgramHashes]] plus each window's BYTES, still one O(chars)
@@ -275,34 +283,12 @@ object PortableHash {
     * duplicate-span projection, where every window's bytes must
     * materialize alongside its hash. */
   def charNgramSnips(text: UTF8String, n: Int): GenericArrayData = {
-    val s = text.toString
-    val cps = s.codePoints().toArray
+    val cps = text.toString.codePoints().toArray
     val m = cps.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    var pow31 = 1L; var pow37 = 1L
-    var j = 0
-    while (j < n - 1) { pow31 = pow31 * 31 % P; pow37 = pow37 * 37 % P; j += 1 }
     val out = new Array[Any](m - n + 1)
-    var h31 = cps(0).toLong % P
-    var h37 = h31
-    j = 1
-    while (j < n) {
-      h31 = (h31 * 31 + cps(j)) % P
-      h37 = (h37 * 37 + cps(j)) % P
-      j += 1
-    }
-    out(0) = org.apache.spark.sql.catalyst.InternalRow(
-      (h31 << 31) | h37, UTF8String.fromString(new String(cps, 0, n)))
-    var w = 1
-    while (w <= m - n) {
-      val cOut = cps(w - 1).toLong
-      val cIn = cps(w + n - 1).toLong
-      h31 = Math.floorMod((h31 - cOut * pow31 % P) * 31 + cIn, P)
-      h37 = Math.floorMod((h37 - cOut * pow37 % P) * 37 + cIn, P)
-      out(w) = org.apache.spark.sql.catalyst.InternalRow(
-        (h31 << 31) | h37, UTF8String.fromString(new String(cps, w, n)))
-      w += 1
-    }
+    charNgramWalk(cps, n, (w, h64) => out(w) = org.apache.spark.sql.catalyst.InternalRow(
+      h64, UTF8String.fromString(new String(cps, w, n))))
     new GenericArrayData(out)
   }
 
