@@ -246,6 +246,22 @@ object Ann {
     semDedup(vecs, cids, cvecs, minCos)
   }
 
+  /** Profiling hook: just the within-cell cos-threshold pair graph of
+    * [[semDedup]] (no guard action, no components). */
+  private[graft] def semDedupPairsForProfile(vecs: DataFrame, cids: Array[Long],
+                                             cvecs: Array[Array[Double]],
+                                             minCos: Double): DataFrame = {
+    val asg = ivfAssign(vecs, cids, cvecs).select(col("vec_id"), col("cell"))
+    val a = asg.select(col("cell"), col("vec_id").as("vec_a"))
+    val b = asg.select(col("cell"), col("vec_id").as("vec_b"))
+    val ea = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** IVF-probed ANN top-k: queries probe their `nprobe` nearest
     * centroid cells (map-side kernel); candidates are the vectors
     * assigned to those cells via a BROADCAST join on the cell id (the

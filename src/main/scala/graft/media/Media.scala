@@ -528,14 +528,23 @@ object Media {
     val distinctHash = repIds.select(col("dhash"), col("image_id").as("member_id"))
       .join(labels.withColumnRenamed("image_id", "member_id"), "member_id")
       .select(col("dhash"), col("rep"), xxhash64(col("rep")).as("rep_nid"))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    distinctHash
-      .select(explode(packedBandKeys(col("dhash"))).as("band_key"),
-        col("dhash"), col("rep_nid"), col("rep"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band_key").sortBy("band_key")
-      .option("path", s"$dir/bands").saveAsTable(table)
-    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    // rebuild under the SAME per-corpus lease the appenders hold (see
+    // TextDedupState.writeTextDedupState): an unguarded DROP + overwrite
+    // interleaving with a concurrent append would mix two state
+    // generations under one bucket spec
+    val lease = graft.ops.StateLease.acquire(dir)
+    try {
+      graft.ops.StateLease.checkFenced(lease)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      distinctHash
+        .select(explode(packedBandKeys(col("dhash"))).as("band_key"),
+          col("dhash"), col("rep_nid"), col("rep"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .option("path", s"$dir/bands").saveAsTable(table)
+      labels.write.mode("overwrite").parquet(s"$dir/labels")
+      graft.ops.StateLease.checkFenced(lease)
+    } finally graft.ops.StateLease.release(lease)
     labels
   }
 

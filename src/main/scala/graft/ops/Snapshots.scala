@@ -162,7 +162,13 @@ object CheckpointedTiles {
     val lease = StateLease.acquire(out)
     try {
       StateLease.checkFenced(lease)
-      runLocked(spark, snapshotRoot, out, z, mapbits, bucketLevel, failAtBucket)
+      val r = runLocked(spark, snapshotRoot, out, z, mapbits, bucketLevel, failAtBucket)
+      // before AND after, per the lease protocol: a mid-run stale steal
+      // (heartbeat stalled past the lease horizon while a rival resumer
+      // took over the same bucket dirs) must fail THIS run loudly, not
+      // let both writers report success over interleaved part files
+      StateLease.checkFenced(lease)
+      r
     } finally StateLease.release(lease)
   }
 
@@ -185,7 +191,11 @@ object CheckpointedTiles {
     // bucket loop, so every bucket sees the same total order) — a bare
     // (cell, meta) projection would make pointCmds' rank filter throw
     val needRank = params.pointParams(z)._1 > 1
-    val raw = Snapshots.read(spark, snapshotRoot)
+    // read the SAME snapshot the lineage rows will record: re-reading
+    // the pointer here would let a commit landing between the two reads
+    // mis-stamp every bucket (rendered N+1 data, recorded N — a later
+    // resume would then re-render the whole tileset as "stale")
+    val raw = Snapshots.read(spark, snapshotRoot, Some(snap).filter(_ > 0))
     val table = if (needRank)
       graft.render.Render.withGlobalRank(raw.select(col("cell"), col("meta")))
     else raw
@@ -224,7 +234,12 @@ object CheckpointedTiles {
         Files.createDirectories(dir)
         val tmp = dir.resolve(s"$b.json.tmp")
         Files.writeString(tmp, rec)
-        Files.move(tmp, dir.resolve(s"$b.json"), StandardCopyOption.ATOMIC_MOVE)
+        // REPLACE_EXISTING: a resume after the snapshot advanced
+        // re-renders buckets whose stale $b.json still exists — without
+        // the flag, overwrite-on-rename is filesystem-specific (POSIX
+        // replaces; other providers throw at the commit step)
+        Files.move(tmp, dir.resolve(s"$b.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         ran += 1
       }
     }

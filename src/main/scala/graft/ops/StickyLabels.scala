@@ -30,13 +30,20 @@ object StickyLabels {
    */
   def resolve(comp: DataFrame, oldReps: DataFrame, ids: DataFrame,
               idCol: String): (DataFrame, DataFrame) = {
-    // sticky labels: a component containing old reps labels to the
-    // MINIMUM old rep nid (deterministic), not the component min
-    val compOld = comp.join(oldReps.select(col("rep_nid").as("node"),
+    // ONE anchor join + aggregation computes BOTH the sticky label (the
+    // min-by-nid old rep) and the merge inputs (the distinct old-rep
+    // set) — a second identical join/groupBy here would re-run the
+    // component aggregation upstream too (comp is an uncached groupBy
+    // over the Components checkpoint)
+    val anchorAgg = comp.join(oldReps.select(col("rep_nid").as("node"),
         col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
       .groupBy(col("rep").as("crep"))
-      .agg(min(struct(col("old_nid"), col("old_rep"))).as("m"))
-      .select(col("crep"), col("m.old_rep").as("sticky_rep"))
+      .agg(min(struct(col("old_nid"), col("old_rep"))).as("m"),
+        collect_set(col("old_rep")).as("reps"))
+      .localCheckpoint(true)
+    // sticky labels: a component containing old reps labels to the
+    // MINIMUM old rep nid (deterministic), not the component min
+    val compOld = anchorAgg.select(col("crep"), col("m.old_rep").as("sticky_rep"))
     val labeled = comp.withColumnRenamed("rep", "crep")
       .join(compOld, Seq("crep"), "left")
     // component-min NEW entity id for components with no old anchor
@@ -51,11 +58,7 @@ object StickyLabels {
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("rep"))
     // merges: components holding >= 2 distinct old reps; merged_rep is
     // the SAME min-by-nid choice the sticky labels above made
-    val merges = comp.join(oldReps.select(col("rep_nid").as("node"),
-        col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
-      .groupBy(col("rep").as("crep"))
-      .agg(collect_set(col("old_rep")).as("reps"),
-        min(struct(col("old_nid"), col("old_rep"))).as("m"))
+    val merges = anchorAgg
       .filter(size(col("reps")) >= 2)
       .select(explode(col("reps")).as("rep_a"), col("m.old_rep").as("merged_rep"))
       .filter(col("rep_a") =!= col("merged_rep"))

@@ -45,30 +45,37 @@ object TextDedupState {
   private def md5Key(md5Col: Column): Column =
     xxhash64(md5Col).bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL)).bitwiseOR(lit(1L << 62))
 
-  /** Batch preparation: (star edges from the md5 pregroup, rep
-    * projection, CHECKPOINTED band rows). Band rows = the LSH bands of
-    * eligible reps PLUS one md5 row (band = -1) for EVERY rep; the
-    * checkpoint matters — bands feed the pair join (which scans twice)
-    * plus the probe/index writes (CLAUDE.md multi-consumer
-    * invariant). */
-  private[text] def prepareBatch(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** Batch preparation: (CHECKPOINTED star edges from the md5 pregroup,
+    * CHECKPOINTED band rows). Band rows = the LSH bands of eligible
+    * reps PLUS one md5 row (band = -1) for EVERY rep; the checkpoints
+    * matter — bands feed the pair join (which scans twice) plus the
+    * probe/index writes (CLAUDE.md multi-consumer invariant). The
+    * text-carrying intermediate (withRep) is unpersisted HERE, once
+    * both derived checkpoints have materialized: it holds the batch's
+    * FULL text column, and leaking one of those per micro-batch (the
+    * checkpoint blocks die only when driver GC collects the DataFrame)
+    * inflates executor storage by a batch corpus per batch drained. */
+  private[text] def prepareBatch(docs: DataFrame): (DataFrame, DataFrame) = {
     val hashed = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
       md5(col("text")).as("text_md5"))
     val groups = hashed.groupBy(col("text_md5")).agg(min(col("doc_id")).as("grep"))
     val withRep = hashed.join(groups, "text_md5").localCheckpoint(true)
-    val starEdges = withRep.filter(col("doc_id") =!= col("grep"))
-      .select(col("doc_id").as("a"), col("grep").as("b"))
-    val reps = withRep.filter(col("doc_id") === col("grep"))
-      .select(col("doc_id"), col("text"), col("text_md5"))
-    val lshBands = reps.filter(TextOps.lshEligible(col("text")))
-      .select(col("doc_id"), col("text_md5"),
-        posexplode(TextOps.minhashBandKeys(col("text"),
-          TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows))
-          .as(Seq("band", "band_key")))
-    val md5Bands = reps.select(col("doc_id"), col("text_md5"),
-      lit(-1).as("band"), md5Key(col("text_md5")).as("band_key"))
-    val bands = lshBands.unionByName(md5Bands).localCheckpoint(true)
-    (starEdges, reps, bands)
+    try {
+      val starEdges = withRep.filter(col("doc_id") =!= col("grep"))
+        .select(col("doc_id").as("a"), col("grep").as("b"))
+        .localCheckpoint(true)
+      val reps = withRep.filter(col("doc_id") === col("grep"))
+        .select(col("doc_id"), col("text"), col("text_md5"))
+      val lshBands = reps.filter(TextOps.lshEligible(col("text")))
+        .select(col("doc_id"), col("text_md5"),
+          posexplode(TextOps.minhashBandKeys(col("text"),
+            TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows))
+            .as(Seq("band", "band_key")))
+      val md5Bands = reps.select(col("doc_id"), col("text_md5"),
+        lit(-1).as("band"), md5Key(col("text_md5")).as("band_key"))
+      val bands = lshBands.unionByName(md5Bands).localCheckpoint(true)
+      (starEdges, bands)
+    } finally withRep.unpersist()
   }
 
   /** In-batch near-dup pairs from prepared band rows: the capped LSH
@@ -86,7 +93,7 @@ object TextDedupState {
   def writeTextDedupState(docs: DataFrame, dir: String, table: String,
                           buckets: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (starEdges, _, bands) = prepareBatch(docs)
+    val (starEdges, bands) = prepareBatch(docs)
     val comp = graft.ops.Components
       .connectedComponents(starEdges.unionByName(batchPairs(bands)))
       .withColumnRenamed("node", "doc_id")
@@ -94,14 +101,23 @@ object TextDedupState {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
       .localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    bands
-      .join(labels, "doc_id")
-      .select(col("band"), col("band_key"), col("text_md5"), col("rep"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band_key").sortBy("band_key")
-      .option("path", s"$dir/bands").saveAsTable(table)
-    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    // the rebuild takes the SAME per-corpus lease the appenders hold:
+    // an unguarded DROP + overwrite interleaving with a concurrent
+    // append's saveAsTable would mix two state generations under one
+    // bucket spec — the exact two-writer corruption the lease exists for
+    val lease = graft.ops.StateLease.acquire(dir)
+    try {
+      graft.ops.StateLease.checkFenced(lease)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      bands
+        .join(labels, "doc_id")
+        .select(col("band"), col("band_key"), col("text_md5"), col("rep"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .option("path", s"$dir/bands").saveAsTable(table)
+      labels.write.mode("overwrite").parquet(s"$dir/labels")
+      graft.ops.StateLease.checkFenced(lease)
+    } finally graft.ops.StateLease.release(lease)
     labels
   }
 
@@ -127,7 +143,7 @@ object TextDedupState {
   def incrementalTextDedupPrepared(newDocs: DataFrame, bandsTable: String):
       (DataFrame, DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
-    val (starEdges, _, bands) = prepareBatch(newDocs)
+    val (starEdges, bands) = prepareBatch(newDocs)
     // boundary probe: batch band rows join the bucketed index; md5-band
     // hits additionally verify exact text equality. The hit set is
     // candidate-sized and checkpointed — the edge list AND the old-rep
@@ -162,7 +178,7 @@ object TextDedupState {
   def appendTextDedupState(newDocs: DataFrame, newLabels: DataFrame,
                            bandsTable: String, dir: String, buckets: Int,
                            writeLabels: Boolean = true): Unit =
-    appendTextDedupStateFromBands(prepareBatch(newDocs)._3, newLabels,
+    appendTextDedupStateFromBands(prepareBatch(newDocs)._2, newLabels,
       bandsTable, dir, buckets, writeLabels)
 
   /** [[appendTextDedupState]] over band rows already prepared by
