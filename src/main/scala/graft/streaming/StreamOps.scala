@@ -275,6 +275,44 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous SEMANTIC dedup with persisted state — the embedding
+    * modality's analog of [[incrementalDedupStream]] (image) and
+    * [[incrementalTextDedupStream]], same idempotency contract:
+    * labels/merges land in batchId-keyed overwrite paths (flat-era
+    * files auto-migrate), the state fold drops vec_ids already present
+    * in their cells, the state's own labels append is skipped. Each
+    * micro-batch assigns/probes ONLY its own vectors against the
+    * batch's cells' partitions; the corpus never re-shuffles. The
+    * assignment runs once in the dedup and once in the fold — a
+    * map-side kernel over a batch-sized input, not worth the prepared-
+    * variant plumbing the text path's per-doc hashing justified. */
+  def incrementalSemDedupStream(vecs: DataFrame, stateDir: String, minCos: Double,
+                                labelsOut: String, mergesOut: String,
+                                checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        migrateFlatSink(batch.sparkSession, labelsOut)
+        migrateFlatSink(batch.sparkSession, mergesOut)
+        val b = batch.localCheckpoint(true)
+        try {
+          if (b.count() > 0) {
+            val (labels, merges) = graft.ann.SemDedupState
+              .incrementalSemDedup(b, stateDir, minCos)
+            val l = labels.localCheckpoint(true)
+            try {
+              l.write.mode("overwrite").parquet(s"$labelsOut/batch=$batchId")
+              merges.write.mode("overwrite").parquet(s"$mergesOut/batch=$batchId")
+              graft.ann.SemDedupState.appendSemDedupState(b, l, stateDir,
+                writeLabels = false)
+            } finally l.unpersist()
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Incremental tileset maintenance — the reference's "encode new
     * files, merge, re-render" loop (README.md:97-107) as ONE streaming
     * query. Per micro-batch: (1) append the new (cell, meta) rows to the
