@@ -217,22 +217,8 @@ object Ann {
     // sides and the final cell re-attach (multi-consumer invariant)
     val asg = ivfAssign(vecs, cids, cvecs)
       .select(col("vec_id"), col("cell")).localCheckpoint(true)
-    val hist = asg.groupBy("cell").agg(count(lit(1)).as("n"))
-      .agg(sum(expr("n * (n - 1) DIV 2")).as("pairs")).head()
-    val cand0 = if (hist.isNullAt(0)) 0L else hist.getLong(0)
-    require(cand0 <= maxCandPairs,
-      s"semDedup: ~$cand0 within-cell candidate pairs exceed the $maxCandPairs budget — " +
-        "the quantizer is far too coarse for this corpus; raise k (cells should hold " +
-        "roughly sqrt-of-corpus vectors) or raise maxCandPairs explicitly")
-    val a = asg.select(col("cell"), col("vec_id").as("vec_a"))
-    val b = asg.select(col("cell"), col("vec_id").as("vec_b"))
-    val candPairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
-    val ea = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val eb = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    val pairs = candPairs
-      .join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
-      .filter(col("cos") >= minCos)
+    cellPairBudgetCheck(asg, maxCandPairs, "semDedup")
+    val pairs = withinCellPairs(asg, vecs, minCos)
     val labels = graft.ops.Components.labelAll(
       vecs.select(col("vec_id")),
       pairs.select(col("vec_a").as("a"), col("vec_b").as("b")), "vec_id")
@@ -241,17 +227,29 @@ object Ann {
         when(col("vec_id") === col("rep"), lit(1)).otherwise(lit(0)).as("keep"))
   }
 
-  def semDedup(vecs: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
-    val (cids, cvecs) = kmeansCentroids(vecs, k, iters)
-    semDedup(vecs, cids, cvecs, minCos)
+  /** Loud quadratic-budget guard over a (vec_id, cell) assignment: the
+    * within-cell candidate pair count must stay under `maxCandPairs` —
+    * a too-coarse quantizer fails with sizing guidance instead of
+    * launching an accidental near-all-pairs job. */
+  private[graft] def cellPairBudgetCheck(asg: DataFrame, maxCandPairs: Long,
+                                         who: String): Unit = {
+    val hist = asg.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("pairs")).head()
+    val cand0 = if (hist.isNullAt(0)) 0L else hist.getLong(0)
+    require(cand0 <= maxCandPairs,
+      s"$who: ~$cand0 within-cell candidate pairs exceed the $maxCandPairs budget — " +
+        "the quantizer is far too coarse for this corpus; raise k (cells should hold " +
+        "roughly sqrt-of-corpus vectors) or raise maxCandPairs explicitly")
   }
 
-  /** Profiling hook: just the within-cell cos-threshold pair graph of
-    * [[semDedup]] (no guard action, no components). */
-  private[graft] def semDedupPairsForProfile(vecs: DataFrame, cids: Array[Long],
-                                             cvecs: Array[Array[Double]],
-                                             minCos: Double): DataFrame = {
-    val asg = ivfAssign(vecs, cids, cvecs).select(col("vec_id"), col("cell"))
+  /** THE within-cell cos-threshold pair graph (single source — the
+    * batch operator, the incremental state's in-batch edges, and the
+    * profiler all use this exact shape): (cell, vec_id)-only self-join,
+    * embeddings re-joined by id for the exact cosine — no array column
+    * ever rides the cell shuffle. `asg` must be checkpointed by the
+    * caller (it feeds BOTH self-join sides). */
+  private[graft] def withinCellPairs(asg: DataFrame, vecs: DataFrame,
+                                     minCos: Double): DataFrame = {
     val a = asg.select(col("cell"), col("vec_id").as("vec_a"))
     val b = asg.select(col("cell"), col("vec_id").as("vec_b"))
     val ea = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
@@ -260,6 +258,24 @@ object Ann {
       .join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val (cids, cvecs) = kmeansCentroids(vecs, k, iters)
+    semDedup(vecs, cids, cvecs, minCos)
+  }
+
+  /** Profiling hook: just the within-cell cos-threshold pair graph of
+    * [[semDedup]] (no guard action, no components). Checkpoints the
+    * assignment like the operator does — without it both self-join
+    * sides re-run the centroid kernel and the profiler misattributes
+    * ~2x assignment cost to the pair phase. */
+  private[graft] def semDedupPairsForProfile(vecs: DataFrame, cids: Array[Long],
+                                             cvecs: Array[Array[Double]],
+                                             minCos: Double): DataFrame = {
+    val asg = ivfAssign(vecs, cids, cvecs)
+      .select(col("vec_id"), col("cell")).localCheckpoint(true)
+    withinCellPairs(asg, vecs, minCos)
   }
 
   /** IVF-probed ANN top-k: queries probe their `nprobe` nearest

@@ -84,27 +84,31 @@ object SemDedupState {
     * merge event (shared ops.StickyLabels semantics). The old side
     * reads ONLY the batch's cells' partitions; the batch side
     * broadcasts onto that pruned scan, so the corpus never shuffles. */
-  def incrementalSemDedup(newVecs: DataFrame, dir: String,
-                          minCos: Double): (DataFrame, DataFrame) = {
+  def incrementalSemDedup(newVecs: DataFrame, dir: String, minCos: Double,
+                          maxBatchVectors: Long = 1L << 20,
+                          maxCandPairs: Long = 1L << 33): (DataFrame, DataFrame) = {
     val spark = newVecs.sparkSession
     val (cids, cvecs) = Ann.collectCentroids(spark.read.parquet(s"$dir/centroids"))
     // ids + cell only (multi-consumer: in-batch pairs x2, probe, cells)
     val asg = Ann.ivfAssign(newVecs, cids, cvecs)
       .select(col("vec_id"), col("cell")).localCheckpoint(true)
+    // "the batch is small" is ENFORCED, not assumed: the batch
+    // broadcasts with its embeddings below, and an unguarded
+    // whole-corpus micro-batch (an AvailableNow drain with no
+    // maxFilesPerTrigger) would otherwise die as an opaque broadcast
+    // OOM instead of this sizing error; the in-batch pair graph gets
+    // semDedup's own quadratic-budget guard for the same reason
+    val batchRows = asg.count()
+    require(batchRows <= maxBatchVectors,
+      s"incrementalSemDedup: batch of $batchRows vectors exceeds $maxBatchVectors — " +
+        "feed smaller micro-batches (maxFilesPerTrigger / maxBytesPerTrigger) or " +
+        "raise maxBatchVectors explicitly (the batch broadcasts with embeddings)")
+    Ann.cellPairBudgetCheck(asg, maxCandPairs, "incrementalSemDedup")
     val cells = asg.select("cell").distinct().collect().map(_.getLong(0))
 
-    // in-batch within-cell pairs (the semDedup graph over the batch):
-    // ids ride the cell join; embeddings re-join by id for the cosine
-    val a = asg.select(col("cell"), col("vec_id").as("vec_a"))
-    val b = asg.select(col("cell"), col("vec_id").as("vec_b"))
-    val ea = newVecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val eb = newVecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    val inBatch = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
-      .join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .select(col("vec_a").as("a"), col("vec_b").as("b"),
-        Ann.cosine(col("ea"), col("eb")).as("cos"))
-      .filter(col("cos") >= minCos)
-      .select(col("a"), col("b"))
+    // in-batch within-cell pairs: THE shared semDedup pair shape
+    val inBatch = Ann.withinCellPairs(asg, newVecs, minCos)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
 
     // boundary probe: batch vectors (broadcast, embeddings included —
     // the batch is small by definition) against ONLY their cells'
@@ -147,16 +151,22 @@ object SemDedupState {
     try {
       graft.ops.StateLease.checkFenced(lease)
       val (cids, cvecs) = Ann.collectCentroids(spark.read.parquet(s"$dir/centroids"))
+      // embedding-carrying checkpoint is consumed entirely within this
+      // call — unpersist it (the prepareBatch withRep lesson: leaking
+      // one embedding batch of executor storage per micro-batch drained
+      // is the exact leak class the text path fixed)
       val asg = Ann.ivfAssign(newVecs, cids, cvecs).localCheckpoint(true)
-      val cells = asg.select("cell").distinct().collect().map(_.getLong(0))
-      val present = prunedVectors(spark, dir, cells).select(col("vec_id"))
-      val fresh = asg.join(present, Seq("vec_id"), "left_anti")
-      fresh
-        .join(newLabels.select(col("vec_id").cast("long").as("vec_id"), col("rep")), "vec_id")
-        .select(col("vec_id"), col("embedding"), col("rep"), col("cell"))
-        .sortWithinPartitions(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
-      if (writeLabels) newLabels.write.mode("append").parquet(s"$dir/labels")
+      try {
+        val cells = asg.select("cell").distinct().collect().map(_.getLong(0))
+        val present = prunedVectors(spark, dir, cells).select(col("vec_id"))
+        val fresh = asg.join(present, Seq("vec_id"), "left_anti")
+        fresh
+          .join(newLabels.select(col("vec_id").cast("long").as("vec_id"), col("rep")), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("rep"), col("cell"))
+          .sortWithinPartitions(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+        if (writeLabels) newLabels.write.mode("append").parquet(s"$dir/labels")
+      } finally asg.unpersist()
       graft.ops.StateLease.checkFenced(lease)
     } finally graft.ops.StateLease.release(lease)
   }

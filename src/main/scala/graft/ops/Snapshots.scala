@@ -194,8 +194,14 @@ object CheckpointedTiles {
     // read the SAME snapshot the lineage rows will record: re-reading
     // the pointer here would let a commit landing between the two reads
     // mis-stamp every bucket (rendered N+1 data, recorded N — a later
-    // resume would then re-render the whole tileset as "stale")
-    val raw = Snapshots.read(spark, snapshotRoot, Some(snap).filter(_ > 0))
+    // resume would then re-render the whole tileset as "stale"). The
+    // empty-root case fails loudly HERE for the same reason: falling
+    // back to a fresh pointer read would reopen the race for the very
+    // first commit.
+    if (snap == 0L)
+      throw new IllegalStateException(
+        s"no snapshot at $snapshotRoot — commit one before running the tiling job")
+    val raw = Snapshots.read(spark, snapshotRoot, Some(snap))
     val table = if (needRank)
       graft.render.Render.withGlobalRank(raw.select(col("cell"), col("meta")))
     else raw

@@ -144,25 +144,35 @@ object StateLease {
 
   def release(l: Lease): Unit = {
     l.heartbeat.interrupt()
+    // a KNOWN-fenced writer never touches the path at all: it is the
+    // successor's lease, and even a transient rename-out/restore window
+    // would make the successor's own fence checks read a vanished file
+    // and fail a healthy append
+    if (l.fenced.get()) return
     // delete only OUR lease: if a (buggy or force-) successor replaced
     // it, removing theirs would let a third writer in mid-write. The
     // claim is an ATOMIC RENAME (the same trick acquire's stale steal
     // uses), not read-token-then-delete: that TOCTOU let a rival finish
     // a full stale-steal between our read (own token) and the delete —
     // deleting the rival's brand-new lease. Rename claims whatever sits
-    // at the path; only if it turns out to be OURS is it discarded,
-    // otherwise the successor's lease is put straight back.
+    // at the path; only if it PROVABLY is ours is it discarded,
+    // otherwise (foreign token OR unreadable) it is put straight back —
+    // a read hiccup must never strand the successor's lease in the
+    // grave, which would be a permanent silent unlock.
     try {
       val grave = l.path.resolveSibling(s".writer_lease_release_${l.token}")
       java.nio.file.Files.move(l.path, grave,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      if (java.nio.file.Files.readString(grave) == l.token)
-        java.nio.file.Files.deleteIfExists(grave)
+      val mine =
+        try java.nio.file.Files.readString(grave) == l.token
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (mine) java.nio.file.Files.deleteIfExists(grave)
       else
-        // a successor stale-stole our lease (we are fenced): restore its
-        // file. A third writer acquiring in this instant gets clobbered
-        // by the restore and then FAILS LOUDLY at its next fence check
-        // (token mismatch) — loud beats the old silent successor-delete.
+        // a successor stale-stole our lease between the fence flag read
+        // above and the rename: restore its file. A third writer
+        // acquiring in this instant gets clobbered by the restore and
+        // then FAILS LOUDLY at its next fence check (token mismatch) —
+        // loud beats the old silent successor-delete.
         java.nio.file.Files.move(grave, l.path,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

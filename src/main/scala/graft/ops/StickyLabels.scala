@@ -34,7 +34,12 @@ object StickyLabels {
     // min-by-nid old rep) and the merge inputs (the distinct old-rep
     // set) — a second identical join/groupBy here would re-run the
     // component aggregation upstream too (comp is an uncached groupBy
-    // over the Components checkpoint)
+    // over the Components checkpoint). The checkpoint rides the
+    // returned lazy labels/merges frames, so callers can't unpersist
+    // it; that's deliberate — it is one ROW PER ANCHORED COMPONENT
+    // (candidate-sized, no payloads), and the ContextCleaner reclaims
+    // the blocks when the per-batch frames go out of scope, unlike the
+    // corpus-text-sized checkpoints the dedup paths unpersist eagerly.
     val anchorAgg = comp.join(oldReps.select(col("rep_nid").as("node"),
         col("rep").as("old_rep"), col("rep_nid").as("old_nid")), "node")
       .groupBy(col("rep").as("crep"))
