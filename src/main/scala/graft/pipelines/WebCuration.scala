@@ -1,0 +1,104 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Per-stage survivor counts — the telemetry a curation run publishes
+  * (every public pipeline reports its funnel; silent attrition is how
+  * bad filters hide). */
+case class CurationCounts(pages: Long, extracted: Long, langKept: Long,
+                          qualityKept: Long, exactKept: Long, neardupKept: Long,
+                          totalTokens: Long, sequences: Long)
+
+/**
+ * End-to-end web curation: the complete WARC -> training-data path,
+ * composed ENTIRELY from the library's first-class operators (each
+ * independently oracle-checked / golden-tested on its own):
+ *
+ *   WARC record split (sources.WarcSource)
+ *     -> HTML main-content extraction (q60)
+ *     -> language filter (q23 heuristic)
+ *     -> trained model-based quality filter (q63)
+ *     -> PII redaction (q53) — BEFORE dedup, so identical pages
+ *        differing only in redacted spans collapse
+ *     -> exact dedup (q20, min-doc_id keeper)
+ *     -> MinHash-LSH near-dup keep-one (q28/q42 geometry)
+ *     -> learned-vocab BPE token counts (q52)
+ *     -> sequence packing at seqLen (q62)
+ *     -> curated parquet (url, ts, text, n_toks, cum, first_seq, last_seq)
+ *
+ * Scale shape: text never rides a shuffle anywhere — dedup moves
+ * 16-byte digests and 8-byte band keys, clustering runs in id space,
+ * packing runs over the narrow (doc_id, n_toks, h) projection and the
+ * curated text joins back by id only for the final write. The two
+ * text-carrying checkpoints (extract, redact) exist because each feeds
+ * several downstream consumers and holds the output of an expensive
+ * regex/decode pass (the multi-consumer invariant); both are
+ * unpersisted before returning — the returned frame reads the written
+ * parquet, pinning nothing.
+ */
+object WebCuration {
+  def run(spark: SparkSession, warcGlob: String, outDir: String,
+          lang: String = "en", seqLen: Long = 256L): (DataFrame, CurationCounts) = {
+    val pages = graft.sources.WarcSource.readWarc(spark, warcGlob)
+      .filter(col("rec_type") === "response" && col("html").isNotNull)
+    val nPages = pages.count()
+
+    // stable corpus-unique Long ids from the record identity
+    val extracted = pages.select(
+      xxhash64(col("warc_file"), col("url"), col("warc_date")).as("doc_id"),
+      col("url"), col("ts"),
+      TextOps.htmlColumns(col("html")).toMap.apply("main_text").as("text"))
+      .filter(length(col("text")) > 0)
+      .localCheckpoint(true)
+    try {
+      val nExtracted = extracted.count()
+      val langed = extracted.filter(TextOps.langGuess(col("text")) === lang)
+      val nLang = langed.count()
+      val quality = langed.filter(TextOps.qualityScore(col("text")) >= 0)
+      val nQuality = quality.count()
+
+      val red = quality.select(col("doc_id"), col("url"), col("ts"),
+        TextOps.piiColumns(col("text")).toMap.apply("red_text").as("text"))
+        .localCheckpoint(true)
+      try {
+        // exact dedup: keep the smallest doc_id per digest
+        val exact = red.join(
+          TextOps.dedupExact(red).select(col("keep_id").as("doc_id")), "doc_id")
+        val nExact = exact.count()
+
+        // near-dup keep-one over the exact survivors (ineligible docs —
+        // too short/non-latin for banding — pass through as singletons)
+        val bands = exact.filter(TextOps.lshEligible(col("text")))
+          .select(col("doc_id"), explode(TextOps.minhashBandKeys(col("text"),
+            TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows)).as("band_key"))
+        val pairs = TextOps.cappedCandidatePairs(bands, "band_key", cap = TextOps.LshCap)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val labels = graft.ops.Components.labelAll(
+          exact.select(col("doc_id")), pairs, "doc_id")
+        val kept = exact.join(
+          labels.filter(col("doc_id") === col("rep")).select(col("doc_id")), "doc_id")
+
+        // narrow packing projection — the curated TEXT never enters the
+        // prefix-sum shuffle; it joins back by doc_id for the write
+        val toks = kept.select(col("doc_id"),
+          TextOps.bpeVocabTokenCount(col("text")).as("n_toks"),
+          TextOps.sampleHash(col("doc_id")).as("h"))
+        val seqs = TextOps.sequencePack(toks, "n_toks", "h", "doc_id", seqLen)
+          .select(col("doc_id"), col("n_toks"), col("cum"),
+            col("first_seq"), col("last_seq"))
+        kept.join(seqs, "doc_id")
+          .select(col("doc_id"), col("url"), col("ts"), col("text"),
+            col("n_toks"), col("cum"), col("first_seq"), col("last_seq"))
+          .write.mode("overwrite").parquet(outDir)
+
+        val out = spark.read.parquet(outDir)
+        val agg = out.agg(count(lit(1)), coalesce(sum(col("n_toks")), lit(0L)),
+          coalesce(max(col("last_seq")) + 1, lit(0L))).head()
+        (out, CurationCounts(nPages, nExtracted, nLang, nQuality, nExact,
+          agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+      } finally red.unpersist()
+    } finally extracted.unpersist()
+  }
+}
