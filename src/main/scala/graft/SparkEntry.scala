@@ -433,6 +433,11 @@ object SparkEntry {
     // codegen kernel, zero exchanges, keep = integer margin >= 0
     "q63_quality_model" -> ((s, d) => TextOps.qualityModelScore(docs(s, d))),
 
+    // bigram-LM perplexity scoring (trained fixed-point LmModel fixture,
+    // CCNet head/middle/tail terciles): map-only codegen kernel, zero
+    // exchanges, integer micro-log10 costs
+    "q65_lm_perplexity" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+
     // ---------- embeddings ----------
 
     "q26_embed_cosine" -> ((s, d) => {
@@ -1019,6 +1024,30 @@ object SparkEntry {
          | SELECT d.doc_id, coalesce(sc.toks, 0) AS toks,
          |  CAST(${QualityModel.bias} + coalesce(sc.s, 0) AS BIGINT) AS score,
          |  CASE WHEN ${QualityModel.bias} + coalesce(sc.s, 0) >= 0 THEN 1 ELSE 0 END AS keep
+         | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // trained-fixture replay (the q63 recipe, bigram edition): the SAME
+    // integer micro-log10 costs the engine loaded are inlined as a
+    // VALUES table; consecutive token hashes pair via the identical
+    // <2^52 integer bucket expression — pure BIGINT arithmetic
+    "q65_lm_perplexity" -> {
+      import graft.text.{LmModel, PortableHash}
+      val ct = (0 until LmModel.Buckets)
+        .map(b => s"($b, ${LmModel.costs(b)})").mkString(", ")
+      s"""WITH ct(b, c) AS (VALUES $ct),
+         | tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         | hh AS (SELECT doc_id, list_transform(toks, t -> ${PortableHash.tokenHashSql("t")}) AS hs FROM tk),
+         | bg AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(hs)), i ->
+         |   ((hs[i-1] % ${LmModel.PairMod}) * ${LmModel.PairMul} + (hs[i] % ${LmModel.PairMod})) % ${LmModel.Buckets})) AS b
+         |  FROM hh WHERE len(hs) >= 2),
+         | sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_big, CAST(sum(ct.c) AS BIGINT) AS cost
+         |   FROM bg JOIN ct USING (b) GROUP BY 1)
+         | SELECT d.doc_id, coalesce(sc.n_big, 0) AS n_big, coalesce(sc.cost, 0) AS cost,
+         |  CASE WHEN coalesce(sc.n_big, 0) > 0 THEN sc.cost // sc.n_big ELSE 0 END AS avg_cost,
+         |  CASE WHEN coalesce(sc.n_big, 0) = 0 THEN 2
+         |   WHEN sc.cost // sc.n_big <= ${LmModel.headMax} THEN 0
+         |   WHEN sc.cost // sc.n_big <= ${LmModel.midMax} THEN 1 ELSE 2 END AS ppl_bucket
          | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
     },
 

@@ -133,6 +133,21 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression with Expe
     copy(child = newChild)
 }
 
+/** Trained bigram-LM total cost (graft.text.LmModel: hashed bigram
+  * buckets x integer micro-log10 fixture costs) — map-only, one kernel
+  * call per row; avg cost per bigram is the perplexity proxy. */
+case class LmCostExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lm_cost"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.LmModel.cost(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.LmModel.cost($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Learned-vocab BPE token count (graft.text.Bpe: GPT-2-format merges
   * fixture, classic greedy lowest-rank merging, memoized per word). */
 case class BpeTokenCountExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {

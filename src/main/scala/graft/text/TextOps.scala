@@ -132,6 +132,36 @@ object TextOps {
     column(graft.functions.QualityScoreExpr(expression(c)))
   }
 
+  /** Bigram-LM perplexity scoring (the CCNet/KenLM-style fluency
+    * filter; [[unigramRarity]] is the corpus-statistics stand-in):
+    * integer total and per-bigram average cost under the trained
+    * graft.text.LmModel fixture, plus the CCNet head/middle/tail
+    * bucket from the fixture's training-corpus tercile boundaries
+    * (docs with no bigram can't be assessed and land in the tail).
+    * Map-only — one codegen kernel call per row, the text column never
+    * leaves the scan, no exchange anywhere in the plan; the DuckDB
+    * oracle (q65) replays cost table, pair-bucket arithmetic and
+    * integer division bit-exactly from the same fixture. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import graft.text.{LmModel => M}
+    docs.select(col("doc_id"),
+        greatest(tokenCount(col("text")).cast("long") - 1L, lit(0L)).as("n_big"),
+        lmCost(col("text")).as("cost"))
+      .withColumn("avg_cost",
+        when(col("n_big") > 0, expr("cost div n_big")).otherwise(lit(0L)))
+      .withColumn("ppl_bucket",
+        when(col("n_big") === 0, lit(2))
+          .when(col("avg_cost") <= M.headMax, lit(0))
+          .when(col("avg_cost") <= M.midMax, lit(1))
+          .otherwise(lit(2)))
+  }
+
+  /** Trained integer bigram-LM cost of one text column value. */
+  def lmCost(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.LmCostExpr(expression(c)))
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition signals, as integer COUNTS so the DuckDB oracle is
     * bit-exact; callers derive the published ratios): token total and
