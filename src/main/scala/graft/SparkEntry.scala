@@ -103,6 +103,18 @@ object SparkEntry {
       | || CASE WHEN doc_id % 4 = 0 THEN '<a href="/x/' || doc_id::VARCHAR || '">more &amp; stuff</a>' ELSE '' END
       | || '<div>&copy; 2026 &lt;graft&gt;</div></body></html>'""".stripMargin.replace("\n", "")
 
+  /** Deterministic multi-line page wrapping (the corpus is single-line):
+    * a global boilerplate header on every doc and a 7-variant footer —
+    * so q66's boilerplate-line removal has genuinely hot lines to drop
+    * around a unique body. [[linePlantSql]] is the char-identical
+    * replica. */
+  private def linePlant(docId: Column, text: Column): Column = concat(
+    lit("subscribe to the newsletter for updates today\n"), text,
+    lit("\ncopyright footer variant "), (docId % 7).cast("string"))
+
+  private val linePlantSql: String =
+    "'subscribe to the newsletter for updates today' || chr(10) || text || chr(10) || 'copyright footer variant ' || (doc_id % 7)::VARCHAR"
+
   /** DuckDB CTE chain producing the same capped MinHash LSH candidate
     * pairs as [[minhashPairs]] (single source for q28/q42 oracles);
     * ends with `pairs(doc_a, doc_b)`, possibly with duplicates. */
@@ -437,6 +449,16 @@ object SparkEntry {
     // CCNet head/middle/tail terciles): map-only codegen kernel, zero
     // exchanges, integer micro-log10 costs
     "q65_lm_perplexity" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+
+    // boilerplate-line removal (C4/RefinedWeb line dedup) over planted
+    // multi-line pages: 8-byte-hash stats shuffle + capped hot set +
+    // map-only rewrite; the global header and 7-variant footers are hot
+    // at minCount=50 for sf >= 0.01, the unique body survives
+    "q66_line_dedup" -> ((s, d) => {
+      val pages = docs(s, d).select(col("doc_id"),
+        linePlant(col("doc_id"), col("text")).as("page"))
+      TextOps.boilerplateLines(pages, minCount = 50L)
+    }),
 
     // ---------- embeddings ----------
 
@@ -1049,6 +1071,25 @@ object SparkEntry {
          |   WHEN sc.cost // sc.n_big <= ${LmModel.headMax} THEN 0
          |   WHEN sc.cost // sc.n_big <= ${LmModel.midMax} THEN 1 ELSE 2 END AS ppl_bucket
          | FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // single-source with PortableHash.tokenHashSql: the per-line h64
+    // fold, threshold and rewrite replay the engine bit-exactly (split
+    // on chr(10) keeps trailing empties on both sides; empty lines
+    // hash to 0 on both sides)
+    "q66_line_dedup" -> {
+      import graft.text.PortableHash
+      val keepFilter = s"list_filter(ls, l -> NOT list_contains(arr, ${PortableHash.tokenHashSql("l")}))"
+      s"""WITH pl AS (SELECT doc_id, $linePlantSql AS page FROM documents),
+         | lx AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pl),
+         | ln AS (SELECT unnest(ls) AS line FROM lx),
+         | hh AS (SELECT ${PortableHash.tokenHashSql("line")} AS h FROM ln),
+         | hot AS (SELECT coalesce(list(h), []) AS arr FROM (SELECT h FROM hh GROUP BY h HAVING count(*) >= 50)),
+         | o AS (SELECT doc_id, ls, arr FROM lx CROSS JOIN hot)
+         | SELECT doc_id, array_to_string($keepFilter, chr(10)) AS clean_text,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len($keepFilter) AS BIGINT) AS n_kept
+         | FROM o""".stripMargin.replace("\n", " ")
     },
 
     // single-source with TextOps.htmlColumns: patterns, entity table

@@ -133,6 +133,41 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression with Expe
     copy(child = newChild)
 }
 
+/** Per-line h64 hashes (graft.text.PortableHash.lineHashes) — the
+  * 8-byte-only stats pass of boilerplate-line removal. */
+case class LineHashesExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "line_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.PortableHash.lineHashes(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.PortableHash.lineHashes($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Boilerplate-line rewrite (graft.text.PortableHash.dropHotLines):
+  * drops lines whose h64 is in the sorted hot array (binary search per
+  * line; the array rides the task binary, bounded by the caller's cap)
+  * and returns (clean_text, n_lines, n_kept) in one pass. */
+case class DropHotLinesExpr(child: Expression, hot: Array[Long]) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("clean_text", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_lines", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_kept", LongType, nullable = false)))
+  override def prettyName: String = "drop_hot_lines"
+  override protected def nullSafeEval(t: Any): Any =
+    graft.text.PortableHash.dropHotLines(t.asInstanceOf[UTF8String], hot)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hotRef = ctx.addReferenceObj("hotLines", hot, "long[]")
+    defineCodeGen(ctx, ev, t => s"graft.text.PortableHash.dropHotLines($t, $hotRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Trained bigram-LM total cost (graft.text.LmModel: hashed bigram
   * buckets x integer micro-log10 fixture costs) — map-only, one kernel
   * call per row; avg cost per bigram is the perplexity proxy. */

@@ -226,6 +226,72 @@ object PortableHash {
     new GenericArrayData(out)
   }
 
+  /** Per-LINE h64 hashes (split at codepoint 10, trailing empties kept
+    * — string_split semantics): the stats pass of boilerplate-line
+    * removal. Empty lines hash to 0 on both engines (list_reduce over
+    * [''] is ascii('') = 0). One codepoint pass, no line strings
+    * materialize. */
+  def lineHashes(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val h = new Array[Long](2)
+    var first = true
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (cp == 10) {
+        out.add((h(0) << 31) | h(1))
+        h(0) = 0; h(1) = 0; first = true
+      } else {
+        if (first) { h(0) = cp; h(1) = cp; first = false }
+        else { h(0) = (h(0) * 31 + cp) % P; h(1) = (h(1) * 37 + cp) % P }
+      }
+      i += Character.charCount(cp)
+    }
+    out.add((h(0) << 31) | h(1)) // last line (empty for trailing \n)
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Rewrite pass of boilerplate-line removal: drop every line whose
+    * h64 is in the SORTED `hot` array (binary search per line), keep
+    * the rest in order joined with \n. Returns (clean_text, n_lines,
+    * n_kept) as one struct row — one pass, one kernel call per doc. */
+  def dropHotLines(text: UTF8String, hot: Array[Long]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder
+    val h = new Array[Long](2)
+    var first = true
+    var nLines = 0L
+    var nKept = 0L
+    var lineStart = 0
+    var i = 0
+    val n = s.length
+    def flush(end: Int): Unit = {
+      nLines += 1
+      if (java.util.Arrays.binarySearch(hot, (h(0) << 31) | h(1)) < 0) {
+        if (nKept > 0) sb.append('\n')
+        sb.append(s, lineStart, end)
+        nKept += 1
+      }
+      h(0) = 0; h(1) = 0; first = true
+    }
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (cp == 10) { flush(i); lineStart = i + w }
+      else if (first) { h(0) = cp; h(1) = cp; first = false }
+      else { h(0) = (h(0) * 31 + cp) % P; h(1) = (h(1) * 37 + cp) % P }
+      i += w
+    }
+    flush(n)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), nLines, nKept))
+  }
+
   /** Character `n`-gram hashes of the raw text via ROLLING poly31/poly37
     * folds over codepoints (h' = (h - c_out*31^(n-1))*31 + c_in mod P):
     * one O(chars) pass regardless of n. Window w covers codepoints

@@ -132,6 +132,46 @@ object TextOps {
     column(graft.functions.QualityScoreExpr(expression(c)))
   }
 
+  /** Boilerplate-line removal (the C4/RefinedWeb line-dedup rule: drop
+    * every line that repeats >= minCount times across the corpus —
+    * navigation, cookie banners, footers).
+    *
+    * Scale shape: stats pass shuffles ONLY 8-byte line hashes with
+    * map-side combine (the text never leaves the scan); the hot set is
+    * bounded by total_lines/minCount and pulled to the driver under a
+    * LOUD cap (default 2^20 = 8 MB, the q61 bound discipline — raise
+    * minCount, not the cap), then the rewrite pass is map-only: one
+    * kernel call per doc, binary search per line. Two corpus scans by
+    * nature (the hot set exists only after the stats pass — the same
+    * two-pass shape as C4 itself).
+    *
+    * The DuckDB oracle (q66) replays split semantics, per-line h64
+    * fold, threshold and rewrite bit-exactly. */
+  def boilerplateLines(pages: DataFrame, minCount: Long, hotCap: Int = 1 << 20): DataFrame = {
+    val hot = pages.select(explode(lineHashes(col("page"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("h")
+      .limit(hotCap + 1).collect().map(_.getLong(0))
+    require(hot.length <= hotCap,
+      s"boilerplateLines: hot-line set exceeds cap $hotCap — raise minCount")
+    java.util.Arrays.sort(hot)
+    pages.select(col("doc_id"), dropHotLines(col("page"), hot).as("st"))
+      .select(col("doc_id"), col("st.clean_text").as("clean_text"),
+        col("st.n_lines").as("n_lines"), col("st.n_kept").as("n_kept"))
+  }
+
+  /** Per-line h64 hashes of one text column value. */
+  def lineHashes(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.LineHashesExpr(expression(c)))
+  }
+
+  /** One-pass hot-line rewrite of one text column value. */
+  def dropHotLines(c: Column, hot: Array[Long]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(graft.functions.DropHotLinesExpr(expression(c), hot))
+  }
+
   /** Bigram-LM perplexity scoring (the CCNet/KenLM-style fluency
     * filter; [[unigramRarity]] is the corpus-statistics stand-in):
     * integer total and per-bigram average cost under the trained
