@@ -8,8 +8,8 @@ import graft.text.TextOps
   * (every public pipeline reports its funnel; silent attrition is how
   * bad filters hide). */
 case class CurationCounts(pages: Long, extracted: Long, langKept: Long,
-                          qualityKept: Long, exactKept: Long, neardupKept: Long,
-                          totalTokens: Long, sequences: Long)
+                          qualityKept: Long, lmKept: Long, exactKept: Long,
+                          neardupKept: Long, totalTokens: Long, sequences: Long)
 
 /**
  * End-to-end web curation: the complete WARC -> training-data path,
@@ -20,6 +20,8 @@ case class CurationCounts(pages: Long, extracted: Long, langKept: Long,
  *     -> HTML main-content extraction (q60)
  *     -> language filter (q23 heuristic)
  *     -> trained model-based quality filter (q63)
+ *     -> bigram-LM perplexity filter (q65) — catches right-words-
+ *        wrong-order pages the bag-of-words quality model keeps
  *     -> PII redaction (q53) — BEFORE dedup, so identical pages
  *        differing only in redacted spans collapse
  *     -> exact dedup (q20, min-doc_id keeper)
@@ -39,8 +41,15 @@ case class CurationCounts(pages: Long, extracted: Long, langKept: Long,
  * parquet, pinning nothing.
  */
 object WebCuration {
+  /** @param maxAvgLmCost CCNet-style perplexity ceiling: drop documents
+    *   whose average bigram cost (micro-log10, TextOps.lmScore units)
+    *   exceeds it, and documents too short to assess. Pass
+    *   graft.text.LmModel.midMax to keep the training corpus's head +
+    *   middle terciles; the default Long.MaxValue disables the stage
+    *   (thresholds are corpus-specific knobs, like `lang`). */
   def run(spark: SparkSession, warcGlob: String, outDir: String,
-          lang: String = "en", seqLen: Long = 256L): (DataFrame, CurationCounts) = {
+          lang: String = "en", seqLen: Long = 256L,
+          maxAvgLmCost: Long = Long.MaxValue): (DataFrame, CurationCounts) = {
     val pages = graft.sources.WarcSource.readWarc(spark, warcGlob)
       .filter(col("rec_type") === "response" && col("html").isNotNull)
     val nPages = pages.count()
@@ -58,8 +67,16 @@ object WebCuration {
       val nLang = langed.count()
       val quality = langed.filter(TextOps.qualityScore(col("text")) >= 0)
       val nQuality = quality.count()
+      val fluent =
+        if (maxAvgLmCost == Long.MaxValue) quality
+        else quality
+          .withColumn("_lmc", TextOps.lmCost(col("text")))
+          .withColumn("_nb", greatest(TextOps.tokenCount(col("text")).cast("long") - 1L, lit(0L)))
+          .filter(col("_nb") > 0 && expr("_lmc div _nb") <= maxAvgLmCost)
+          .drop("_lmc", "_nb")
+      val nFluent = if (maxAvgLmCost == Long.MaxValue) nQuality else fluent.count()
 
-      val red = quality.select(col("doc_id"), col("url"), col("ts"),
+      val red = fluent.select(col("doc_id"), col("url"), col("ts"),
         TextOps.piiColumns(col("text")).toMap.apply("red_text").as("text"))
         .localCheckpoint(true)
       try {
@@ -96,8 +113,8 @@ object WebCuration {
         val out = spark.read.parquet(outDir)
         val agg = out.agg(count(lit(1)), coalesce(sum(col("n_toks")), lit(0L)),
           coalesce(max(col("last_seq")) + 1, lit(0L))).head()
-        (out, CurationCounts(nPages, nExtracted, nLang, nQuality, nExact,
-          agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+        (out, CurationCounts(nPages, nExtracted, nLang, nQuality, nFluent,
+          nExact, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
       } finally red.unpersist()
     } finally extracted.unpersist()
   }

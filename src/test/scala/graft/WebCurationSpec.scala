@@ -65,6 +65,11 @@ class WebCurationSpec extends AnyFunSuite {
       // ciphered garbage (right shape, wrong vocabulary): quality drops it
       response("http://junk.example.org/", d1,
         "<html><body>" + graft.tools.QualityTrain.cipher(coreA + " delta") + "</body></html>"),
+      // right words, degenerate ORDER: the bag-of-words quality model
+      // keeps it (q63 margin +275); only the bigram-LM stage can drop
+      // it (avg cost ~4.44e6, far above the keepers' <= 3.36e6)
+      response("http://wordsalad.example.org/", d1,
+        "<html><body>" + ("end the " * 12).trim + "</body></html>"),
       // script-only page: extraction leaves no text
       response("http://empty.example.org/", d1, "<html><script>x()</script></html>"))
     java.nio.file.Files.write(dir.resolve("crawl.warc.gz"),
@@ -72,12 +77,14 @@ class WebCurationSpec extends AnyFunSuite {
 
     val out = dir.resolve("curated").toString
     val (curated, c) = graft.pipelines.WebCuration.run(
-      spark, dir.toString + "/*.warc.gz", out, lang = "en", seqLen = 16L)
+      spark, dir.toString + "/*.warc.gz", out, lang = "en", seqLen = 16L,
+      maxAvgLmCost = 3800000L)
 
-    assert(c.pages == 8)
-    assert(c.extracted == 7, s"script-only page must extract empty: $c")
-    assert(c.langKept == 6, s"German page must drop at language: $c")
-    assert(c.qualityKept == 5, s"ciphered page must drop at quality: $c")
+    assert(c.pages == 9)
+    assert(c.extracted == 8, s"script-only page must extract empty: $c")
+    assert(c.langKept == 7, s"German page must drop at language: $c")
+    assert(c.qualityKept == 6, s"ciphered page must drop at quality: $c")
+    assert(c.lmKept == 5, s"word-salad page must drop at the LM stage: $c")
     assert(c.exactKept == 4, s"exact-dup pair must collapse: $c")
     assert(c.neardupKept == 3, s"near-dup pair must keep one: $c")
     assert(c.totalTokens > 0 && c.sequences >= 1)
