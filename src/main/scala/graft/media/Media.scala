@@ -473,6 +473,18 @@ object Media {
   def imageDupClustersFromIds(ids: DataFrame, maxHamming: Int = 2): DataFrame =
     labelsFromEdges(ids, dupEdges(ids, maxHamming))
 
+  /** Duplicate labels entirely in nid space: (nid, rep) with singletons
+    * mapped to themselves — the keep-best-per-cluster entry point.
+    * Unlike [[imageDupClustersFromIds]] no image_id string is ever
+    * attached, so downstream per-cluster aggregations shuffle 8-byte
+    * keys only; attach names at the end by joining `ids` back on nid. */
+  def imageDupLabelsNid(ids: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val labels = graft.ops.Components.connectedComponents(dupEdges(ids, maxHamming))
+      .withColumnRenamed("node", "nid")
+    ids.select(col("nid")).join(labels, Seq("nid"), "left")
+      .select(col("nid"), coalesce(col("rep"), col("nid")).as("rep"))
+  }
+
   /** [[imageDupClusters]] with per-phase wall timings for the bench:
     * returns (labels, decodeSec, bandSec) — decode = payload scan ->
     * dhash projection (checkpoint-forced), band = pregroup + recursive
