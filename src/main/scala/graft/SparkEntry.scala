@@ -115,6 +115,11 @@ object SparkEntry {
   private val linePlantSql: String =
     "'subscribe to the newsletter for updates today' || chr(10) || text || chr(10) || 'copyright footer variant ' || (doc_id % 7)::VARCHAR"
 
+  /** q66's hot-line threshold — ONE constant interpolated into both the
+    * engine call and the oracle's HAVING clause (hot at sf >= 0.01:
+    * header n, footers ~n/7, bodies ~1). */
+  private val LineDedupMinCount = 50L
+
   /** DuckDB CTE chain producing the same capped MinHash LSH candidate
     * pairs as [[minhashPairs]] (single source for q28/q42 oracles);
     * ends with `pairs(doc_a, doc_b)`, possibly with duplicates. */
@@ -457,7 +462,7 @@ object SparkEntry {
     "q66_line_dedup" -> ((s, d) => {
       val pages = docs(s, d).select(col("doc_id"),
         linePlant(col("doc_id"), col("text")).as("page"))
-      TextOps.boilerplateLines(pages, minCount = 50L)
+      TextOps.boilerplateLines(pages, minCount = LineDedupMinCount)
     }),
 
     // ---------- embeddings ----------
@@ -1084,7 +1089,7 @@ object SparkEntry {
          | lx AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pl),
          | ln AS (SELECT unnest(ls) AS line FROM lx),
          | hh AS (SELECT ${PortableHash.tokenHashSql("line")} AS h FROM ln),
-         | hot AS (SELECT coalesce(list(h), []) AS arr FROM (SELECT h FROM hh GROUP BY h HAVING count(*) >= 50)),
+         | hot AS (SELECT coalesce(list(h), []) AS arr FROM (SELECT h FROM hh GROUP BY h HAVING count(*) >= $LineDedupMinCount)),
          | o AS (SELECT doc_id, ls, arr FROM lx CROSS JOIN hot)
          | SELECT doc_id, array_to_string($keepFilter, chr(10)) AS clean_text,
          |  CAST(len(ls) AS BIGINT) AS n_lines,

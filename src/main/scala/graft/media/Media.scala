@@ -397,13 +397,22 @@ object Media {
     * otherwise. SINGLE source for the batch and incremental clustering
     * paths — the rep choice (min nid) must never diverge between
     * them. */
-  private def exactPregroup(ids: DataFrame): (DataFrame, DataFrame) = {
-    val groups = ids.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
-    val withRep = ids.join(groups, "dhash").localCheckpoint(true)
+  private def exactPregroup(ids: DataFrame): (DataFrame, DataFrame) =
+    exactPregroupOf(ids, keepNames = true)
+
+  /** keepNames=false is the nid-only path ([[imageDupLabelsNid]]): the
+    * image_id string stays off the pregroup shuffle and its checkpoint
+    * entirely. The state builders keep names — they index each distinct
+    * hash's label through its rep MEMBER id downstream. */
+  private def exactPregroupOf(ids: DataFrame, keepNames: Boolean): (DataFrame, DataFrame) = {
+    val slim =
+      if (keepNames) ids.select(col("image_id"), col("nid"), col("dhash"))
+      else ids.select(col("nid"), col("dhash"))
+    val groups = slim.groupBy(col("dhash")).agg(min(col("nid")).as("grep"))
+    val withRep = slim.join(groups, "dhash").localCheckpoint(true)
     (withRep.filter(col("nid") =!= col("grep"))
         .select(col("nid").as("a"), col("grep").as("b")),
-      withRep.filter(col("nid") === col("grep"))
-        .select(col("image_id"), col("nid"), col("dhash")))
+      withRep.filter(col("nid") === col("grep")).drop("grep"))
   }
 
   /** Near-dup edges as (a, b) nid pairs straight from the pregroup's
@@ -475,11 +484,15 @@ object Media {
 
   /** Duplicate labels entirely in nid space: (nid, rep) with singletons
     * mapped to themselves — the keep-best-per-cluster entry point.
-    * Unlike [[imageDupClustersFromIds]] no image_id string is ever
-    * attached, so downstream per-cluster aggregations shuffle 8-byte
-    * keys only; attach names at the end by joining `ids` back on nid. */
+    * Unlike [[imageDupClustersFromIds]] no image_id string EVER rides a
+    * shuffle or checkpoint here (`ids` needs only nid + dhash; the
+    * nid-only pregroup keeps names off the exact-group stage too), so
+    * downstream per-cluster aggregations move 8-byte keys only; attach
+    * names at the end by joining back on nid. */
   def imageDupLabelsNid(ids: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val labels = graft.ops.Components.connectedComponents(dupEdges(ids, maxHamming))
+    val (exactEdges, repIds) = exactPregroupOf(ids, keepNames = false)
+    val edges = exactEdges.unionByName(nearDupEdges(repIds, maxHamming))
+    val labels = graft.ops.Components.connectedComponents(edges)
       .withColumnRenamed("node", "nid")
     ids.select(col("nid")).join(labels, Seq("nid"), "left")
       .select(col("nid"), coalesce(col("rep"), col("nid")).as("rep"))

@@ -67,25 +67,33 @@ object ImageCuration {
       try {
         val nInformative = informative.count()
 
-        // nid-space clustering + keep-best by resolution (deterministic
-        // nid tie-break); rep_nid rides every shuffle, never image_id
+        // nid-space clustering + keep-best by resolution; rep rides
+        // every shuffle as an 8-byte key, never image_id. Tie-break via
+        // bitwise NOT (~nid = -nid-1, same total order as -nid): an
+        // adversarial id hashing to Long.MinValue would overflow unary
+        // minus under ANSI and abort the run. `scored` feeds BOTH the
+        // argmax and the kept filter — eager checkpoint, or components
+        // + the pixels join re-run per consumer.
         val labels = graft.media.Media.imageDupLabelsNid(
-          informative.select(col("image_id"), col("dhash"), col("nid")), maxHamming)
+          informative.select(col("nid"), col("dhash")), maxHamming)
         val scored = labels.join(informative.select(col("nid"), col("pixels")), "nid")
-        val best = scored.groupBy("rep")
-          .agg(max(struct(col("pixels"), (-col("nid")).as("mnid"))).as("b"),
-            count(lit(1)).as("cluster_size"))
-        val keptNids = scored.join(best, "rep")
-          .filter(col("pixels") === col("b.pixels") && col("nid") === -col("b.mnid"))
-          .select(col("nid"), col("cluster_size"))
+          .localCheckpoint(true)
+        try {
+          val best = scored.groupBy("rep")
+            .agg(max(struct(col("pixels"), bitwise_not(col("nid")).as("mnid"))).as("b"),
+              count(lit(1)).as("cluster_size"))
+          val keptNids = scored.join(best, "rep")
+            .filter(col("pixels") === col("b.pixels") && col("nid") === bitwise_not(col("b.mnid")))
+            .select(col("nid"), col("cluster_size"))
 
-        informative.join(keptNids, "nid")
-          .select(col("image_id"), col("w"), col("h"), col("pixels"),
-            col("dhash"), col("cluster_size"))
-          .write.mode("overwrite").parquet(outDir)
+          informative.join(keptNids, "nid")
+            .select(col("image_id"), col("w"), col("h"), col("pixels"),
+              col("dhash"), col("cluster_size"))
+            .write.mode("overwrite").parquet(outDir)
 
-        val out = spark.read.parquet(outDir)
-        (out, ImageCurationCounts(nImages, nDecoded, nSized, nInformative, out.count()))
+          val out = spark.read.parquet(outDir)
+          (out, ImageCurationCounts(nImages, nDecoded, nSized, nInformative, out.count()))
+        } finally scored.unpersist()
       } finally informative.unpersist()
     } finally feats.unpersist()
   }

@@ -72,7 +72,10 @@ object WebCuration {
         else quality
           .withColumn("_lmc", TextOps.lmCost(col("text")))
           .withColumn("_nb", greatest(TextOps.tokenCount(col("text")).cast("long") - 1L, lit(0L)))
-          .filter(col("_nb") > 0 && expr("_lmc div _nb") <= maxAvgLmCost)
+          // when() guards the ANSI integral divide: a bare AND conjunct
+          // may be reordered and divide by zero on a 1-token doc
+          .filter(when(col("_nb") > 0, expr("_lmc div _nb") <= maxAvgLmCost)
+            .otherwise(lit(false)))
           .drop("_lmc", "_nb")
       val nFluent = if (maxAvgLmCost == Long.MaxValue) nQuality else fluent.count()
 
