@@ -296,8 +296,8 @@ object SparkEntry {
       val b = t.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("text").as("text_b"))
       a.join(b, Seq("doc_a"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(TextOps.ngrams(col("text_a"), 5), TextOps.ngrams(col("text_b"), 5))).cast("long").as("inter"),
-          (size(TextOps.ngrams(col("text_a"), 5)) + size(TextOps.ngrams(col("text_b"), 5))).cast("long").as("ab"))
+          size(array_intersect(TextOps.ngramHashSet(col("text_a"), 5), TextOps.ngramHashSet(col("text_b"), 5))).cast("long").as("inter"),
+          (size(TextOps.ngramHashSet(col("text_a"), 5)) + size(TextOps.ngramHashSet(col("text_b"), 5))).cast("long").as("ab"))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("ab") - col("inter")).as("uni"))
     }),
@@ -823,9 +823,12 @@ object SparkEntry {
     "q20_dedup_exact" ->
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
 
+    // hash n-gram sets on BOTH sides (the engine's one-pass rolling
+    // kernel; the oracle regenerates the identical straight fold per
+    // window string) — counts agree bit-exactly by construction
     "q21_ngram_jaccard" -> {
       def g(t: String) =
-        s"list_sort(list_distinct(list_transform(generate_series(1, greatest(len($t) - 4, 0)), i -> substr($t, i, 5))))"
+        s"list_distinct(list_transform(list_transform(generate_series(1, greatest(len($t) - 4, 0)), i -> substr($t, i, 5)), s -> ${graft.text.PortableHash.tokenHashSql("s")}))"
       s"""SELECT doc_a, doc_b, inter,
          | (ab - inter) AS uni
          | FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -47,11 +47,16 @@ object LmModel {
     val h = hdr("headmax", lines(0))
     val m = hdr("midmax", lines(1))
     val c = new Array[Long](Buckets)
+    val seen = new Array[Boolean](Buckets)
     val body = lines.drop(2).filter(_.nonEmpty)
     require(body.length == Buckets, s"lm_bigram.txt: expected $Buckets cost rows, got ${body.length}")
     body.foreach { l =>
       val Array(i, v) = l.split(' ')
-      c(i.toInt) = v.toLong
+      val idx = i.toInt
+      require(idx >= 0 && idx < Buckets, s"lm_bigram.txt: index $idx out of range")
+      require(!seen(idx), s"lm_bigram.txt: duplicate index $idx")
+      seen(idx) = true
+      c(idx) = v.toLong
     }
     require(c.forall(v => v > 0 && v < (1L << 23)), "lm_bigram.txt: cost out of (0, 2^23)")
     require(h <= m, "lm_bigram.txt: tercile boundaries out of order")

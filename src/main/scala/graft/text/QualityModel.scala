@@ -35,12 +35,20 @@ object QualityModel {
       case other => sys.error(s"quality_weights.txt: bad bias line '${other.mkString(" ")}'")
     }
     val w = new Array[Long](Buckets)
+    val seen = new Array[Boolean](Buckets)
     lines.tail.filter(_.nonEmpty).foreach { l =>
       val Array(i, v) = l.split(' ')
-      w(i.toInt) = v.toLong
+      val idx = i.toInt
+      // named errors instead of a raw AIOOBE inside the lazy val, and
+      // a duplicate+missing index pair can no longer pass the row-count
+      // check with a silent hole left at 0
+      require(idx >= 0 && idx < Buckets, s"quality_weights.txt: index $idx out of range")
+      require(!seen(idx), s"quality_weights.txt: duplicate index $idx")
+      seen(idx) = true
+      w(idx) = v.toLong
     }
-    require(lines.tail.count(_.nonEmpty) == Buckets,
-      s"quality_weights.txt: expected $Buckets weight rows")
+    require(seen.forall(identity),
+      s"quality_weights.txt: expected $Buckets distinct weight rows")
     (b, w)
   }
 

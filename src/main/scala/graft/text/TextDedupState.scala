@@ -49,33 +49,41 @@ object TextDedupState {
     * CHECKPOINTED band rows). Band rows = the LSH bands of eligible
     * reps PLUS one md5 row (band = -1) for EVERY rep; the checkpoints
     * matter — bands feed the pair join (which scans twice) plus the
-    * probe/index writes (CLAUDE.md multi-consumer invariant). The
-    * text-carrying intermediate (withRep) is unpersisted HERE, once
-    * both derived checkpoints have materialized: it holds the batch's
-    * FULL text column, and leaking one of those per micro-batch (the
-    * checkpoint blocks die only when driver GC collects the DataFrame)
-    * inflates executor storage by a batch corpus per batch drained. */
+    * probe/index writes (CLAUDE.md multi-consumer invariant).
+    *
+    * Band keys and the md5 digest compute MAP-SIDE off the scan, so
+    * the checkpointed projection — (doc_id, 32-char md5, <= bands
+    * 8-byte keys) — is all that ever shuffles: the full text column
+    * never leaves the scan (it used to ride the pregroup join, a
+    * corpus-text shuffle at state-build time). Signatures compute per
+    * DOC, not per rep — identical texts produce identical keys, so the
+    * rep band rows are unchanged; the trade is minhash CPU on
+    * duplicate copies for zero text bytes on any exchange. The narrow
+    * checkpoint is unpersisted HERE once both derived checkpoints have
+    * materialized (leaking one per micro-batch inflates executor
+    * storage batch over batch). */
   private[text] def prepareBatch(docs: DataFrame): (DataFrame, DataFrame) = {
-    val hashed = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"),
-      md5(col("text")).as("text_md5"))
-    val groups = hashed.groupBy(col("text_md5")).agg(min(col("doc_id")).as("grep"))
-    val withRep = hashed.join(groups, "text_md5").localCheckpoint(true)
+    val keyed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("text_md5"),
+        when(TextOps.lshEligible(col("text")),
+          TextOps.minhashBandKeys(col("text"), TextOps.LshShingle,
+            TextOps.LshBands, TextOps.LshRows))
+          .otherwise(typedLit(Array.empty[Long])).as("bks"))
+      .localCheckpoint(true)
     try {
+      val groups = keyed.groupBy(col("text_md5")).agg(min(col("doc_id")).as("grep"))
+      val withRep = keyed.join(groups, "text_md5")
       val starEdges = withRep.filter(col("doc_id") =!= col("grep"))
         .select(col("doc_id").as("a"), col("grep").as("b"))
         .localCheckpoint(true)
       val reps = withRep.filter(col("doc_id") === col("grep"))
-        .select(col("doc_id"), col("text"), col("text_md5"))
-      val lshBands = reps.filter(TextOps.lshEligible(col("text")))
-        .select(col("doc_id"), col("text_md5"),
-          posexplode(TextOps.minhashBandKeys(col("text"),
-            TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows))
-            .as(Seq("band", "band_key")))
+      val lshBands = reps.select(col("doc_id"), col("text_md5"),
+        posexplode(col("bks")).as(Seq("band", "band_key")))
       val md5Bands = reps.select(col("doc_id"), col("text_md5"),
         lit(-1).as("band"), md5Key(col("text_md5")).as("band_key"))
       val bands = lshBands.unionByName(md5Bands).localCheckpoint(true)
       (starEdges, bands)
-    } finally withRep.unpersist()
+    } finally keyed.unpersist()
   }
 
   /** In-batch near-dup pairs from prepared band rows: the capped LSH

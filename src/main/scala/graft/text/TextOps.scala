@@ -31,10 +31,21 @@ object TextOps {
         sequence(lit(1), length(c) - (n - 1)),
         i => c.substr(i, lit(n))))))
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
+  /** Distinct rolling char-n-gram HASHES of a text column — the
+    * scale shape for n-gram set ops: ONE O(chars) kernel pass
+    * ([[charNgramHashes]]) where [[ngrams]]' per-window substr HOF
+    * seeks O(window-start) chars per window — O(chars^2) per document.
+    * Set semantics match the string variant up to ~2^-62 hash
+    * collisions (false overlap only). */
+  def ngramHashSet(c: Column, n: Int): Column =
+    array_distinct(charNgramHashes(c, n))
+
+  /** n-gram Jaccard similarity between two text columns over the
+    * one-pass hash sets (exact up to ~2^-62 collisions; the former
+    * string-set form paid the [[ngrams]] quadratic seek per doc). */
   def jaccard(a: Column, b: Column, n: Int): Column = {
-    val ga = ngrams(a, n)
-    val gb = ngrams(b, n)
+    val ga = ngramHashSet(a, n)
+    val gb = ngramHashSet(b, n)
     val inter = size(array_intersect(ga, gb))
     val uni = size(ga) + size(gb) - inter
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
@@ -245,12 +256,17 @@ object TextOps {
     * for a sort. Every shuffled row is three 8-byte columns; the text
     * column never enters (callers compute scores map-side first). */
   def keepBestPerCluster(labels: DataFrame, scores: DataFrame): DataFrame = {
-    val j = labels.join(scores, Seq("doc_id"))
+    // LEFT join: an unscored member must stay in its cluster (with a
+    // floor score, losing the argmax unless the whole cluster is
+    // unscored) — an inner join silently deleted it, and a fully
+    // unscored cluster lost its 'exactly one kept=1' guarantee
+    val j = labels.join(scores, Seq("doc_id"), "left")
+    val s = coalesce(col("score"), lit(Long.MinValue))
     val best = j.groupBy("rep")
-      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"))
+      .agg(max(struct(s.as("score"), (-col("doc_id")).as("nid"))).as("b"))
     j.join(best, Seq("rep"))
       .select(col("doc_id"), col("rep"), col("score"),
-        when(col("score") === col("b.score") && col("doc_id") === -col("b.nid"),
+        when(s === col("b.score") && col("doc_id") === -col("b.nid"),
           lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
@@ -714,9 +730,12 @@ object TextOps {
   def sampleHash(id: Column): Column =
     pmod(pmod(id, lit(1048573L)) * lit(2654435761L), lit(2147483647L))
 
-  /** The same mix as [[sampleHash]] in DuckDB SQL. */
+  /** The same mix as [[sampleHash]] in DuckDB SQL. DuckDB's % keeps
+    * the dividend's sign where Spark's pmod is non-negative, so each
+    * reduction adds the modulus back before re-reducing — identical
+    * text for id >= 0, and parity now holds for negative ids too. */
   def sampleHashSql(id: String): String =
-    s"(($id % 1048573) * 2654435761) % 2147483647"
+    s"(((($id % 1048573) + 1048573) % 1048573) * 2654435761) % 2147483647"
 
   /** Greedy per-domain token-budget selection — data-mixture
     * construction ("take ~B tokens from each source/language"): order
@@ -865,13 +884,19 @@ object TextOps {
     * (stratum, salt) sub-groups — no true top-n row can be eliminated,
     * since its salted sub-group holds at most n-1 smaller rows — and
     * phase 2 re-ranks the <= salts*n survivors per stratum. The salt is
-    * any deterministic row function; it never affects the result set. */
+    * any deterministic row function; it never affects the result set —
+    * so it hashes BOTH sort keys: salting by tieCol alone re-created
+    * the hot-stratum straggler whenever tieCol is coarse (a day
+    * bucket), sending every tied row to one sub-group. Rows with fully
+    * duplicate (hashCol, tieCol) pairs are interchangeable under the
+    * cap — pass a unique tieCol (q43 uses doc_id) when the caller
+    * needs payload-determinism, not just result-set determinism. */
   def stratifiedCap(df: DataFrame, stratumCol: String, hashCol: String,
                     tieCol: String, n: Int, salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(col(hashCol).asc, col(tieCol).asc)
     val pre = df
-      .withColumn("__salt", pmod(xxhash64(col(tieCol)), lit(salts)))
+      .withColumn("__salt", pmod(xxhash64(col(hashCol), col(tieCol)), lit(salts)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(stratumCol), col("__salt")).orderBy(ord: _*)))
       .filter(col("__rn") <= n).drop("__salt", "__rn")

@@ -43,4 +43,15 @@ class KeepBestSpec extends AnyFunSuite {
     val perCluster = got.groupBy(_._2).map { case (rep, g) => rep -> g.count(_._4 == 1L) }
     assert(perCluster.values.forall(_ == 1), perCluster.filter(_._2 != 1))
   }
+
+  test("partially scored clusters: unscored members stay, lose the argmax; fully unscored clusters keep min doc_id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "rep")
+    // doc 2 unscored in a scored cluster; cluster 3 fully unscored
+    val scores = Seq((1L, 10L)).toDF("doc_id", "score")
+    val got = TextOps.keepBestPerCluster(labels, scores)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+    assert(got == Set((1L, Some(10L), 1L), (2L, None, 0L), (3L, None, 1L), (4L, None, 0L)),
+      s"got $got")
+  }
 }
