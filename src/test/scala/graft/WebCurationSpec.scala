@@ -106,4 +106,50 @@ class WebCurationSpec extends AnyFunSuite {
     // the near-dup keeper is one of the two a.example.org variants
     assert(byUrl.keys.count(_.startsWith("http://a.example.org")) == 1)
   }
+
+  test("streaming curation: later batches dedup against everything ever curated") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("curstream").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val tbl = "cur_stream_bands"
+    // bootstrap: empty state (the documented contract)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    graft.text.TextDedupState.writeTextDedupState(empty, s"$base/state", tbl, buckets = 4)
+
+    val d1 = "2024-04-01T00:00:00Z"
+    def feed(name: String, members: Seq[Array[Byte]]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        members.flatMap(m => gzMember(m).toSeq).toArray)
+    def runOnce(): Unit =
+      graft.pipelines.WebCuration.runStream(spark, in, s"$base/out", tbl,
+        s"$base/state", buckets = 4, checkpointDir = s"$base/ckpt")
+        .awaitTermination()
+
+    // batch 1: keeper A + a German page the funnel drops
+    feed("b1.warc.gz", Seq(
+      response("http://a.example.org/1", d1, s"<html><body>$coreA alpha</body></html>"),
+      response("http://de.example.org/", d1,
+        "<html><body>der schnelle tisch und die reihe der wert</body></html>")))
+    runOnce()
+    // batch 2: an exact COPY of A under a new url (md5 state match), a
+    // near-dup of A (LSH state match), and a genuinely new keeper B
+    feed("b2.warc.gz", Seq(
+      response("http://mirror.example.org/copy", d1, s"<html><body>$coreA alpha</body></html>"),
+      response("http://a.example.org/2", d1, s"<html><body>$coreA alpha v</body></html>"),
+      response("http://b.example.org/", d1, s"<html><body>$coreB beta</body></html>")))
+    runOnce()
+
+    val curated = spark.read.parquet(s"$base/out/curated")
+      .collect().map(_.getAs[String]("url")).toSet
+    assert(curated == Set("http://a.example.org/1", "http://b.example.org/"),
+      s"streamed keepers wrong: $curated")
+    // provenance sinks exist per batch
+    assert(new java.io.File(s"$base/out/labels").listFiles().exists(_.getName.startsWith("batch=")))
+    // cross-batch merges recorded none (no two OLD clusters bridged)
+    assert(spark.read.parquet(s"$base/out/merges").count() == 0)
+  }
 }
