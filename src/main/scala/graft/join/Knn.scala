@@ -91,7 +91,10 @@ object Knn {
     * [[knnJoinWithStats]]). */
   def knnJoinAutoWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
                            k: Int, ring: Int = 1): (DataFrame, Long) =
-    knnJoinWithStats(spark, points, queries, k, autoTileShift(points, k, ring), ring)
+    // autoTileShift's sizing agg already enforced the points-side
+    // |coord| < 2^30 bound — don't pay the check twice
+    knnJoinImpl(spark, points, queries, k, autoTileShift(points, k, ring), ring,
+      checkPointBounds = false)
 
   /**
    * points:  (id, x, y)  — integer coords (scaled so d2 is exact).
@@ -112,7 +115,12 @@ object Knn {
     * fraction means the bucketing zoom is density-mismatched and the
     * fallback is doing the work a better tile size would have avoided. */
   def knnJoinWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
-                       k: Int, tileShift: Int, ring: Int = 1): (DataFrame, Long) = {
+                       k: Int, tileShift: Int, ring: Int = 1): (DataFrame, Long) =
+    knnJoinImpl(spark, points, queries, k, tileShift, ring, checkPointBounds = true)
+
+  private def knnJoinImpl(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                          k: Int, tileShift: Int, ring: Int,
+                          checkPointBounds: Boolean): (DataFrame, Long) = {
     // NULL coords are dropped on BOTH sides: a point with a NULL
     // coordinate never matches the ring join but would enter the exact
     // fallback with d2 = NULL, which ascending window order sorts
@@ -121,6 +129,22 @@ object Knn {
       .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("tx", expr(s"x >> $tileShift"))
       .withColumn("ty", expr(s"y >> $tileShift"))
+    if (checkPointBounds) {
+      // the explicit-shift entry previously enforced the |coord| < 2^30
+      // d2-exactness contract only on the query side — unshifted raw
+      // 32-bit point coords then overflowed dx^2+dy^2 mid-join under
+      // ANSI (or silently mis-ordered with ANSI off). One pruned
+      // 2-column agg makes the contract loud on both sides.
+      val pb = pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1")).head()
+      if (!pb.isNullAt(0)) {
+        val bound = 1L << 30
+        require((0 until 4).map(pb.getLong).forall(v => v > -bound && v < bound),
+          s"knnJoin point coords must satisfy |coord| < 2^30 for exact d2 " +
+            s"(got extent [${pb.getLong(0)}, ${pb.getLong(1)}] x [${pb.getLong(2)}, ${pb.getLong(3)}]); " +
+            "shift raw 32-bit coords right first")
+      }
+    }
 
     // each query probes its (2r+1)^2 ring of tiles. NULL qids are
     // dropped up front: results are keyed by qid, so a NULL row is
@@ -234,11 +258,10 @@ object Knn {
         .select(col("qid"), col("qx"), col("qy"),
           when(col("n").isNotNull && col("n") >= k, col("kth"))
             .otherwise(lit(Long.MaxValue)).as("d2cap"))
+      // the SAME d2 val as the ring path — the exactness proof assumes
+      // both paths compute the identical metric
       val fb = pts.crossJoin(broadcast(unresolved))
-        .select(col("qid"), col("id"),
-          ((col("x") - col("qx")) * (col("x") - col("qx")) +
-            (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"),
-          col("d2cap"))
+        .select(col("qid"), col("id"), d2.as("d2"), col("d2cap"))
         .filter(col("d2") <= col("d2cap"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)

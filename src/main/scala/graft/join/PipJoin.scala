@@ -80,6 +80,10 @@ object PipJoin {
     import spark.implicits._
     val bcast = spark.sparkContext.broadcast(polys)
     points.select(col("id").cast("long"), col("x32").cast("long"), col("y32").cast("long"))
+      // one NULL id/coord row would otherwise kill the whole join with
+      // an encoder NPE (the one-bad-row class every other join in this
+      // layer already filters at its boundary)
+      .filter(col("id").isNotNull && col("x32").isNotNull && col("y32").isNotNull)
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         // per-JVM memoized tree for the broadcast polygons

@@ -171,7 +171,9 @@ object Components {
         .groupBy("node").agg(min(col("rep")).as("rep")), Nil)
     }
     var it = 0
-    var converged = cur.isEmpty
+    // fingerprint already counted the edges — a cur.isEmpty here would
+    // launch a second job per connectedComponents call for the same bit
+    var converged = fp._1 == 0L
     while (!converged && it < maxIter) {
       val (ls, lsHubs) = largeStar(cur, hubDegree)
       val (next0, ssHubs) = smallStar(ls, hubDegree)

@@ -28,7 +28,11 @@ object RangeJoin {
     * NON-NEGATIVE domain (bucket ids use integer `div`, which only
     * equals floor-division for v >= 0; double-based floor would lose
     * precision past 2^53). Returns (pid, v, iid) for every v in
-    * [lo, hi]. */
+    * [lo, hi]. INVERTED intervals (hi < lo) are EMPTY by that contract
+    * and are dropped up front — they produce no pairs, deliberately
+    * silently (unlike the over-span guard below, which is a
+    * resource-bomb class and fails loudly): an empty range is a
+    * legitimate value, a 2^55-bucket range is not. */
   def intervalJoin(points: DataFrame, intervals: DataFrame, bucket: Long): DataFrame = {
     require(bucket > 0, "bucket must be positive")
     val p = points.select(col("pid").cast("long").as("pid"), col("v").cast("long").as("v"))

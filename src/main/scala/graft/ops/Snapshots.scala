@@ -19,7 +19,7 @@ import scala.jdk.CollectionConverters._
  *   root/SNAPSHOT                     current snapshot id (atomic rename)
  */
 object Snapshots {
-  private def write(path: String, s: String): Unit = {
+  private[ops] def write(path: String, s: String): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
     val tmp = Paths.get(path + ".tmp")
@@ -124,6 +124,11 @@ case class LineageRow(snapshot: Long, bucket: Int, rows: Long, tiles: Long, comm
 object CheckpointedTiles {
   def lineageDir(out: String) = s"$out/_lineage"
 
+  /** Buckets with a lineage row from ANY snapshot generation — file
+    * presence only. For progress/monitoring against the live data,
+    * use the snapshot-filtered overload: after the source advances, a
+    * bucket's stale row still exists here while run()'s resume logic
+    * correctly treats it as uncommitted and will re-render it. */
   def committed(out: String): Set[Int] = {
     val d = Paths.get(lineageDir(out))
     if (!Files.exists(d)) Set.empty
@@ -132,6 +137,11 @@ object CheckpointedTiles {
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toInt).toSet
   }
+
+  /** Buckets committed AT `snapshot` — the same generation filter
+    * run()'s resume uses, so this is the honest completion signal. */
+  def committed(out: String, snapshot: Long): Set[Int] =
+    lineage(out).filter(_.snapshot == snapshot).map(_.bucket).toSet
 
   def lineage(out: String): Seq[LineageRow] = {
     val d = Paths.get(lineageDir(out))
@@ -236,16 +246,11 @@ object CheckpointedTiles {
         tiles.toDF().write.mode("overwrite").parquet(s"$out/bucket=$b")
         tiles.unpersist()
         val rec = s"""{"snapshot": $snap, "bucket": $b, "rows": $rows, "tiles": $nTiles, "committed_at": ${System.currentTimeMillis()}}"""
-        val dir = Paths.get(lineageDir(out))
-        Files.createDirectories(dir)
-        val tmp = dir.resolve(s"$b.json.tmp")
-        Files.writeString(tmp, rec)
-        // REPLACE_EXISTING: a resume after the snapshot advanced
-        // re-renders buckets whose stale $b.json still exists — without
-        // the flag, overwrite-on-rename is filesystem-specific (POSIX
-        // replaces; other providers throw at the commit step)
-        Files.move(tmp, dir.resolve(s"$b.json"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // ONE atomic-commit idiom (Snapshots.write): tmp write +
+        // ATOMIC_MOVE + REPLACE_EXISTING — the replace matters so a
+        // resume after the snapshot advanced can overwrite the stale
+        // $b.json on every filesystem provider
+        Snapshots.write(s"${lineageDir(out)}/$b.json", rec)
         ran += 1
       }
     }

@@ -163,9 +163,18 @@ object StateLease {
       val grave = l.path.resolveSibling(s".writer_lease_release_${l.token}")
       java.nio.file.Files.move(l.path, grave,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      val mine =
+      // bounded read retry: the file is ~36 bytes and was JUST renamed
+      // by this process — a transient IO hiccup deciding mine=false
+      // would restore OUR OWN lease and abandon it, locking the dir
+      // for the full stale horizon after every release-time hiccup
+      def readMine(attempt: Int): Boolean =
         try java.nio.file.Files.readString(grave) == l.token
-        catch { case scala.util.control.NonFatal(_) => false }
+        catch {
+          case scala.util.control.NonFatal(_) if attempt < 3 =>
+            Thread.sleep(20L << attempt); readMine(attempt + 1)
+          case scala.util.control.NonFatal(_) => false
+        }
+      val mine = readMine(0)
       if (mine) java.nio.file.Files.deleteIfExists(grave)
       else
         // a successor stale-stole our lease between the fence flag read

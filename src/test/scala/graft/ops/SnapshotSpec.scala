@@ -86,6 +86,10 @@ class SnapshotSpec extends AnyFunSuite {
     Snapshots.append(root,
       graft.tables.ImageTable.generateGeo(spark, 3000).toDF()
         .select(col("cell"), col("meta")).filter(col("meta") % 3 === 0))
+    // the generation-filtered overload is the honest progress signal:
+    // the stale rows still exist as files but commit to snapshot 1
+    assert(CheckpointedTiles.committed(out, snapshot = 2L) == Set.empty,
+      "no bucket is committed at the ADVANCED generation yet")
     val resumed = CheckpointedTiles.run(spark, root, out, z = 15, mapbits = 48, bucketLevel = 1)
     assert(resumed == 4, "stale buckets must re-run")
     assert(CheckpointedTiles.lineage(out).map(_.snapshot).toSet == Set(2L))
