@@ -91,10 +91,11 @@ object Knn {
     * [[knnJoinWithStats]]). */
   def knnJoinAutoWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
                            k: Int, ring: Int = 1): (DataFrame, Long) =
-    // autoTileShift's sizing agg already enforced the points-side
-    // |coord| < 2^30 bound — don't pay the check twice
-    knnJoinImpl(spark, points, queries, k, autoTileShift(points, k, ring), ring,
-      checkPointBounds = false)
+    // the impl's own (concurrent, overlap-free) probe re-checks the
+    // points-side |coord| < 2^30 bound even on a shiftMemo hit — a memo
+    // hit previously skipped it, so files overwritten with wider coords
+    // under an unchanged plan could overflow d2 mid-join un-diagnosed
+    knnJoinImpl(spark, points, queries, k, autoTileShift(points, k, ring), ring)
 
   /**
    * points:  (id, x, y)  — integer coords (scaled so d2 is exact).
@@ -116,11 +117,10 @@ object Knn {
     * fallback is doing the work a better tile size would have avoided. */
   def knnJoinWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
                        k: Int, tileShift: Int, ring: Int = 1): (DataFrame, Long) =
-    knnJoinImpl(spark, points, queries, k, tileShift, ring, checkPointBounds = true)
+    knnJoinImpl(spark, points, queries, k, tileShift, ring)
 
   private def knnJoinImpl(spark: SparkSession, points: DataFrame, queries: DataFrame,
-                          k: Int, tileShift: Int, ring: Int,
-                          checkPointBounds: Boolean): (DataFrame, Long) = {
+                          k: Int, tileShift: Int, ring: Int): (DataFrame, Long) = {
     // NULL coords are dropped on BOTH sides: a point with a NULL
     // coordinate never matches the ring join but would enter the exact
     // fallback with d2 = NULL, which ascending window order sorts
@@ -129,14 +129,21 @@ object Knn {
       .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("tx", expr(s"x >> $tileShift"))
       .withColumn("ty", expr(s"y >> $tileShift"))
-    if (checkPointBounds) {
-      // the explicit-shift entry previously enforced the |coord| < 2^30
-      // d2-exactness contract only on the query side — unshifted raw
-      // 32-bit point coords then overflowed dx^2+dy^2 mid-join under
-      // ANSI (or silently mis-ordered with ANSI off). One pruned
-      // 2-column agg makes the contract loud on both sides.
-      val pb = pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+    // |coord| < 2^30 d2-exactness contract on the POINTS side, ALWAYS
+    // (the auto path's memoized shift no longer skips it): unshifted raw
+    // 32-bit coords overflow dx^2+dy^2 mid-join under ANSI (or silently
+    // mis-order with ANSI off). The pruned 2-column agg runs as a
+    // CONCURRENT job (guide §2.6 — Spark actions are thread-safe) so its
+    // scan overlaps the query-side sizing aggregate below instead of
+    // serializing in front of it; the future is awaited before any join
+    // work is launched.
+    val boundsProbe = scala.concurrent.Future {
+      pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
         min(col("y")).as("y0"), max(col("y")).as("y1")).head()
+    }(scala.concurrent.ExecutionContext.global)
+    def awaitPointBounds(): Unit = {
+      val pb = scala.concurrent.Await.result(
+        boundsProbe, scala.concurrent.duration.Duration.Inf)
       if (!pb.isNullAt(0)) {
         val bound = 1L << 30
         require((0 until 4).map(pb.getLong).forall(v => v > -bound && v < bound),
@@ -194,6 +201,10 @@ object Knn {
           .forall(v => v > -bound && v < bound),
         "knnJoin query coords must satisfy |coord| < 2^30 for exact d2; shift raw 32-bit coords right first")
     }
+    // join the concurrent points-side probe before any join work: a
+    // bounds violation must surface as this contract error, not as an
+    // ANSI overflow somewhere inside the candidate join
+    awaitPointBounds()
     val ringRows = qRows * (2L * ring + 1) * (2L * ring + 1)
     // broadcast gate in BYTES, not rows: qid's type is caller-chosen,
     // and 4M rows of long string qids is a very different broadcast

@@ -160,7 +160,12 @@ object Components {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      cur.select("a", "b").as[(Long, Long)].toLocalIterator().forEachRemaining {
+      // collect(), NOT toLocalIterator(): the iterator launches one job
+      // PER PARTITION (dozens of sequential ~100ms scheduling round
+      // trips for a few MB of edges — it dominated every small-graph
+      // caller's wall time), while the gate already bounds the pull at
+      // smallGraphEdges (2^20) pairs of Longs ≈ 16 MB — driver-safe.
+      cur.select("a", "b").as[(Long, Long)].collect().foreach {
         case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)

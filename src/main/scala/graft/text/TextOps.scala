@@ -259,8 +259,13 @@ object TextOps {
     // LEFT join: an unscored member must stay in its cluster (with a
     // floor score, losing the argmax unless the whole cluster is
     // unscored) — an inner join silently deleted it, and a fully
-    // unscored cluster lost its 'exactly one kept=1' guarantee
-    val j = labels.join(scores, Seq("doc_id"), "left")
+    // unscored cluster lost its 'exactly one kept=1' guarantee.
+    // Eager checkpoint: j feeds BOTH the argmax aggregate and the final
+    // re-attach join, two subtrees exchange reuse does not unify (the
+    // plan showed the full labels+scores chain — two corpus scans and
+    // the score derivation — executed TWICE); the materialized rows are
+    // three 8-byte columns, the same footprint chunkedPrefixSum spools.
+    val j = labels.join(scores, Seq("doc_id"), "left").localCheckpoint(true)
     val s = coalesce(col("score"), lit(Long.MinValue))
     val best = j.groupBy("rep")
       .agg(max(struct(s.as("score"), (-col("doc_id")).as("nid"))).as("b"))
@@ -563,36 +568,37 @@ object TextOps {
     // at candidate size. DISTINCT (not a min-collapse) on snippets: a
     // doc holding two same-hash different-byte windows must keep BOTH —
     // the collapsed one could be the bytes another doc genuinely shares.
-    val (bstats, snips) =
+    // bcnt rides the broadcast filter join itself (it is functionally
+    // determined by wh, so distinct over (doc_id, wh, snip, bcnt) keeps
+    // exactly the rows distinct(doc_id, wh, snip) would) — the former
+    // separate `snips.join(bstats)` re-join cost one more checkpoint of
+    // the stats table plus a second join/broadcast for a column the
+    // first join already had in hand.
+    val c = ckpt(
       if (singleScan) {
         val proj = ckpt(duplicateSpansProjection(docs, n))
-        val bs = ckpt(proj.groupBy("wh")
+        val bs = proj.groupBy("wh")
           .agg(countDistinct(col("doc_id")).as("bcnt"))
-          .filter(col("bcnt") >= 2))
-        (bs,
-          proj.join(broadcast(bs.select(col("wh"))), "wh")
-            .select(col("doc_id"), col("wh"), col("snip"))
-            .distinct())
+          .filter(col("bcnt") >= 2)
+        proj.join(broadcast(bs), "wh")
+          .select(col("doc_id"), col("wh"), col("snip"), col("bcnt"))
+          .distinct()
       } else {
         val w = docs.select(col("doc_id"), explode(charNgramHashes(col("text"), n)).as("wh"))
           .distinct()
-        // checkpoint: candidate-sized, consumed by the snippet broadcast
-        // AND the stats join — else the corpus window pass runs twice
-        val bs = ckpt(w.groupBy("wh")
+        val bs = w.groupBy("wh")
           .agg(count(lit(1)).as("bcnt"))
-          .filter(col("bcnt") >= 2))
+          .filter(col("bcnt") >= 2)
         // snippets map-side: text never shuffles — the broadcast carries
-        // only the 8-byte collided-hash vocabulary, and the rows leaving
-        // the scan are (doc_id, wh, n-char snip)
-        (bs,
-          docs.select(col("doc_id"), col("text"),
-              posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
-            .join(broadcast(bs.select(col("wh"))), "wh")
-            .select(col("doc_id"), col("wh"),
-              expr(s"substring(text, p0 + 1, $n)").as("snip"))
-            .distinct())
-      }
-    val c = ckpt(snips.join(bstats, "wh"))
+        // only the collided-hash vocabulary (8-byte wh + count), and the
+        // rows leaving the scan are (doc_id, wh, n-char snip)
+        docs.select(col("doc_id"), col("text"),
+            posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
+          .join(broadcast(bs), "wh")
+          .select(col("doc_id"), col("wh"),
+            expr(s"substring(text, p0 + 1, $n)").as("snip"), col("bcnt"))
+          .distinct()
+      })
     val small = c.filter(col("bcnt") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
       col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
