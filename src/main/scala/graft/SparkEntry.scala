@@ -722,22 +722,33 @@ object SparkEntry {
     "q38_line_tiles" -> ((s, d) => {
       import s.implicits._
       // polylines: per order, vertices stepped off the order's base point
-      // (spatially short lines — the realistic trajectory shape)
-      val p = points(s, d).select(col("l_orderkey"), col("l_linenumber"), col("x32"), col("y32"))
-        .as[(Long, Int, Long, Long)]
-      val lines = p.groupByKey(_._1).mapGroups { (k, it) =>
-        val rows = it.toArray
-        // deterministic base: (l_orderkey, l_linenumber) is NOT unique
-        // in the synthetic table, and groupByKey iteration order is
-        // shuffle-dependent — pick the base by a total order
-        val base = rows.minBy(r => (r._2, r._4))
-        val bx = base._3; val by = base._4
-        val vs = rows.indices.map { i =>
-          graft.core.Cell.truncate(graft.core.Cell.encode(
-            (bx + i * 65536L) & 0xFFFFFFFFL, (by + i * 32768L) & 0xFFFFFFFFL), 48)
-        }.toArray
-        graft.encode.Feature(vs(0), vs, k % 256)
-      }.filter(f => f.vertices.length >= 2)
+      // (spatially short lines — the realistic trajectory shape).
+      // The per-order reduction is a CODEGEN HASH AGGREGATE with map-side
+      // combine (count + min of a packed key), not groupByKey.mapGroups:
+      // the typed path shuffled every full row as an object, where only
+      // (n, base) per order is needed. Vertices depend only on the base
+      // row and the row COUNT, and the deterministic base — the row
+      // minimizing (l_linenumber, y32), the same total order mapGroups
+      // used — packs losslessly into (l_linenumber << 32) | y32 (y32 is
+      // a non-negative mod-2^32 value, l_linenumber tiny positive), so
+      // min(packed) IS the base; x32 is a pure function of (l_orderkey,
+      // l_linenumber) and is recomputed from the unpacked line number.
+      val agg = points(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          min((col("l_linenumber").cast("long") * 4294967296L) + col("y32")).as("pk"))
+        .filter(col("n") >= 2)
+      val lines = agg.select(col("l_orderkey"), col("n"),
+          x32(col("l_orderkey"), expr("pk div 4294967296")).as("bx"),
+          expr("pk % 4294967296").as("by"))
+        .as[(Long, Long, Long, Long)]
+        .map { case (k, n, bx, by) =>
+          val vs = (0 until n.toInt).map { i =>
+            graft.core.Cell.truncate(graft.core.Cell.encode(
+              (bx + i * 65536L) & 0xFFFFFFFFL, (by + i * 32768L) & 0xFFFFFFFFL), 48)
+          }.toArray
+          graft.encode.Feature(vs(0), vs, k % 256)
+        }
       graft.render.Render.lineTileCover(lines, 10, 48, graft.core.RenderParams())
     }),
 

@@ -294,7 +294,7 @@ object Media {
     val cs = bits / 4
     val mask = (1L << cs) - 1
     def chunk(n: Int) = shiftrightunsigned(col("resid"), n * cs).bitwiseAND(lit(mask))
-    members.select(col("doc_id"),
+    members.select(col("doc_id"), col("dhash"),
         explode(array(chunkPairs.zipWithIndex.map { case ((i, j), b) =>
           val (k, l) = otherTwo(i, j)
           val sub = lit(b.toLong << (2 * cs))
@@ -305,7 +305,7 @@ object Media {
           struct(key.as("key"),
             shiftleft(chunk(k), cs).bitwiseOR(chunk(l)).as("resid"))
         }: _*)).as("x"))
-      .select(col("doc_id"), col("x.key").as("key"), col("x.resid").as("resid"))
+      .select(col("doc_id"), col("dhash"), col("x.key").as("key"), col("x.resid").as("resid"))
   }
 
   /** Candidate pairs by recursive sub-banding. Buckets of <= cap members
@@ -336,13 +336,19 @@ object Media {
     val collided = banded.join(stats, Seq("key")).localCheckpoint(true)
     val terminal = bits <= 16
     val allowAll = if (terminal) collided else collided.filter(col("bcnt") <= cap)
+    // each side carries its member's ORIGINAL 64-bit hash (it rode the
+    // banding as one extra 8-byte column on candidate-sized rows), so
+    // the exact Hamming verify filters RIGHT HERE — the former
+    // re-attach joined the full distinct-hash table back TWICE per
+    // dedup (two corpus-sized shuffle joins) to recover dh_a/dh_b
     val allPairs = allowAll.as("a").join(allowAll.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("img_a"), col("b.doc_id").as("img_b"))
+      .select(col("a.doc_id").as("img_a"), col("b.doc_id").as("img_b"),
+        col("a.dhash").as("dh_a"), col("b.dhash").as("dh_b"))
     if (terminal) allPairs
     else {
       val hot = collided.filter(col("bcnt") > cap)
-        .select(col("doc_id"), col("key"), col("resid"))
+        .select(col("doc_id"), col("dhash"), col("key"), col("resid"))
       allPairs.unionByName(bandPairs(hot, bits / 2, cap))
     }
   }
@@ -353,8 +359,9 @@ object Media {
     * pigeonhole); buckets hotter than the quadratic-safety cap recurse
     * into sub-bands of their residual bits instead of degrading to
     * star pairs, so recall is 1.0 for Hamming <= maxHamming
-    * UNCONDITIONALLY (see [[bandPairs]]). The exact Hamming check joins
-    * the 8-byte hashes back by id — band shuffles carry (id, key) rows
+    * UNCONDITIONALLY (see [[bandPairs]]). The exact Hamming check is a
+    * map-side filter on the candidate pairs (each side's 8-byte hash
+    * rides the banding) — band shuffles carry (id, hash, key) rows
     * only, never payloads.
     *
     * Exact-duplicate hashes are collapsed INTERNALLY before banding
@@ -374,12 +381,11 @@ object Media {
       .join(distinctH.select(col("dhash"), col("image_id").as("rep_id")), "dhash")
       .filter(col("image_id") =!= col("rep_id"))
       .select(col("rep_id").as("img_a"), col("image_id").as("img_b"))
-    val members = distinctH.select(col("image_id").as("doc_id"),
+    val members = distinctH.select(col("image_id").as("doc_id"), col("dhash"),
       lit(0L).as("key"), col("dhash").as("resid"))
-    val cand = bandPairs(members, 64, cap = 64).distinct()
-    val ha = distinctH.select(col("image_id").as("img_a"), col("dhash").as("dh_a"))
-    val hb = distinctH.select(col("image_id").as("img_b"), col("dhash").as("dh_b"))
-    cand.join(ha, "img_a").join(hb, "img_b")
+    // distinct over (ids, hashes): dh_a/dh_b are functions of the ids,
+    // so the dedup keys are effectively (img_a, img_b) as before
+    bandPairs(members, 64, cap = 64).distinct()
       .filter(graft.text.TextOps.hamming64(col("dh_a"), col("dh_b")) <= maxHamming)
       .select(col("img_a"), col("img_b"))
       .unionByName(exactStars)
@@ -424,12 +430,11 @@ object Media {
     * mapping joins disappear entirely. */
   private def nearDupEdges(repIds: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 2, "chunk-pair banding only guarantees recall for Hamming <= 2")
-    val members = repIds.select(col("nid").as("doc_id"),
+    val members = repIds.select(col("nid").as("doc_id"), col("dhash"),
       lit(0L).as("key"), col("dhash").as("resid"))
-    val cand = bandPairs(members, 64, cap = 64).distinct()
-    val ha = repIds.select(col("nid").as("img_a"), col("dhash").as("dh_a"))
-    val hb = repIds.select(col("nid").as("img_b"), col("dhash").as("dh_b"))
-    cand.join(ha, "img_a").join(hb, "img_b")
+    // hashes ride the banding; the Hamming verify is a map-side filter
+    // on the candidate pairs — no re-attach join of the hash table
+    bandPairs(members, 64, cap = 64).distinct()
       .filter(graft.text.TextOps.hamming64(col("dh_a"), col("dh_b")) <= maxHamming)
       .select(col("img_a").as("a"), col("img_b").as("b"))
   }
