@@ -25,6 +25,7 @@ package graft.ops
  * fenced writer FAILS instead of silently double-writing.
  */
 object StateLease {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   final case class Lease(path: java.nio.file.Path, token: String, heartbeat: Thread,
                          fenced: java.util.concurrent.atomic.AtomicBoolean)
 
@@ -176,15 +177,31 @@ object StateLease {
         }
       val mine = readMine(0)
       if (mine) java.nio.file.Files.deleteIfExists(grave)
-      else
+      else {
         // a successor stale-stole our lease between the fence flag read
         // above and the rename: restore its file. A third writer
         // acquiring in this instant gets clobbered by the restore and
         // then FAILS LOUDLY at its next fence check (token mismatch) —
-        // loud beats the old silent successor-delete.
-        java.nio.file.Files.move(grave, l.path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // loud beats the old silent successor-delete. The restore move
+        // RETRIES with backoff and logs loudly on final failure: a
+        // swallowed one-shot failure stranded the successor's live
+        // lease in the grave (a third writer could acquire immediately)
+        // and was only caught later at a fence check.
+        def restore(attempt: Int): Unit =
+          try java.nio.file.Files.move(grave, l.path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch {
+            case scala.util.control.NonFatal(_) if attempt < 4 =>
+              Thread.sleep(20L << attempt); restore(attempt + 1)
+            case scala.util.control.NonFatal(e) =>
+              log.error(s"StateLease.release: FAILED to restore successor lease " +
+                s"from $grave to ${l.path} after ${attempt + 1} attempts — the " +
+                s"successor's lease is stranded (a third writer can acquire until " +
+                s"the successor's next fence check fails): $e")
+          }
+        restore(0)
+      }
     } catch { case scala.util.control.NonFatal(_) => () } // no lease at path: already released
   }
 }

@@ -60,8 +60,14 @@ object WarcSource {
       val raw = pds.open()
       val in = if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
                else new java.io.BufferedInputStream(raw, 1 << 16)
-      // the iterator closes the stream at exhaustion; Spark consumes
-      // flatMap iterators fully (or the task dies and the JVM reaps)
+      // the iterator closes the stream at exhaustion; a task-completion
+      // hook covers PARTIAL consumption (a downstream limit/take stops
+      // mid-iterator and would otherwise strand the fd + gzip buffers
+      // until GC in a long-lived executor). close() is idempotent.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
       parseWarcStream(in, file)
     }.map(r => Row(r.warc_file, r.rec_type, r.url, r.ts, r.warc_date,
       r.http_status, r.content_type, r.n_bytes, r.truncated, r.body, r.html))

@@ -479,7 +479,26 @@ object StreamOps {
     // at the next refresh before rendering begins
     val tmp = Paths.get(tilesDir, ".lowzoom.next")
     val old = Paths.get(tilesDir, ".lowzoom.old")
-    deleteRecursive(tmp); deleteRecursive(old)
+    deleteRecursive(tmp)
+    // crash window repair BEFORE discarding the old generation: a crash
+    // between the two per-zoom renames leaves that zoom absent from the
+    // live tree with its previous tiles only in .lowzoom.old — restore
+    // those zooms (live dir missing, old copy present) so the
+    // 'stale-but-present' guarantee survives a SECOND crash during the
+    // follow-up render; zooms the previous refresh fully swapped keep
+    // their live dirs and their .old copies are litter, deleted below.
+    if (Files.isDirectory(old)) {
+      val st = Files.list(old)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach { oz =>
+          val live = Paths.get(tilesDir, oz.getFileName.toString)
+          if (!Files.exists(live))
+            Files.move(oz, live, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally st.close()
+    }
+    deleteRecursive(old)
     val ranked = graft.render.Render.withGlobalRank(
       spark.read.parquet(snapshotDir).select(col("cell"), col("meta")))
     try {
