@@ -13,27 +13,41 @@ import graft.core.Cell
  */
 object TileOps {
   /** Per-tile rollup over zoom levels [minZ, maxZ]: count + exact
-    * integer centroid sums (enumerate.c:137-140). One explode, one
-    * shuffle; the rollup over the zoom hierarchy is computed in the
-    * same aggregation (tile ids per z derived by bit shifts). */
+    * integer centroid sums (enumerate.c:137-140). TWO-LEVEL: the corpus
+    * aggregates ONCE at the finest zoom (count + coord sums per maxZ
+    * tile), then the zoom hierarchy rolls up from that aggregate —
+    * coarser tiles are exact sums of their maxZ descendants (integer
+    * addition is associative; tx@z = tx@maxZ >> (maxZ - z)). The former
+    * single-level form exploded every input row maxZ-minZ+1 times
+    * before the partial aggregate — (zooms)x the Generate rows and
+    * hash-probe work per pass for identical output. The zoom explode
+    * now runs over the tile-count-sized aggregate instead. */
   def enumerateRollup(points: DataFrame, minZ: Int, maxZ: Int): DataFrame = {
+    require(minZ <= maxZ, s"enumerateRollup needs minZ <= maxZ (got $minZ > $maxZ)")
     points
       .select(col("x32"), col("y32"))
-      .withColumn("z", explode(sequence(lit(minZ), lit(maxZ))))
-      .select(
-        col("z"),
-        expr("x32 >> (32 - z)").as("tx"),
-        expr("y32 >> (32 - z)").as("ty"),
-        col("x32"), col("y32"))
-      .groupBy("z", "tx", "ty")
+      .groupBy(
+        expr(s"x32 >> (32 - $maxZ)").as("btx"),
+        expr(s"y32 >> (32 - $maxZ)").as("bty"))
       .agg(
-        count(lit(1)).as("cnt"),
+        count(lit(1)).as("bcnt"),
         // DECIMAL(38) accumulation: a z=0 tile sums EVERY row's 32-bit
         // coord — at 10^12 rows that is ~2^71, past BIGINT, and Spark
         // 4's default ANSI mode would kill the job mid-aggregation
         // (the oracle sums in HUGEINT and casts the same way)
-        sum(col("x32").cast("decimal(38,0)")).as("xsum"),
-        sum(col("y32").cast("decimal(38,0)")).as("ysum"))
+        sum(col("x32").cast("decimal(38,0)")).as("bxsum"),
+        sum(col("y32").cast("decimal(38,0)")).as("bysum"))
+      .withColumn("z", explode(sequence(lit(minZ), lit(maxZ))))
+      .select(
+        col("z"),
+        expr(s"btx >> ($maxZ - z)").as("tx"),
+        expr(s"bty >> ($maxZ - z)").as("ty"),
+        col("bcnt"), col("bxsum"), col("bysum"))
+      .groupBy("z", "tx", "ty")
+      .agg(
+        sum(col("bcnt")).as("cnt"),
+        sum(col("bxsum")).as("xsum"),
+        sum(col("bysum")).as("ysum"))
   }
 
   /** Feature-level rollup incl. the clipped segment-length stat of

@@ -362,10 +362,16 @@ object TextOps {
     val toks = docs.select(col("doc_id"),
       explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
       .filter(col("term") =!= "")
+    // tf is CHECKPOINTED: it feeds both the df derivation and the join's
+    // probe side, and the planner duplicates the subtree rather than
+    // reusing the exchange (the two consumers prune different columns,
+    // so the canonicalized exchanges differ — the physical plan showed
+    // TWO full scan+tokenize+aggregate passes). The materialized rows
+    // are (doc_id, term, tf) — token-vocabulary sized, never the text.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // df derives from tf — its rows are already one per (doc, term) —
-    // so the text scan + tokenize executes ONCE and the tf shuffle is
-    // reused, instead of a second distinct() pass over the raw tokens
+    // so the text scan + tokenize executes ONCE
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term").asc)
@@ -393,8 +399,12 @@ object TextOps {
     * shuffle, never the text column. Zero-token docs keep a row with
     * toks = rarity = 0. */
   def unigramRarity(docs: DataFrame, cap: Long = 1L << 20): DataFrame = {
+    // checkpointed for the same reason as salientTerms' tf: it feeds
+    // the corpus-count derivation AND the scoring join, and the planner
+    // re-ran the scan+tokenize+aggregate for each consumer
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val cnt = tf.groupBy("tok").agg(sum(col("n")).as("c"))
     val total = cnt.agg(sum(col("c")).as("t"))
     val sc = tf.join(cnt, "tok").crossJoin(broadcast(total))
