@@ -90,8 +90,33 @@ object BenchExtra {
           val rtS = (after._6 - before._6) / 1e3
           println(f"$name,$s1%.3f,$s2%.3f,$j,$st,$tk,$shMb%.1f,$inMb%.1f,$rtS%.1f")
         }
+      case "jobs" =>
+        // per-JOB wall breakdown of one query (guide §7.1 without a UI):
+        // prints each Spark job's duration + stage/task counts so the
+        // serial action structure of a multi-job operator is visible
+        val name = rest.head
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(), j.stageInfos.map(_.numTasks).sum))
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.get(j.jobId)
+            if (s != null)
+              lines.add(f"job ${j.jobId}%3d ${(System.nanoTime() - s._1) / 1e9}%7.3f s  tasks=${s._2}")
+          }
+        })
+        // warm pass, then the measured pass
+        noop(SparkEntry.queries(name)(spark, sfDir))
+        lines.clear()
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(name)(spark, sfDir))
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        lines.forEach(l => println(l))
+        println(f"total $name: $wall%.3f s")
       case other =>
-        sys.error(s"unknown BenchExtra mode '$other' (use explain|time)")
+        sys.error(s"unknown BenchExtra mode '$other' (use explain|time|jobs)")
     }
     spark.stop()
   }

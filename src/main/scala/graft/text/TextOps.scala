@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
  * column never shuffles except where semantically required.
  */
 object TextOps {
+  /** Fan a small-split scan out to the cores before KERNEL-HEAVY per-row
+    * work — the Media.dhashes decode-balance guard applied to text: when
+    * the input arrives in fewer splits than cores (a single small
+    * parquet file puts the whole shingle/minhash/tokenize kernel pass on
+    * ONE task), redistribute first. At catalog scale inputs carry >>
+    * cores splits and the guard never fires — it costs one physical
+    * plan, no job. Only for operators whose downstream work is a
+    * per-row kernel + aggregation; map-only projections must NOT pay a
+    * shuffle of the text column they would otherwise never move. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p * 2) else df
+  }
+
   /** Exact dedup: hash-groupBy on md5(text); keeps the smallest doc_id
     * as the canonical representative. Only the 16-byte digest shuffles. */
   def dedupExact(docs: DataFrame): DataFrame =
@@ -159,7 +173,8 @@ object TextOps {
     * The DuckDB oracle (q66) replays split semantics, per-line h64
     * fold, threshold and rewrite bit-exactly. */
   def boilerplateLines(pages: DataFrame, minCount: Long, hotCap: Int = 1 << 20): DataFrame = {
-    val hot = pages.select(explode(lineHashes(col("page"))).as("h"))
+    val hot = fanOut(pages.select(col("page")))
+      .select(explode(lineHashes(col("page"))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select("h")
       .limit(hotCap + 1).collect().map(_.getLong(0))
@@ -227,7 +242,7 @@ object TextOps {
     * pattern); the text column never leaves the scan; per-doc work is
     * the one-pass codegen shingle kernel. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("toks"),
         size(array_distinct(tokens(col("text")))).cast("long").as("utoks"),
         // outer: a doc with no 2-grams keeps one h=null row, whose
@@ -359,8 +374,9 @@ object TextOps {
     * shuffles — only (doc_id, term) rows do. */
   def salientTerms(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
+    val toks = fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
       .filter(col("term") =!= "")
     // tf is CHECKPOINTED: it feeds both the df derivation and the join's
     // probe side, and the planner duplicates the subtree rather than
@@ -402,7 +418,8 @@ object TextOps {
     // checkpointed for the same reason as salientTerms' tf: it feeds
     // the corpus-count derivation AND the scoring join, and the planner
     // re-ran the scan+tokenize+aggregate for each consumer
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val cnt = tf.groupBy("tok").agg(sum(col("n")).as("c"))
@@ -461,7 +478,7 @@ object TextOps {
     * direction for a decontamination filter — and the oracle hashes
     * identically, so verification is exact. */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
-    val docSh = docs.select(col("doc_id"),
+    val docSh = fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
       explode(tokenShingleHashes(col("text"), n)).as("sh"))
     val probeSh = probes.select(explode(tokenShingleHashes(col("text"), n)).as("sh"))
       .distinct()
@@ -485,7 +502,7 @@ object TextOps {
     * Collisions can only add a false hit (safe direction); the oracle
     * hashes identically. */
   def substringContamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
-    val docW = docs.select(col("doc_id"),
+    val docW = fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
       explode(charNgramHashes(col("text"), n)).as("wh"))
     val probeW = probes.select(explode(charNgramHashes(col("text"), n)).as("wh"))
       .distinct()
@@ -556,7 +573,7 @@ object TextOps {
     * would shuffle the full projection; consumers dedupe at candidate
     * size). */
   private[graft] def duplicateSpansProjection(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
         explode(org.apache.spark.sql.graft.Bridge.column(
           graft.functions.CharNgramSnipsExpr(
             org.apache.spark.sql.graft.Bridge.expression(col("text")), n))).as("ws"))
@@ -594,15 +611,17 @@ object TextOps {
           .select(col("doc_id"), col("wh"), col("snip"), col("bcnt"))
           .distinct()
       } else {
-        val w = docs.select(col("doc_id"), explode(charNgramHashes(col("text"), n)).as("wh"))
+        val src = fanOut(docs.select(col("doc_id"), col("text")))
+        val w = src.select(col("doc_id"), explode(charNgramHashes(col("text"), n)).as("wh"))
           .distinct()
         val bs = w.groupBy("wh")
           .agg(count(lit(1)).as("bcnt"))
           .filter(col("bcnt") >= 2)
-        // snippets map-side: text never shuffles — the broadcast carries
-        // only the collided-hash vocabulary (8-byte wh + count), and the
-        // rows leaving the scan are (doc_id, wh, n-char snip)
-        docs.select(col("doc_id"), col("text"),
+        // snippets map-side: text never shuffles past the fan-out — the
+        // broadcast carries only the collided-hash vocabulary (8-byte wh
+        // + count), and the rows leaving the scan are
+        // (doc_id, wh, n-char snip)
+        src.select(col("doc_id"), col("text"),
             posexplode(charNgramHashes(col("text"), n)).as(Seq("p0", "wh")))
           .join(broadcast(bs), "wh")
           .select(col("doc_id"), col("wh"),
