@@ -439,6 +439,38 @@ object Media {
       .select(col("img_a").as("a"), col("img_b").as("b"))
   }
 
+  /** Scope `f` under a file-split size tuned so `images`' scan yields
+    * ~2x-cores splits, when the current plan would yield fewer: the
+    * decode pass then parallelizes AT THE READ instead of dhashes'
+    * repartition fallback, which round-robins the full payload bytes
+    * through a shuffle just to balance CPU work (guide: move heavy
+    * bytes zero extra times when a split-size knob does the same job).
+    * The conf is restored afterwards; `f` must CONTAIN the decode
+    * action (split planning happens at action time). dhashes' own
+    * repartition guard still covers non-file sources and genuinely
+    * unsplittable inputs — with the conf in effect it sees the wider
+    * scan and skips the shuffle. */
+  private def withDecodeSplits[T](images: DataFrame)(f: => T): T = {
+    val spark = images.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val key = "spark.sql.files.maxPartitionBytes"
+    val bytes = try images.queryExecution.optimizedPlan.stats.sizeInBytes
+                catch { case scala.util.control.NonFatal(_) => return f }
+    if (!bytes.isValidLong) return f
+    val target = math.max(bytes.toLong / (2L * p), 4L << 20) // >= 4 MB splits
+    val current = spark.conf.get(key)
+    val currentBytes = try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(current)
+                       catch { case scala.util.control.NonFatal(_) => return f }
+    // only narrow the splits; never widen past the session's setting
+    if (target >= currentBytes) return f
+    // also needs fewer splits than cores right now, else nothing to fix
+    val few = try images.rdd.getNumPartitions < p
+              catch { case scala.util.control.NonFatal(_) => false }
+    if (!few) return f
+    try { spark.conf.set(key, target.toString); f }
+    finally spark.conf.set(key, current)
+  }
+
   /** Full image dedup: decode -> dhash -> banded pairs -> connected
     * components. Returns (image_id, rep); keep-one is
     * filter(image_id === rep) after a left join back to the table. */
@@ -450,8 +482,10 @@ object Media {
     // components need (collision odds ~n^2/2^65 — 1e-8 at a million
     // images; at real catalog scale swap in a precomputed numeric key).
     imageDupClustersFromIds(
-      dhashes(images).withColumn("nid", xxhash64(col("image_id")))
-        .localCheckpoint(true),
+      withDecodeSplits(images) {
+        dhashes(images).withColumn("nid", xxhash64(col("image_id")))
+          .localCheckpoint(true)
+      },
       maxHamming)
 
   /** Duplicate-graph edges (exact pregroup stars + banded near-dup
@@ -512,8 +546,10 @@ object Media {
     * phase boundaries are the checkpoints both paths already imply). */
   def imageDupClustersPhased(images: DataFrame, maxHamming: Int = 2): (DataFrame, Double, Double) = {
     val t0 = System.nanoTime()
-    val ids = dhashes(images).withColumn("nid", xxhash64(col("image_id")))
-      .localCheckpoint(true)
+    val ids = withDecodeSplits(images) {
+      dhashes(images).withColumn("nid", xxhash64(col("image_id")))
+        .localCheckpoint(true)
+    }
     val tDecode = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val edges = dupEdges(ids, maxHamming).localCheckpoint(true)

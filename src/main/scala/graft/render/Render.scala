@@ -407,10 +407,21 @@ object Render {
     val spills = zArr.map(z => brushSpills(p, z))
     val needRank = steps.exists(_ > 1)
     val hasMeta = points.columns.contains("meta")
-    val src = points.select(col("cell"),
+    // read-balance BEFORE the per-zoom command flatMap: a small ranked
+    // snapshot packs into a handful of scan splits (openCost-packed
+    // files), which would run the zooms-x command emission feeding the
+    // render shuffle on those few tasks while the rest of the host
+    // idles. No-op whenever the input already carries >= cores splits
+    // (the catalog-scale case). Rank/meta are STORED values — moving
+    // rows does not change any command, and the render groups re-key by
+    // tile after this anyway.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val narrow = points.select(col("cell"),
       (if (hasMeta) col("meta") else lit(0L)).as("meta"),
       (if (needRank) col("rank") else lit(0L)).as("rank"))
-      .as[(Long, Long, Long)]
+    val balanced = if (narrow.rdd.getNumPartitions < parallelism)
+      narrow.repartition(parallelism * 2) else narrow
+    val src = balanced.as[(Long, Long, Long)]
     // one shared command emitter + finisher (pyramidCmds/renderOne) —
     // an earlier inline copy here drifted from the salted path's once
     val cmds = pyramidCmds(src, zArr,
