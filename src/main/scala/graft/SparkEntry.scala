@@ -155,12 +155,7 @@ object SparkEntry {
   /** MinHash LSH candidate pairs (shared by q28_minhash_lsh and the
     * q42 cluster rollup). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // fan the small-split scan out before the fused minhash kernel (the
-    // most expensive per-row text kernel) — one task otherwise runs the
-    // whole signature pass; no-op when the input already has >= cores
-    // splits (TextOps.fanOut)
-    val eligible = TextOps.fanOut(docs(s, d).select(col("doc_id"), col("text")))
-      .filter(TextOps.lshEligible(col("text")))
+    val eligible = docs(s, d).filter(TextOps.lshEligible(col("text")))
     val bands = eligible.select(col("doc_id"),
       explode(TextOps.minhashBandKeys(col("text"),
         TextOps.LshShingle, TextOps.LshBands, TextOps.LshRows)).as("band_key"))

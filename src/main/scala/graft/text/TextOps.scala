@@ -14,12 +14,15 @@ object TextOps {
   /** Fan a small-split scan out to the cores before KERNEL-HEAVY per-row
     * work — the Media.dhashes decode-balance guard applied to text: when
     * the input arrives in fewer splits than cores (a single small
-    * parquet file puts the whole shingle/minhash/tokenize kernel pass on
-    * ONE task), redistribute first. At catalog scale inputs carry >>
-    * cores splits and the guard never fires — it costs one physical
-    * plan, no job. Only for operators whose downstream work is a
-    * per-row kernel + aggregation; map-only projections must NOT pay a
-    * shuffle of the text column they would otherwise never move. */
+    * parquet file puts the whole window-hash kernel pass on ONE task),
+    * redistribute first. At catalog scale inputs carry >> cores splits
+    * and the guard never fires — it costs one physical plan, no job.
+    * Applied ONLY where the per-row kernel measurably dominates the
+    * added exchange (the duplicate-span windowed projection: an
+    * (n+16)-bytes-per-char spool); for the cheaper tokenize/minhash
+    * kernels the balance shuffle + extra tasks measured NET SLOWER at
+    * bench scale, and map-only projections must never pay a shuffle of
+    * text they would otherwise not move. */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p * 2) else df
@@ -173,8 +176,7 @@ object TextOps {
     * The DuckDB oracle (q66) replays split semantics, per-line h64
     * fold, threshold and rewrite bit-exactly. */
   def boilerplateLines(pages: DataFrame, minCount: Long, hotCap: Int = 1 << 20): DataFrame = {
-    val hot = fanOut(pages.select(col("page")))
-      .select(explode(lineHashes(col("page"))).as("h"))
+    val hot = pages.select(explode(lineHashes(col("page"))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select("h")
       .limit(hotCap + 1).collect().map(_.getLong(0))
@@ -242,7 +244,7 @@ object TextOps {
     * pattern); the text column never leaves the scan; per-doc work is
     * the one-pass codegen shingle kernel. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
-    fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
+    docs.select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("toks"),
         size(array_distinct(tokens(col("text")))).cast("long").as("utoks"),
         // outer: a doc with no 2-grams keeps one h=null row, whose
@@ -374,9 +376,8 @@ object TextOps {
     * shuffles — only (doc_id, term) rows do. */
   def salientTerms(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " +")).as("term"))
       .filter(col("term") =!= "")
     // tf is CHECKPOINTED: it feeds both the df derivation and the join's
     // probe side, and the planner duplicates the subtree rather than
@@ -415,13 +416,8 @@ object TextOps {
     * shuffle, never the text column. Zero-token docs keep a row with
     * toks = rarity = 0. */
   def unigramRarity(docs: DataFrame, cap: Long = 1L << 20): DataFrame = {
-    // checkpointed for the same reason as salientTerms' tf: it feeds
-    // the corpus-count derivation AND the scoring join, and the planner
-    // re-ran the scan+tokenize+aggregate for each consumer
-    val tf = fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
     val cnt = tf.groupBy("tok").agg(sum(col("n")).as("c"))
     val total = cnt.agg(sum(col("c")).as("t"))
     val sc = tf.join(cnt, "tok").crossJoin(broadcast(total))
@@ -478,7 +474,7 @@ object TextOps {
     * direction for a decontamination filter — and the oracle hashes
     * identically, so verification is exact. */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
-    val docSh = fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
+    val docSh = docs.select(col("doc_id"),
       explode(tokenShingleHashes(col("text"), n)).as("sh"))
     val probeSh = probes.select(explode(tokenShingleHashes(col("text"), n)).as("sh"))
       .distinct()
@@ -502,7 +498,7 @@ object TextOps {
     * Collisions can only add a false hit (safe direction); the oracle
     * hashes identically. */
   def substringContamination(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
-    val docW = fanOut(docs.select(col("doc_id"), col("text"))).select(col("doc_id"),
+    val docW = docs.select(col("doc_id"),
       explode(charNgramHashes(col("text"), n)).as("wh"))
     val probeW = probes.select(explode(charNgramHashes(col("text"), n)).as("wh"))
       .distinct()
