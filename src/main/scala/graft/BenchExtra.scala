@@ -79,9 +79,12 @@ object BenchExtra {
             (System.nanoTime() - t0) / 1e9
           }
           val s1 = once()
+          // drain the async listener bus BEFORE snapping the baseline,
+          // or the warm pass's late stage events land inside the
+          // measured window and inflate every counter
+          Thread.sleep(200)
           val before = probe.snap()
           val s2 = once()
-          // listener events are async — give the bus a moment to drain
           Thread.sleep(200)
           val after = probe.snap()
           val (j, st, tk) = (after._1 - before._1, after._2 - before._2, after._3 - before._3)

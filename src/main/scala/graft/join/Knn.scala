@@ -46,13 +46,21 @@ object Knn {
   // join, still ~8k per query) that buys a quadratically safer margin;
   // the measured workload went 1 fallback -> 0 with the extra shift.
   def autoTileShift(points: DataFrame, k: Int, ring: Int = 1,
-                    targetFactor: Double = 8.0): Int = {
+                    targetFactor: Double = 8.0): Int =
+    autoTileShiftChecked(points, k, ring, targetFactor)._1
+
+  /** (shift, boundsVerifiedThisCall): true only when the sizing
+    * aggregate ran NOW (memo miss) and therefore just enforced the
+    * points-side |coord| < 2^30 contract — the caller can then skip its
+    * own probe instead of scanning the table a second time. */
+  private def autoTileShiftChecked(points: DataFrame, k: Int, ring: Int,
+                                   targetFactor: Double): (Int, Boolean) = {
     val key = (points.queryExecution.analyzed.semanticHash(), k, ring, targetFactor)
     val hit = shiftMemo.get(key)
-    if (hit != null) return hit.intValue()
+    if (hit != null) return (hit.intValue(), false)
     val computed = autoTileShiftUncached(points, k, ring, targetFactor)
     if (shiftMemo.size < 256) shiftMemo.put(key, Int.box(computed))
-    computed
+    (computed, true)
   }
 
   private def autoTileShiftUncached(points: DataFrame, k: Int, ring: Int,
@@ -90,12 +98,16 @@ object Knn {
   /** [[knnJoinAuto]] plus the fallback-query count (see
     * [[knnJoinWithStats]]). */
   def knnJoinAutoWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
-                           k: Int, ring: Int = 1): (DataFrame, Long) =
-    // the impl's own (concurrent, overlap-free) probe re-checks the
-    // points-side |coord| < 2^30 bound even on a shiftMemo hit — a memo
-    // hit previously skipped it, so files overwritten with wider coords
-    // under an unchanged plan could overflow d2 mid-join un-diagnosed
-    knnJoinImpl(spark, points, queries, k, autoTileShift(points, k, ring), ring)
+                           k: Int, ring: Int = 1): (DataFrame, Long) = {
+    // the bound contract is now enforced on EVERY call: on a memo miss
+    // the sizing aggregate itself just verified it (no second scan); on
+    // a memo hit the impl's concurrent probe re-checks it — a hit
+    // previously skipped the check, so files overwritten with wider
+    // coords under an unchanged plan could overflow d2 mid-join
+    // un-diagnosed
+    val (shift, checkedNow) = autoTileShiftChecked(points, k, ring, 8.0)
+    knnJoinImpl(spark, points, queries, k, shift, ring, probeBounds = !checkedNow)
+  }
 
   /**
    * points:  (id, x, y)  — integer coords (scaled so d2 is exact).
@@ -117,10 +129,11 @@ object Knn {
     * fallback is doing the work a better tile size would have avoided. */
   def knnJoinWithStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
                        k: Int, tileShift: Int, ring: Int = 1): (DataFrame, Long) =
-    knnJoinImpl(spark, points, queries, k, tileShift, ring)
+    knnJoinImpl(spark, points, queries, k, tileShift, ring, probeBounds = true)
 
   private def knnJoinImpl(spark: SparkSession, points: DataFrame, queries: DataFrame,
-                          k: Int, tileShift: Int, ring: Int): (DataFrame, Long) = {
+                          k: Int, tileShift: Int, ring: Int,
+                          probeBounds: Boolean): (DataFrame, Long) = {
     // NULL coords are dropped on BOTH sides: a point with a NULL
     // coordinate never matches the ring join but would enter the exact
     // fallback with d2 = NULL, which ascending window order sorts
@@ -129,21 +142,24 @@ object Knn {
       .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("tx", expr(s"x >> $tileShift"))
       .withColumn("ty", expr(s"y >> $tileShift"))
-    // |coord| < 2^30 d2-exactness contract on the POINTS side, ALWAYS
-    // (the auto path's memoized shift no longer skips it): unshifted raw
-    // 32-bit coords overflow dx^2+dy^2 mid-join under ANSI (or silently
-    // mis-order with ANSI off). The pruned 2-column agg runs as a
-    // CONCURRENT job (guide §2.6 — Spark actions are thread-safe) so its
-    // scan overlaps the query-side sizing aggregate below instead of
-    // serializing in front of it; the future is awaited before any join
-    // work is launched.
-    val boundsProbe = scala.concurrent.Future {
+    // |coord| < 2^30 d2-exactness contract on the POINTS side, on EVERY
+    // call path (probeBounds=false only when the caller's sizing
+    // aggregate enforced it in THIS call): unshifted raw 32-bit coords
+    // overflow dx^2+dy^2 mid-join under ANSI (or silently mis-order
+    // with ANSI off). The pruned 2-column agg runs as a CONCURRENT job
+    // (guide §2.6 — Spark actions are thread-safe) so its scan overlaps
+    // the query-side sizing aggregate below instead of serializing in
+    // front of it; the future is awaited before any join work is
+    // launched. (If a query-side precondition throws first, the one
+    // bounded probe job simply runs out in the background.)
+    val boundsProbe = if (!probeBounds) None else Some(scala.concurrent.Future {
       pts.agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
         min(col("y")).as("y0"), max(col("y")).as("y1")).head()
-    }(scala.concurrent.ExecutionContext.global)
-    def awaitPointBounds(): Unit = {
-      val pb = scala.concurrent.Await.result(
-        boundsProbe, scala.concurrent.duration.Duration.Inf)
+    }(scala.concurrent.ExecutionContext.global))
+    def awaitPointBounds(): Unit = boundsProbe.foreach { f =>
+      val pb = scala.concurrent.blocking {
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }
       if (!pb.isNullAt(0)) {
         val bound = 1L << 30
         require((0 until 4).map(pb.getLong).forall(v => v > -bound && v < bound),

@@ -255,12 +255,10 @@ object Media {
     // Decode is the CPU-bound pass: when the input arrives in fewer
     // splits than cores (a handful of big parquet files at the default
     // maxPartitionBytes left ~1/3 of the bench host idle), fan out
-    // BEFORE decoding. At catalog scale inputs carry >> cores splits
-    // and the guard never fires — it costs one file listing, no job.
-    // 2x cores smooths the size skew between decode tasks.
-    val p = spark.sparkContext.defaultParallelism
-    val balanced = if (src.rdd.getNumPartitions < p) src.repartition(p * 2) else src
-    balanced
+    // BEFORE decoding (the shared ReadBalance guard — a no-op at
+    // catalog scale; prefer withDecodeSplits around the action so the
+    // scan itself re-splits and the payload bytes never shuffle).
+    graft.ops.ReadBalance.fanOut(src)
       .as[(String, Array[Byte], Int, Int, String)]
       .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
         (id, dhash64(decode(id, bytes, w, h, fmt)))
@@ -449,7 +447,13 @@ object Media {
     * action (split planning happens at action time). dhashes' own
     * repartition guard still covers non-file sources and genuinely
     * unsplittable inputs — with the conf in effect it sees the wider
-    * scan and skips the shuffle. */
+    * scan and skips the shuffle. CAVEAT: maxPartitionBytes is
+    * session-scoped, so a file scan PLANNED CONCURRENTLY in the same
+    * session during `f` would also get the narrowed splits — callers
+    * are the serial dedup entry points (bench, batch clustering), and a
+    * session that interleaves other planning with a dedup run should
+    * use a separate session (cheap: SparkSession.newSession shares the
+    * context but not the conf). */
   private def withDecodeSplits[T](images: DataFrame)(f: => T): T = {
     val spark = images.sparkSession
     val p = spark.sparkContext.defaultParallelism

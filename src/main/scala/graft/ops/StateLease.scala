@@ -187,18 +187,33 @@ object StateLease {
         // swallowed one-shot failure stranded the successor's live
         // lease in the grave (a third writer could acquire immediately)
         // and was only caught later at a fence check.
+        def stranded(cause: Throwable, attempts: Int): Unit =
+          log.error(s"StateLease.release: FAILED to restore successor lease " +
+            s"from $grave to ${l.path} after $attempts attempts — the " +
+            s"successor's lease is stranded (a third writer can acquire until " +
+            s"the successor's next fence check fails): $cause")
         def restore(attempt: Int): Unit =
           try java.nio.file.Files.move(grave, l.path,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           catch {
             case scala.util.control.NonFatal(_) if attempt < 4 =>
-              Thread.sleep(20L << attempt); restore(attempt + 1)
-            case scala.util.control.NonFatal(e) =>
-              log.error(s"StateLease.release: FAILED to restore successor lease " +
-                s"from $grave to ${l.path} after ${attempt + 1} attempts — the " +
-                s"successor's lease is stranded (a third writer can acquire until " +
-                s"the successor's next fence check fails): $e")
+              // an interrupt during the backoff must not escape release()
+              // (it previously never threw) with the lease still in the
+              // grave: re-assert the interrupt flag, try the move ONCE
+              // more immediately, and log the stranding if that fails too
+              try Thread.sleep(20L << attempt)
+              catch {
+                case ie: InterruptedException =>
+                  Thread.currentThread().interrupt()
+                  try java.nio.file.Files.move(grave, l.path,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  catch { case scala.util.control.NonFatal(e2) => stranded(e2, attempt + 2) }
+                  return
+              }
+              restore(attempt + 1)
+            case scala.util.control.NonFatal(e) => stranded(e, attempt + 1)
           }
         restore(0)
       }

@@ -415,13 +415,10 @@ object Render {
     // (the catalog-scale case). Rank/meta are STORED values — moving
     // rows does not change any command, and the render groups re-key by
     // tile after this anyway.
-    val parallelism = spark.sparkContext.defaultParallelism
     val narrow = points.select(col("cell"),
       (if (hasMeta) col("meta") else lit(0L)).as("meta"),
       (if (needRank) col("rank") else lit(0L)).as("rank"))
-    val balanced = if (narrow.rdd.getNumPartitions < parallelism)
-      narrow.repartition(parallelism * 2) else narrow
-    val src = balanced.as[(Long, Long, Long)]
+    val src = graft.ops.ReadBalance.fanOut(narrow).as[(Long, Long, Long)]
     // one shared command emitter + finisher (pyramidCmds/renderOne) —
     // an earlier inline copy here drifted from the salted path's once
     val cmds = pyramidCmds(src, zArr,

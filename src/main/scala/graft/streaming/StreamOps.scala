@@ -479,15 +479,21 @@ object StreamOps {
     // at the next refresh before rendering begins
     val tmp = Paths.get(tilesDir, ".lowzoom.next")
     val old = Paths.get(tilesDir, ".lowzoom.old")
+    // swap-in-progress marker: present only between the start and the
+    // end of the per-zoom rename loop below, so a leftover .old tree is
+    // distinguishable as (a) crash MID-SWAP — some zooms' previous
+    // tiles live only in .old and must be restored — vs (b) crash
+    // after a COMPLETED swap — .old holds the replaced generation plus
+    // the zooms the new render legitimately dropped (the shrink case),
+    // which must NOT be resurrected as orphan tiles.
+    val swapMarker = Paths.get(tilesDir, ".lowzoom.swapping")
     deleteRecursive(tmp)
-    // crash window repair BEFORE discarding the old generation: a crash
-    // between the two per-zoom renames leaves that zoom absent from the
-    // live tree with its previous tiles only in .lowzoom.old — restore
-    // those zooms (live dir missing, old copy present) so the
+    // crash window repair BEFORE discarding the old generation: only
+    // when the previous refresh died mid-swap, restore the zooms whose
+    // live dir is absent with their .old copy present, so the
     // 'stale-but-present' guarantee survives a SECOND crash during the
-    // follow-up render; zooms the previous refresh fully swapped keep
-    // their live dirs and their .old copies are litter, deleted below.
-    if (Files.isDirectory(old)) {
+    // follow-up render; after a completed swap the .old tree is litter.
+    if (Files.exists(swapMarker) && Files.isDirectory(old)) {
       val st = Files.list(old)
       try {
         import scala.jdk.CollectionConverters._
@@ -498,6 +504,7 @@ object StreamOps {
         }
       } finally st.close()
     }
+    Files.deleteIfExists(swapMarker)
     deleteRecursive(old)
     val ranked = graft.render.Render.withGlobalRank(
       spark.read.parquet(snapshotDir).select(col("cell"), col("meta")))
@@ -506,6 +513,7 @@ object StreamOps {
       graft.sinks.Sinks.writeTileset(tiles, tmp.toString, snapshotDir)
     } finally ranked.unpersist()
     Files.createDirectories(old)
+    Files.createFile(swapMarker) // see the repair block above
     zooms.foreach { z =>
       val live = Paths.get(tilesDir, z.toString)
       val next = tmp.resolve(z.toString)
@@ -516,6 +524,9 @@ object StreamOps {
       if (Files.exists(next))
         Files.move(next, live, StandardCopyOption.ATOMIC_MOVE)
     }
+    // swap complete: from here a leftover .old tree is litter, and an
+    // absent zoom dir means the new generation dropped it on purpose
+    Files.deleteIfExists(swapMarker)
     // merge the ACTUALLY-RENDERED zoom range into the live metadata (the
     // temp render wrote its own metadata.json unaware of the live
     // range). After the swap a live zoom dir exists exactly when the

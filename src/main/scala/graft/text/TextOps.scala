@@ -23,10 +23,8 @@ object TextOps {
     * kernels the balance shuffle + extra tasks measured NET SLOWER at
     * bench scale, and map-only projections must never pay a shuffle of
     * text they would otherwise not move. */
-  private[graft] def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p * 2) else df
-  }
+  private[graft] def fanOut(df: DataFrame): DataFrame =
+    graft.ops.ReadBalance.fanOut(df)
 
   /** Exact dedup: hash-groupBy on md5(text); keeps the smallest doc_id
     * as the canonical representative. Only the 16-byte digest shuffles. */

@@ -307,11 +307,7 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(exchanges.nonEmpty)
       exchanges.foreach { e =>
-        // keyed text shuffles stay banned; TextOps.fanOut's round-robin
-        // read-balance (fires only when splits < cores) is sanctioned
-        val roundRobin = e.outputPartitioning
-          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
-        assert(roundRobin || !e.output.exists(_.name == "text"),
+        assert(!e.output.exists(_.name == "text"),
           "text column shuffled: " + e.output.map(_.name).mkString(", "))
       }
       assert(df.count() > 0)
@@ -332,14 +328,7 @@ class PlanSpec extends AnyFunSuite {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
         exchanges.foreach { e =>
-          // text must never ride a KEYED shuffle (that volume scales with
-          // the corpus at every stage). The one sanctioned exception is
-          // TextOps.fanOut's round-robin read-balance, which fires only
-          // when the input has fewer splits than cores — a no-op at
-          // catalog scale — and moves each text byte at most once.
-          val roundRobin = e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
-          assert(roundRobin || !e.output.exists(_.name == "text"),
+          assert(!e.output.exists(_.name == "text"),
             "text column shuffled: " + e.output.map(_.name).mkString(", "))
         }
         assert(plan.toString().contains("BroadcastHashJoin"), plan.toString().take(2000))
