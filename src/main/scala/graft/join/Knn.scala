@@ -45,8 +45,12 @@ object Knn {
   // doubling is a linear candidate-count cost (~2x rows in the ring
   // join, still ~8k per query) that buys a quadratically safer margin;
   // the measured workload went 1 fallback -> 0 with the extra shift.
+  /** THE density-model safety factor (see the factor-4->8 history
+    * above) — single source for every auto-shift entry point. */
+  final val DefaultTargetFactor = 8.0
+
   def autoTileShift(points: DataFrame, k: Int, ring: Int = 1,
-                    targetFactor: Double = 8.0): Int =
+                    targetFactor: Double = DefaultTargetFactor): Int =
     autoTileShiftChecked(points, k, ring, targetFactor)._1
 
   /** (shift, boundsVerifiedThisCall): true only when the sizing
@@ -105,7 +109,7 @@ object Knn {
     // previously skipped the check, so files overwritten with wider
     // coords under an unchanged plan could overflow d2 mid-join
     // un-diagnosed
-    val (shift, checkedNow) = autoTileShiftChecked(points, k, ring, 8.0)
+    val (shift, checkedNow) = autoTileShiftChecked(points, k, ring, DefaultTargetFactor)
     knnJoinImpl(spark, points, queries, k, shift, ring, probeBounds = !checkedNow)
   }
 

@@ -172,7 +172,19 @@ object StateLease {
         try java.nio.file.Files.readString(grave) == l.token
         catch {
           case scala.util.control.NonFatal(_) if attempt < 3 =>
-            Thread.sleep(20L << attempt); readMine(attempt + 1)
+            // interrupt during the backoff must not escape release()
+            // (same contract as restore() below): re-assert the flag and
+            // settle on ONE immediate retry — on a second failure decide
+            // NOT-mine, the restore-to-path direction that never deletes
+            // a possibly-foreign lease
+            try Thread.sleep(20L << attempt)
+            catch {
+              case _: InterruptedException =>
+                Thread.currentThread().interrupt()
+                return try java.nio.file.Files.readString(grave) == l.token
+                       catch { case scala.util.control.NonFatal(_) => false }
+            }
+            readMine(attempt + 1)
           case scala.util.control.NonFatal(_) => false
         }
       val mine = readMine(0)

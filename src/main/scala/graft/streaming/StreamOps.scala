@@ -492,14 +492,25 @@ object StreamOps {
     // when the previous refresh died mid-swap, restore the zooms whose
     // live dir is absent with their .old copy present, so the
     // 'stale-but-present' guarantee survives a SECOND crash during the
-    // follow-up render; after a completed swap the .old tree is litter.
+    // follow-up render; after a completed swap the .old tree is litter
+    // (a markerless .old also covers trees from builds predating the
+    // marker — those are treated as litter, matching the shipped
+    // pre-marker behavior, which deleted .old outright). Restores are
+    // limited to CURRENTLY-REQUESTED zooms: a crash in the instant
+    // between the completed swap loop and the marker delete must not
+    // resurrect a zoom the caller no longer renders (the swap loop
+    // below re-swaps every requested zoom this refresh, so a restored
+    // shrink-dropped zoom is re-dropped within this very call — never
+    // a permanent orphan).
     if (Files.exists(swapMarker) && Files.isDirectory(old)) {
+      val requested = zooms.map(_.toString).toSet
       val st = Files.list(old)
       try {
         import scala.jdk.CollectionConverters._
         st.iterator().asScala.foreach { oz =>
-          val live = Paths.get(tilesDir, oz.getFileName.toString)
-          if (!Files.exists(live))
+          val name = oz.getFileName.toString
+          val live = Paths.get(tilesDir, name)
+          if (requested.contains(name) && !Files.exists(live))
             Files.move(oz, live, StandardCopyOption.ATOMIC_MOVE)
         }
       } finally st.close()

@@ -369,8 +369,9 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(exchanges.nonEmpty)
       exchanges.foreach { e =>
-        // same sanctioned round-robin fan-out exemption as above; keyed
-        // shuffles of text (or the page column) remain banned
+        // duplicate spans is the ONE operator with the sanctioned
+        // round-robin read-balance (TextOps.fanOut via ReadBalance,
+        // fires only when splits < cores); keyed text shuffles banned
         val roundRobin = e.outputPartitioning
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
         assert(roundRobin || !e.output.exists(_.name == "text"),
